@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.Views
+import graft.etl.Pipeline
+import graft.io.Sources
+import graft.queries.{AnalyticsQueries, EtlQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (and the LLM-pipeline extension
+  * surface) is registered as a Q in graft.queries.*; `queries` and
+  * `oracleSql` are derived from the same registry so names, output
+  * columns and ordering stay in lockstep with the DuckDB oracle.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  val registry: Seq[Q] =
+    EtlQueries.all ++ AnalyticsQueries.all
+
+  /** Flagship: the reference's full 5-stage ETL pipeline (clean →
+    * normalize → enrich → validate) over the corpus events table,
+    * finished with the daily-summary view (reference:
+    * src/transform.py:40-69 + sql/schema.sql:82-97) — one lazy plan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val events = Sources.table(spark, "/root/testdata/sf0.001", "events")
+    val weather = Pipeline.transform(Pipeline.weatherFromEvents(events))
+    Views.dailyWeatherSummary(weather)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.plan).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case Q(name, _, Some(sql)) => name -> sql }.toMap
 }

@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Writers and the set-based upsert.
+  *
+  * The reference's load strategies (reference: src/load.py:265-486) are
+  * insert / replace / upsert against a SQL store; upsert iterates rows
+  * and issues one statement per row (reference: src/load.py:386,448).
+  * Here every strategy is a single distributed write, and upsert is a
+  * set-based merge — the largest designed perf divergence from the
+  * reference (O(1) jobs instead of O(n) round trips).
+  */
+object Sinks {
+
+  /** sink_csv (reference: src/transform.py:324-325). */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** sink_json (reference: src/transform.py:326-327). */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** sink_parquet (reference: src/transform.py:328-329). */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** sink_jdbc_insert analogue — append (reference: src/load.py:319-343).
+    * Partition by date so downstream date-ranged reads prune files —
+    * the Spark replacement for the reference's b-tree indexes
+    * (reference: sql/schema.sql:71-77).
+    */
+  def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** sink_jdbc_replace analogue — overwrite (reference: src/load.py:345-369). */
+  def replace(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** sink_upsert — set-based merge with update-wins semantics on the
+    * unique key (reference: src/load.py:371-486; key from
+    * sql/schema.sql:38 UNIQUE(city,country,timestamp)).
+    *
+    * result = dedup(updates) ∪ (existing ⟕anti updates-keys)
+    *
+    * Both sides shuffle once on the key; at scale the anti join is a
+    * plain shuffled hash join and there are no per-row round trips.
+    * Updates may contain several rows per key; the winner is chosen by
+    * a deterministic total order (`updatePriority` descending, then the
+    * key) — never `dropDuplicates`, whose winner is shuffle-dependent.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+             updatePriority: Seq[String] = Nil): DataFrame = {
+    val ord = (updatePriority.map(c => col(c).desc) ++ keys.map(col(_).asc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val dedupedUpdates = updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    existing
+      .join(dedupedUpdates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(dedupedUpdates)
+  }
+
+  /** Strategy dispatch (reference: src/load.py:265-317). For
+    * "upsert" the existing table is read, merged, and rewritten —
+    * the plain-Parquet equivalent of MERGE INTO (a transactional table
+    * format would replace the rewrite with a row-level merge).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+           path: String, strategy: String, keys: Seq[String] = Nil): Unit =
+    strategy match {
+      case "insert"  => append(df, path)
+      case "replace" => replace(df, path)
+      case "upsert" =>
+        val target = new java.io.File(path)
+        if (!target.exists()) replace(df, path)
+        else {
+          val existing = spark.read.parquet(path)
+          val merged = upsert(existing, df, keys).cache()
+          merged.count() // materialize before overwriting the source
+          replace(merged, path)
+          merged.unpersist()
+        }
+      case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+    }
+}

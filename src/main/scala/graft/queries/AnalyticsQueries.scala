@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Q
+import graft.etl.Enrich
+import graft.functions.Parity.{davg, dsum}
+import graft.io.{Sinks, Sources}
+import graft.io.Sources.table
+
+/** Aggregations, views, window/sort/limit ops and the set-based upsert
+  * (SURVEY.md §2.4–§2.5) bound to the driver corpus (FIXTURES.md §C).
+  *
+  * All double aggregates go through Parity.dsum/davg (decimal-exact,
+  * order-independent) so Spark's partial/final aggregation tree and
+  * DuckDB's sequential sum produce bit-identical doubles.
+  */
+object AnalyticsQueries {
+
+  private val davgSql = (c: String, n: String) =>
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c) AS $n"
+  private val dsumSql = (c: String, n: String) =>
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS $n"
+
+  val all: Seq[Q] = Seq(
+
+    /** agg_quality_metrics (reference: src/transform.py:301-315) —
+      * global single-row aggregate: counts, distincts, range, mean. */
+    Q("agg_quality_metrics",
+      s"""SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |  COUNT(DISTINCT event_type) AS n_types,
+         |  ${davgSql("value", "avg_value")},
+         |  min(ts) AS ts_min, max(ts) AS ts_max
+         |FROM events""".stripMargin) { (s, dir) =>
+      table(s, dir, "events").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        davg(col("value")).as("avg_value"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"))
+    },
+
+    /** agg_summary (reference: src/load.py:556-588). */
+    Q("agg_summary",
+      s"""SELECT COUNT(*) AS n, COUNT(DISTINCT l_returnflag) AS n_flags,
+         |  COUNT(DISTINCT l_linestatus) AS n_status,
+         |  min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max,
+         |  ${davgSql("l_quantity", "avg_qty")},
+         |  ${davgSql("l_extendedprice", "avg_price")}
+         |FROM lineitem""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        countDistinct(col("l_linestatus")).as("n_status"),
+        min(col("l_shipdate")).as("ship_min"),
+        max(col("l_shipdate")).as("ship_max"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"))
+    },
+
+    /** agg_ingest_stats (reference: airflow_dag/weather_etl_dag.py:157). */
+    Q("agg_ingest_stats",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      table(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    /** view_daily_summary (reference: sql/schema.sql:82-97) — grouped
+      * daily stats, ORDER BY date DESC then keys. */
+    Q("view_daily_summary",
+      s"""SELECT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date,
+         |  ${davgSql("l_quantity", "avg_qty")},
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  ${davgSql("l_extendedprice", "avg_price")},
+         |  COUNT(*) AS record_count
+         |FROM lineitem GROUP BY 1, 2, 3
+         |ORDER BY ship_date DESC, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          Enrich.deriveDate(col("l_shipdate")).as("ship_date"))
+        .agg(
+          davg(col("l_quantity")).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("record_count"))
+        .orderBy(col("ship_date").desc, col("l_returnflag"), col("l_linestatus"))
+    },
+
+    /** view_latest_weather (reference: sql/schema.sql:100-115) —
+      * DISTINCT ON emulation: most-recent row per user, deterministic
+      * tie-break on event_id. */
+    Q("view_latest_weather",
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT e.*, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events e) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      table(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    },
+
+    /** view_quality_summary (reference: sql/schema.sql:118-127). */
+    Q("view_quality_summary",
+      s"""SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice", "sum_price")},
+         |  ${davgSql("o_totalprice", "avg_price")}
+         |FROM orders GROUP BY 1 ORDER BY od DESC""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(Enrich.deriveDate(col("o_orderdate")).as("od"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          davg(col("o_totalprice")).as("avg_price"))
+        .orderBy(col("od").desc)
+    },
+
+    /** view_seasonal_trends (reference: sql/schema.sql:130-140). */
+    Q("view_seasonal_trends",
+      s"""SELECT CASE WHEN extract(month FROM o_orderdate) IN (12,1,2) THEN 'Winter'
+         |       WHEN extract(month FROM o_orderdate) IN (3,4,5) THEN 'Spring'
+         |       WHEN extract(month FROM o_orderdate) IN (6,7,8) THEN 'Summer'
+         |       ELSE 'Autumn' END AS season,
+         |  o_orderpriority, COUNT(*) AS record_count,
+         |  ${davgSql("o_totalprice", "avg_price")}
+         |FROM orders GROUP BY 1, 2 ORDER BY season, o_orderpriority""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(Enrich.season(col("o_orderdate")).as("season"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("record_count"),
+          davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("season", "o_orderpriority")
+    },
+
+    /** limit_recent (reference: README.md:230-231) — ORDER BY DESC
+      * LIMIT 10; Spark plans TakeOrderedAndProject (top-k, no full sort). */
+    Q("limit_recent",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    },
+
+    /** filter_last7d (reference: README.md:224-227) — trailing window
+      * off the table's own max timestamp (broadcast scalar, no collect
+      * in the hot path). */
+    Q("filter_last7d",
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      val mx = e.agg(max(col("ts")).as("__mx"))
+      e.crossJoin(broadcast(mx))
+        .filter(col("ts") >= col("__mx") - expr("INTERVAL 7 DAYS"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    /** union_batches (reference: tests/test_integration.py:330-341) —
+      * append semantics: 4 deterministic shards unioned back, then
+      * aggregated. */
+    Q("union_batches",
+      s"""WITH unioned AS (
+         |  SELECT * FROM events WHERE event_id % 4 = 0
+         |  UNION ALL SELECT * FROM events WHERE event_id % 4 = 1
+         |  UNION ALL SELECT * FROM events WHERE event_id % 4 = 2
+         |  UNION ALL SELECT * FROM events WHERE event_id % 4 = 3)
+         |SELECT event_type, COUNT(*) AS n, ${dsumSql("value", "sum_value")}
+         |FROM unioned GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      val shards = (0 to 3).map(i => e.filter(col("event_id") % 4 === i))
+      shards.reduce(_ unionByName _)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    /** sink_upsert (reference: src/load.py:371-486) — set-based merge
+      * on the unique key (user_id, event_type, ts): matched rows
+      * updated (value+1000), unmatched inserted (ts+90d shift). One
+      * shuffle; contrast with the reference's per-row round trips. */
+    Q("sink_upsert",
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |updates AS (
+        |  SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value
+        |  FROM base WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 90 DAY AS ts, user_id, event_type, value
+        |  FROM base WHERE event_id % 10 = 5),
+        |merged AS (
+        |  SELECT * FROM base b WHERE NOT EXISTS (
+        |    SELECT 1 FROM updates u WHERE u.user_id = b.user_id
+        |      AND u.event_type = b.event_type AND u.ts = b.ts)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT event_id, ts, user_id, event_type, value FROM merged
+        |ORDER BY event_id, ts""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+      val changed = e.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val inserted = e.filter(col("event_id") % 10 === 5)
+        .withColumn("ts", col("ts") + expr("INTERVAL 90 DAYS"))
+      Sinks.upsert(e, changed.unionByName(inserted),
+          Seq("user_id", "event_type", "ts"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id", "ts")
+    },
+
+    /** join_star — star-schema equi-join chain with broadcast dims
+      * (capability beyond the reference, SURVEY.md §2.5): revenue by
+      * region. Revenue is decimal-exact: price::dec * (1-disc)::dec. */
+    Q("join_star",
+      """SELECT r_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(8, 2))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_items"), sum(revenue).cast("double").as("revenue"))
+        .orderBy("r_name")
+    },
+
+    /** join_semi — EXISTS via left_semi (no row duplication, build side
+      * reduced before the join). */
+    Q("join_semi",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    /** join_anti — NOT EXISTS via left_anti: customers with no orders. */
+    Q("join_anti",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    })
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Reads each parquet result written by `graft.Verify`, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the same corpus tables,
+and compares: row count, schema (column names sorted), and exact values
+(rows sorted, columns sorted by name). Reports per-query PASS/FAIL with
+first differing cell.
+"""
+import json, os, sys
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF_DIR}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+with open(f"{OUT_DIR}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+def norm(v):
+    if isinstance(v, float):
+        return v  # exact compare; parity helpers make engines bit-identical
+    return v
+
+passed, failed, skipped = [], [], []
+for name in sorted(os.listdir(OUT_DIR)):
+    d = os.path.join(OUT_DIR, name)
+    if not os.path.isdir(d):
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+    except Exception as e:
+        failed.append((name, f"result unreadable: {e}"))
+        continue
+    if name not in oracles:
+        skipped.append((name, f"no oracle ({len(got)} rows)"))
+        continue
+    try:
+        exp = con.sql(oracles[name]).df()
+    except Exception as e:
+        failed.append((name, f"oracle SQL error: {str(e).splitlines()[0]}"))
+        continue
+    if sorted(got.columns) != sorted(exp.columns):
+        failed.append((name, f"schema: got {sorted(got.columns)} want {sorted(exp.columns)}"))
+        continue
+    if len(got) != len(exp):
+        failed.append((name, f"rows: got {len(got)} want {len(exp)}"))
+        continue
+    g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
+    e = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
+    diff = None
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if a != b and not (a is None and b is None) and str(a) != str(b):
+                if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+                    continue  # both NaN
+                diff = f"col {c} row {i}: got {a!r} want {b!r}"
+                break
+        if diff:
+            break
+    if diff:
+        failed.append((name, diff))
+    else:
+        passed.append(name)
+
+print(f"PASS {len(passed)}: {' '.join(passed)}")
+for n, msg in skipped:
+    print(f"SKIP {n}: {msg}")
+for n, msg in failed:
+    print(f"FAIL {n}: {msg}")
+sys.exit(1 if failed else 0)
