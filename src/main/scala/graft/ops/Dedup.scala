@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Parity
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - exact dedup shuffles an 8-byte fingerprint, never the document;
+  *  - near-dup methods (MinHash / SimHash) avoid the O(n²) pair space
+  *    by banding: candidate pairs come from equi-joins on band keys, so
+  *    the shuffle is (docs × bands) rows and skew is bounded by bucket
+  *    population, not corpus size;
+  *  - exact n-gram Jaccard is the verification step run on candidates
+  *    (here it is also exposed standalone since the corpus is small
+  *    enough to gram-join directly).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical normalized text.
+    * Partitioning key is the 60-bit fingerprint (not the text) so the
+    * shuffle moves fixed-width keys; the winner is pinned with
+    * row_number, never dropDuplicates (shuffle-order-dependent).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-grams (default trigrams) of the normalized text, distinct
+    * per document. Empty array when the doc has fewer than n tokens.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = TextOps.tokens(TextOps.normalized(text))
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " "))))
+  }
+
+  /** (id, gram) exploded table — the base relation for Jaccard and
+    * MinHash. One row per distinct gram per doc.
+    */
+  def gramTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(col(textCol), n)).as("gram"))
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates from an equi-join
+    * on shared grams (never a cross join), J = |∩| / (|A|+|B|−|∩|).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val grams = gramTable(docs, idCol, textCol, n)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val a = grams.toDF("doc_a", "gram")
+    val b = grams.toDF("doc_b", "gram")
+    val inter = a.join(b, "gram").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val sa = sizes.toDF("doc_a", "na")
+    val sb = sizes.toDF("doc_b", "nb")
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash family: h_i(g) = (a_i · (md5_60(g) mod P) + b_i) mod P.
+    * One md5 per gram, then cheap integer mixing per hash function —
+    * coefficients are deterministic (and mirrored into the oracle SQL).
+    * P = 2^31 − 1 keeps a_i·h below 2^62: no 64-bit overflow in either
+    * engine (DuckDB raises on overflow rather than wrapping).
+    */
+  val P: Long = 2147483647L
+  def hashCoeffs(k: Int): Seq[(Long, Long)] = {
+    // deterministic LCG (Numerical Recipes constants), seed fixed
+    var s = 88172645463325252L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
+      math.abs(s % (P - 1)) }
+    (0 until k).map(_ => (next() + 1, next()))
+  }
+
+  /** Per-doc MinHash signature columns s0..s(k−1). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val grams = gramTable(docs, idCol, textCol, n)
+      .withColumn("h", Parity.md5_60(col("gram")) % P)
+    val aggs = hashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s$i")
+    }
+    grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: signatures banded (bandSize rows per
+    * band); docs sharing any band key become candidates; estimated
+    * Jaccard = matching-component fraction. Candidate generation is an
+    * equi-join on (band_idx, band_key) — the 100-TB-safe shape.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 32, bandSize: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    val nBands = k / bandSize
+    val bandCols = (0 until nBands).map { bIdx =>
+      val parts = (bIdx * bandSize until (bIdx + 1) * bandSize)
+        .map(i => col(s"s$i").cast("string"))
+      concat_ws(",", parts: _*).as(s"b$bIdx")
+    }
+    val withBands = sigs.select(col("doc_id") +: (0 until k).map(i => col(s"s$i")) ++: bandCols: _*)
+    val bands = withBands.select(col("doc_id"),
+      posexplode(array((0 until nBands).map(i => col(s"b$i")): _*)).as(Seq("band_idx", "band_key")))
+    val cand = bands.toDF("doc_a", "band_idx", "band_key")
+      .join(bands.toDF("doc_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = withBands.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"s$i").as(s"sa$i")): _*)
+    val sb = withBands.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"s$i").as(s"sb$i")): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"sa$i") === col(s"sb$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard", matches.cast("double") / k.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 60-bit SimHash fingerprint per doc: token hashes vote ±1 per bit
+    * position, weighted by term frequency (tokens keep multiplicity).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("tok"))
+      .withColumn("h", Parity.md5_60(col("tok")))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"c$j")
+    }
+    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 60).map(j =>
+      when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    summed.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band on 4 × 15-bit chunks (a doc pair
+    * within hamming ≤ 3 of 60 bits must agree on ≥ 1 chunk), verify
+    * with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(docs, idCol, textCol)
+    // shiftright, not `/`: Column `/` is double division and doubles
+    // cannot represent a 60-bit fingerprint exactly
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        expr(s"shiftright(simhash, ${15 * c})") % 32768L): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunks.toDF("doc_a", "sim_a", "chunk_idx", "chunk_val")
+    val b = chunks.toDF("doc_b", "sim_b", "chunk_idx", "chunk_val")
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Parity
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure Column expressions — codegen-friendly, no
+  * UDFs, no driver-side loops; each scales as a single narrow map over
+  * the corpus.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the 100-TB-safe default: no regex NFA). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def normalized(text: Column): Column = lower(trim(text))
+
+  /** Token count, whitespace-delimited. Long for cross-engine schema
+    * parity (DuckDB len() is BIGINT).
+    */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword token count: runs of lowercase letters (a crude
+    * but deterministic stand-in for a real tokenizer's word pieces).
+    */
+  def regexTokenCount(text: Column): Column =
+    size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+
+  /** Stopword occurrence count over whitespace tokens. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(stopwords))).cast("long")
+
+  /** Mean token length in chars: (chars − separators) / tokens. */
+  def avgTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text).cast("long") - (n - 1)).cast("double") / n.cast("double")
+  }
+
+  /** Punctuation ratio (explicit class, identical regex semantics in
+    * Spark and DuckDB).
+    */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Heuristic quality score in [0,100]: fixed penalties for short
+    * docs, stopword-heavy text, and short average tokens — the shape of
+    * a pretraining-corpus quality filter, deterministic end to end.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text)
+    val stopRatio = stopwordCount(text, stopwords).cast("double") / nTok.cast("double")
+    val raw = lit(100.0) -
+      when(nTok < 40, 20.0).otherwise(0.0) -
+      when(stopRatio > 0.25, 15.0).otherwise(0.0) -
+      when(avgTokenLength(text) < 4.0, 10.0).otherwise(0.0) -
+      when(length(text) < 200, 5.0).otherwise(0.0)
+    least(greatest(raw, lit(0.0)), lit(100.0))
+  }
+
+  /** n-gram heuristic language ID: stopword density of English marker
+    * words. Real language ID would score character n-gram profiles per
+    * language; the plumbing (ratio → thresholded CASE) is identical.
+    */
+  def langId(text: Column, markers: Seq[String]): Column = {
+    val ratio = stopwordCount(text, markers).cast("double") /
+      tokenCount(text).cast("double")
+    when(ratio >= 0.12, "en").when(ratio >= 0.06, "mixed").otherwise("unk")
+  }
+
+  /** Document fingerprint: 60-bit digest of the normalized text
+    * (md5-based so the DuckDB oracle computes the identical value).
+    * GroupBy on this fingerprint is the scalable exact-dedup key — a
+    * fixed 8-byte shuffle key instead of the full document text.
+    */
+  def fingerprint(text: Column): Column = Parity.md5_60(normalized(text))
+}

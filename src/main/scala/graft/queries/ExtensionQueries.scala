@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.Parity
+import graft.io.Sources.table
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-training-data-pipeline operators (beyond the reference surface;
+  * see the build brief + SURVEY.md §7.5): text analysis, JSON prop
+  * extraction, exact/near dedup (Jaccard, MinHash+LSH, SimHash,
+  * embedding cosine), ANN search, multimodal plumbing.
+  *
+  * The MinHash/SimHash/LSH oracle SQL is GENERATED from the same
+  * deterministic coefficients the Spark operators use, so both engines
+  * evaluate the identical hash family.
+  */
+object ExtensionQueries {
+
+  private val md5_60Sql = (x: String) =>
+    s"('0x' || substring(md5($x),1,15))::BIGINT"
+
+  /** Distinct word-trigram CTE over documents (mirrors Dedup.gramTable). */
+  private val gramsCte =
+    """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, g FROM tok,
+      |  UNNEST(list_transform(range(1, greatest(len(t)-2,0)+1),
+      |                        i -> array_to_string(t[i:i+2], ' '))) AS u(g))""".stripMargin
+
+  /** Normalized embeddings CTE: double vectors + norms (sequential
+    * folds — same accumulation order as the Spark side). */
+  private val embCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e)""".stripMargin
+
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+
+  private val stopSql =
+    "len(list_filter(string_split(text,' '), w -> w IN ('the','a')))"
+  private val ntokSql = "len(string_split(text,' '))"
+
+  // ---- generated MinHash SQL (coefficients shared with Dedup) ----
+  private val K = 32
+  private val coeffs = Dedup.hashCoeffs(K)
+  private val minhashSigSql: String = {
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % ${Dedup.P}) AS s$i"
+    }.mkString(",\n    ")
+    s"""gh AS (SELECT doc_id, ${md5_60Sql("g")} % ${Dedup.P} AS h FROM grams),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM gh GROUP BY doc_id)""".stripMargin
+  }
+  private val minhashBandsSql: String = {
+    val bands = (0 until K / 4).map { bIdx =>
+      val key = (bIdx * 4 until bIdx * 4 + 4).map(i => s"s$i").mkString("::VARCHAR || ',' || ")
+      s"SELECT doc_id, $bIdx AS band_idx, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"bands AS (\n  $bands)"
+  }
+  private val minhashEstSql: String =
+    "CAST(" + (0 until K).map(i =>
+      s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ") +
+      s" AS DOUBLE) / $K"
+
+  // ---- generated SimHash SQL (60 bits, tf-weighted votes) ----
+  private val simhashCsSql: String = (0 until 60).map { j =>
+    s"SUM(CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END) AS c$j"
+  }.mkString(",\n    ")
+  private val simhashFpSql: String = (0 until 60).map { j =>
+    s"CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+
+  // ---- generated sign-LSH SQL (hyperplanes shared with Similarity) ----
+  private val NPLANES = 16
+  private val NBANDS = 2
+  private val planes = Similarity.hyperplanes(NPLANES, 64)
+  private val lshBitsSql: String = planes.zipWithIndex.map { case (w, j) =>
+    val lst = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"CASE WHEN list_reduce(list_transform(range(1,65), i -> v[i] * ($lst)[i]), (x,y) -> x+y) > 0 THEN 1 ELSE 0 END AS bit$j"
+  }.mkString(",\n    ")
+  private val lshBandsSql: String = {
+    val perBand = NPLANES / NBANDS
+    (0 until NBANDS).map { bIdx =>
+      val key = (0 until perBand).map(i =>
+        s"bit${bIdx * perBand + i} * ${1L << i}").mkString(" + ")
+      s"SELECT vec_id, $bIdx AS band_idx, $key AS band_key FROM bits"
+    }.mkString("\n  UNION ALL ")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    /** Token counting: whitespace + BPE-ish regex token counts. */
+    Q("text_token_count",
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_re
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws"),
+        TextOps.regexTokenCount(col("text")).as("n_re"))
+        .orderBy("doc_id")
+    },
+
+    /** Quality scoring: length/stopword/token-shape penalties. */
+    Q("text_quality",
+      s"""WITH s AS (SELECT doc_id, $ntokSql::BIGINT AS n_tok,
+         |    $stopSql::BIGINT AS n_stop, length(text)::BIGINT AS n_chars FROM documents)
+         |SELECT doc_id, n_tok,
+         |  CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_token_len,
+         |  CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+         |  least(greatest(100.0
+         |    - CASE WHEN n_tok < 40 THEN 20.0 ELSE 0.0 END
+         |    - CASE WHEN CAST(n_stop AS DOUBLE)/CAST(n_tok AS DOUBLE) > 0.25 THEN 15.0 ELSE 0.0 END
+         |    - CASE WHEN CAST(n_chars - (n_tok-1) AS DOUBLE)/CAST(n_tok AS DOUBLE) < 4.0 THEN 10.0 ELSE 0.0 END
+         |    - CASE WHEN n_chars < 200 THEN 5.0 ELSE 0.0 END, 0.0), 100.0) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val stops = Seq("the", "a")
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        TextOps.avgTokenLength(col("text")).as("avg_token_len"),
+        (TextOps.stopwordCount(col("text"), stops).cast("double") /
+          TextOps.tokenCount(col("text")).cast("double")).as("stop_ratio"),
+        TextOps.qualityScore(col("text"), stops).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    /** Language-ID heuristic: English-marker stopword density. */
+    Q("text_lang_id",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN r >= 0.12::DOUBLE THEN 'en'
+         |       WHEN r >= 0.06::DOUBLE THEN 'mixed' ELSE 'unk' END AS predicted
+         |FROM (SELECT doc_id, lang,
+         |  CAST($stopSql AS DOUBLE) / CAST($ntokSql AS DOUBLE) AS r
+         |  FROM documents) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text"), Seq("the", "a")).as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    /** Document fingerprinting: 60-bit digest + collision histogram. */
+    Q("text_fingerprint",
+      s"""SELECT ${md5_60Sql("lower(trim(text))")} AS fp, COUNT(*) AS n,
+         |  min(doc_id) AS first_doc
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy("fp")
+    },
+
+    /** JSON property extraction over events.props. */
+    Q("json_extract_props",
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) % 10 AS k_bucket,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
+        .orderBy("k_bucket")
+    },
+
+    /** Exact dedup on the 60-bit text fingerprint, keep-lowest-id. */
+    Q("dedup_exact",
+      s"""SELECT doc_id, n_chars FROM (
+         |  SELECT doc_id, n_chars, row_number() OVER (
+         |    PARTITION BY ${md5_60Sql("lower(trim(text))")} ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
+    /** Exact trigram-Jaccard near-dup pairs (threshold 0.6). */
+    Q("dedup_ngram_jaccard",
+      s"""WITH $gramsCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM grams a JOIN grams b USING (g)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    /** MinHash+LSH near-dup pairs: 32 hashes, 8 bands × 4 rows,
+      * banded candidate join, estimate ≥ 0.5. */
+    Q("dedup_minhash",
+      s"""WITH $gramsCte,
+         |$minhashSigSql,
+         |$minhashBandsSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT da AS doc_a, db AS doc_b, $minhashEstSql AS est_jaccard
+         |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+         |WHERE $minhashEstSql >= 0.5 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = K, bandSize = 4, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    /** SimHash near-dup pairs: 60-bit fingerprints, 4×15-bit chunk
+      * banding, hamming ≤ 3. */
+    Q("dedup_simhash",
+      s"""WITH toks AS (SELECT doc_id, u.tok FROM
+         |    (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+         |    UNNEST(t) AS u(tok)),
+         |th AS (SELECT doc_id, ${md5_60Sql("tok")} AS h FROM toks),
+         |cs AS (SELECT doc_id,
+         |    $simhashCsSql
+         |  FROM th GROUP BY doc_id),
+         |fp AS (SELECT doc_id, ($simhashFpSql)::BIGINT AS simhash FROM cs),
+         |chunks AS (
+         |  SELECT doc_id, simhash, 0 AS chunk_idx, (simhash >> 0) % 32768 AS chunk_val FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 15) % 32768 FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 30) % 32768 FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 45) % 32768 FROM fp),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, a.simhash AS sa,
+         |    b.doc_id AS db, b.simhash AS sb
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    /** Embedding-cosine near-dup pairs (brute-force baseline, ≥ 0.4). */
+    Q("dedup_embed_cosine",
+      s"""WITH $embCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4::DOUBLE
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      Similarity.cosinePairs(table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    /** Brute-force cosine top-k: probe set (vec_id < 10) vs corpus. */
+    Q("ann_topk_bruteforce",
+      s"""WITH $embCte,
+         |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
+         |SELECT q_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      Similarity.cosineTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
+    /** Sign-LSH bucketed ANN: 16 hyperplane bits, 2 bands × 8 bits,
+      * candidates re-ranked by exact cosine ≥ 0.35. */
+    Q("ann_lsh",
+      s"""WITH $embCte,
+         |bits AS (SELECT vec_id, v, nrm,
+         |    $lshBitsSql
+         |  FROM n),
+         |bands AS (
+         |  $lshBandsSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT ia AS vec_a, ib AS vec_b,
+         |  ${dotSql("na.v", "nb.v")} / (na.nrm * nb.nrm) AS cos
+         |FROM cand JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib
+         |WHERE ${dotSql("na.v", "nb.v")} / (na.nrm * nb.nrm) >= 0.35::DOUBLE
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      Similarity.lshPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          nPlanes = NPLANES, nBands = NBANDS, threshold = 0.35)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    /** Multimodal plumbing: binary payload column + batched decode
+      * stub via typed mapPartitions (deterministic fake features). */
+    Q("mm_decode",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  list_reduce(list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT),
+        |              (a, b) -> a + b) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.toMediaTable(table(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(s, media).toDF()
+        .select("doc_id", "n_bytes", "first_byte", "checksum")
+        .orderBy("doc_id")
+    })
+}
