@@ -60,6 +60,8 @@ object Sinks {
     val dedupedUpdates = updates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      // auxiliary columns (e.g. priority) don't survive into the target
+      .select(existing.columns.map(col): _*)
     existing
       .join(dedupedUpdates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(dedupedUpdates)

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming forms of the pipeline's keyed operators (SURVEY.md §2.6).
+  *
+  * The reference is pure batch on a daily Airflow cadence; these are
+  * the Structured Streaming equivalents it would need to go real-time:
+  * the hourly keyed dedup becomes watermarked stream dedup, the daily
+  * summary becomes a windowed aggregate, and the upsert sink becomes a
+  * foreachBatch merge. State is bounded by the watermark — without it,
+  * keyed dedup state grows forever at 100 TB/day.
+  */
+object StreamingOps {
+
+  /** dedup_hour as a stream (reference: src/transform.py:85-92 →
+    * watermark + dropDuplicates on the truncated-hour key). Events
+    * later than `lateness` past the max seen ts are dropped; dedup
+    * state older than that is evicted.
+    */
+  def dedupHourlyStream(events: DataFrame, keys: Seq[String], tsCol: String,
+                        lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .withColumn("ts_hour", date_trunc("hour", col(tsCol)))
+      .dropDuplicates(keys :+ "ts_hour")
+
+  /** Daily-summary view as a tumbling-window streaming aggregate
+    * (reference: sql/schema.sql:82-97). Append-mode compatible: results
+    * emit once the watermark passes the window end.
+    */
+  def windowedSummary(events: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, window_ : String = "1 hour",
+                      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), avg(col(valCol)).as("avg_value"),
+        min(col(valCol)).as("min_value"), max(col(valCol)).as("max_value"))
+
+  /** Streaming upsert sink: per-micro-batch set-based merge into a
+    * parquet target — the foreachBatch analogue of the reference's
+    * upsert strategy (reference: src/load.py:371-486).
+    */
+  def upsertSink(batch: DataFrame, batchId: Long, path: String,
+                 keys: Seq[String]): Unit =
+    graft.io.Sinks.load(batch.sparkSession, batch, path, "upsert", keys)
+}

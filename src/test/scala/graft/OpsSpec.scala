@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Extension-operator semantics on hand-built fixtures. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat today"),   // near dup of 1
+    (4L, "completely different words about spark and shuffles here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val out = Dedup.exact(docs, "doc_id", "text").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("ngram jaccard: dup pair = 1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.4 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH finds the exact-dup pair with estimate 1.0") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+  }
+
+  test("simhash: identical docs hamming 0; near-dups close") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 30)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).forall(_ > 0))
+  }
+
+  test("cosine top-k ranks the parallel vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // parallel to 0 → cos 1
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (3L, Array(1.0f, 1.0f, 0.0f))    // cos ~0.707
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding", $"vec_id" === 0, 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(top(1).getAs[Long]("neighbor_id") == 3L)
+  }
+
+  test("cosine pairs: parallel pair found, orthogonal filtered") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(3.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("text ops: counts, quality, fingerprint equality") {
+    val out = docs.select(
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.fingerprint($"text").as("fp"),
+      TextOps.qualityScore($"text", Seq("the", "a")).as("q")).collect()
+    assert(out(0).getAs[Long]("n") == 10)
+    assert(out(0).getAs[Long]("fp") == out(1).getAs[Long]("fp")) // dup texts
+    assert(out(0).getAs[Long]("fp") != out(3).getAs[Long]("fp"))
+    assert(out.forall(r => r.getAs[Double]("q") >= 0 && r.getAs[Double]("q") <= 100))
+  }
+
+  test("multimodal decode stub: deterministic features from bytes") {
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == "the quick brown fox jumps over the lazy dog today".length)
+    assert(feats(1L).first_byte == 't'.toInt)
+    assert(feats(1L).checksum == feats(2L).checksum) // identical payloads
+    assert(feats(1L).checksum != feats(4L).checksum)
+  }
+}

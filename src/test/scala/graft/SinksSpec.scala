@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Sinks
+
+/** Upsert merge semantics — mirrors the reference's idempotency
+  * integration test (reference: tests/test_integration.py:150-210).
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("city", "country", "ts")
+
+  test("upsert is idempotent: same key twice stays one row") {
+    val base = Seq(("London", "GB", 1L, 15.5)).toDF("city", "country", "ts", "temp")
+    val again = Seq(("London", "GB", 1L, 16.0)).toDF("city", "country", "ts", "temp")
+    val merged = Sinks.upsert(base, again, keys)
+    assert(merged.count() == 1)
+    assert(merged.select("temp").as[Double].head() == 16.0) // update wins
+  }
+
+  test("upsert inserts unmatched keys and keeps untouched rows") {
+    val base = Seq(
+      ("London", "GB", 1L, 15.5), ("Tokyo", "JP", 1L, 22.3)
+    ).toDF("city", "country", "ts", "temp")
+    val updates = Seq(
+      ("London", "GB", 1L, 14.0),   // matched → update
+      ("Paris", "FR", 1L, 18.0)     // new key → insert
+    ).toDF("city", "country", "ts", "temp")
+    val merged = Sinks.upsert(base, updates, keys).cache()
+    assert(merged.count() == 3)
+    assert(merged.filter($"city" === "London").select("temp").as[Double].head() == 14.0)
+    assert(merged.filter($"city" === "Tokyo").select("temp").as[Double].head() == 22.3)
+    assert(merged.filter($"city" === "Paris").count() == 1)
+  }
+
+  test("duplicate keys inside the update batch resolve deterministically") {
+    val base = Seq(("London", "GB", 1L, 15.5)).toDF("city", "country", "ts", "temp")
+    val updates = Seq(
+      ("London", "GB", 1L, 1.0), ("London", "GB", 1L, 2.0)
+    ).toDF("city", "country", "ts", "temp").withColumn("priority", $"temp")
+    val merged = Sinks.upsert(base, updates, keys, updatePriority = Seq("priority"))
+    assert(merged.count() == 1)
+    assert(merged.select("temp").as[Double].head() == 2.0) // highest priority wins
+  }
+
+  test("load strategies round-trip through parquet (insert/replace/upsert)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/t"
+    val df1 = Seq(("London", "GB", 1L, 15.5)).toDF("city", "country", "ts", "temp")
+    Sinks.load(spark, df1, dir, "replace")
+    assert(spark.read.parquet(dir).count() == 1)
+    Sinks.load(spark, df1, dir, "insert")
+    assert(spark.read.parquet(dir).count() == 2) // append duplicates
+    Sinks.load(spark, df1.withColumn("temp", lit(9.9)), dir, "upsert", keys)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 1) // both copies collapsed by key, updated
+    assert(after.select("temp").as[Double].head() == 9.9)
+    intercept[IllegalArgumentException] {
+      Sinks.load(spark, df1, dir, "bogus")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+
+/** Streaming forms of the keyed operators, driven synchronously via
+  * MemoryStream + processAllAvailable.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly dedup drops same-hour duplicates in-stream") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("city", "ts", "temp")
+    val deduped = StreamingOps.dedupHourlyStream(events, Seq("city"), "ts")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ("London", ts("2023-11-07 12:00:00"), 15.5),
+        ("London", ts("2023-11-07 12:30:00"), 16.0), // same hour → dropped
+        ("London", ts("2023-11-07 13:05:00"), 17.0),
+        ("Tokyo", ts("2023-11-07 12:10:00"), 22.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+      assert(out.count() == 3)
+      assert(out.filter($"city" === "London").count() == 2)
+    } finally q.stop()
+  }
+
+  test("windowed summary aggregates per key per hour") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "value")
+    val agg = StreamingOps.windowedSummary(events, "event_type", "ts", "value")
+    val q = agg.writeStream.format("memory")
+      .queryName("window_out").outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        ("click", ts("2023-11-07 12:05:00"), 1.0),
+        ("click", ts("2023-11-07 12:55:00"), 3.0),
+        ("click", ts("2023-11-07 13:05:00"), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("window_out").collect()
+      assert(out.length == 2) // two hourly windows for 'click'
+      val h12 = out.find(_.getAs[Long]("n") == 2).get
+      assert(h12.getAs[Double]("avg_value") == 2.0)
+    } finally q.stop()
+  }
+}
