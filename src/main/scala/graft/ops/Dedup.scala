@@ -31,23 +31,32 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-grams (default trigrams) of the normalized text, distinct
-    * per document. Empty array when the doc has fewer than n tokens.
+  /** Word n-grams over an ALREADY-MATERIALIZED token-array column.
+    *
+    * Two O(len²) traps avoided here, both of which dominated wall time
+    * on long docs: (1) element_at (O(1)) instead of slice (O(len))
+    * inside the position transform; (2) the tokenizer must be a bound
+    * column, not an inline expression — Catalyst does no common-
+    * subexpression elimination inside lambda bodies, so an inline
+    * split() would re-tokenize the document once per element_at call.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val t = TextOps.tokens(TextOps.normalized(text))
+  def ngramsOfTokens(t: Column, n: Int): Column =
     when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
+      .otherwise(transform(
         sequence(lit(1), size(t) - (n - 1)),
-        i => array_join(slice(t, i, lit(n)), " "))))
-  }
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
 
   /** (id, gram) exploded table — the base relation for Jaccard and
-    * MinHash. One row per distinct gram per doc.
+    * MinHash. One row per distinct gram per doc. Dedup happens on the
+    * exploded relation (codegen'd hash distinct), NOT via
+    * array_distinct, whose interpreted O(len²) scan per document
+    * dominates on long docs.
     */
   def gramTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      explode(wordNgrams(col(textCol), n)).as("gram"))
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+      .select(col("doc_id"), explode(ngramsOfTokens(col("__toks"), n)).as("gram"))
+      .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs: candidates from an equi-join
     * on shared grams (never a cross join), J = |∩| / (|A|+|B|−|∩|).

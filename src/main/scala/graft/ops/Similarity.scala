@@ -33,37 +33,83 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** Brute-force cosine top-k: probe rows (filtered by `probePred`)
-    * against the whole corpus. The probe side is small → broadcast it;
-    * the big side streams, no shuffle of the corpus.
+  /** Compiled sequential-fold kernels — identical accumulation order
+    * to [[dot]]/[[norm]] (and the oracle's list_reduce), so results are
+    * bit-identical, but ~100× faster than interpreted HOF evaluation.
+    */
+  private def dotK(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def normK(a: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * a(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Typed corpus: (vec_id, double vector). */
+  private def typed(emb: DataFrame, idCol: String, vecCol: String) = {
+    import emb.sparkSession.implicits._
+    emb.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+  }
+
+  /** Brute-force cosine top-k: the probe set is collected and
+    * broadcast (the build side of a broadcast nested-loop join — tiny
+    * by construction); the corpus streams through a compiled scoring
+    * kernel without shuffling; only (probes × corpus) score rows reach
+    * the top-k window.
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  probePred: Column, k: Int): DataFrame = {
-    val all = prepared(emb, idCol, vecCol)
-    val probes = all.filter(probePred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = all.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = typed(emb, idCol, vecCol)
+    val probes = typed(emb.filter(probePred), idCol, vecCol)
+      .collect().map { case (id, v) => (id, v, normK(v)) }
+    val bc = spark.sparkContext.broadcast(probes)
+    val scored = all.mapPartitions { rows =>
+      val qs = bc.value
+      rows.flatMap { case (idc, vc) =>
+        val nc = normK(vc)
+        qs.iterator.collect { case (idq, vq, nq) if idq != idc =>
+          (idq, idc, dotK(vq, vc) / (nq * nc))
+        }
+      }
+    }.toDF("q_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+      .select(col("q_id"), col("neighbor_id"),
         col("cos"), col("rank").cast("long").as("rank"))
   }
 
-  /** All-pairs cosine near-duplicates above a threshold (correctness
-    * baseline; at scale run lshPairs first and verify only candidates).
+  /** All-pairs cosine near-duplicates above a threshold — correctness
+    * baseline, as a broadcast nested-loop with the compiled kernel:
+    * one side is broadcast (fits up to ~1M vectors), the other streams;
+    * no shuffle, all pairs evaluated, only passing pairs emitted.
+    * Beyond broadcastable sizes, run lshPairs first and verify only
+    * its candidates (same kernel, bounded pair space).
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val all = prepared(emb, idCol, vecCol)
-    val a = all.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
-      .select("vec_a", "vec_b", "cos")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = typed(emb, idCol, vecCol)
+    val build = all.collect().map { case (id, v) => (id, v, normK(v)) }
+    val bc = spark.sparkContext.broadcast(build)
+    all.mapPartitions { rows =>
+      val right = bc.value
+      rows.flatMap { case (ida, va) =>
+        val na = normK(va)
+        right.iterator
+          .filter(_._1 > ida)
+          .map { case (idb, vb, nb) => (ida, idb, dotK(va, vb) / (na * nb)) }
+          .filter(_._3 >= threshold)
+      }
+    }.toDF("vec_a", "vec_b", "cos")
   }
 
   /** Deterministic ±1 random-hyperplane weights (seed-fixed, mirrored
@@ -86,24 +132,26 @@ object Similarity {
                nPlanes: Int = 16, nBands: Int = 4,
                threshold: Double = 0.35): DataFrame = {
     val dims = 64
-    val planes = hyperplanes(nPlanes, dims)
-    val all = prepared(emb, idCol, vecCol)
-    val bits = planes.zipWithIndex.map { case (w, j) =>
-      when(dot(col("v"), typedLit(w)) > 0, 1L).otherwise(0L).as(s"bit$j")
-    }
-    val withBits = all.select(col("vec_id") +: col("v") +: col("nrm") +: bits: _*)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(nPlanes, dims).map(_.toArray).toArray
     val perBand = nPlanes / nBands
-    val bandKeys = (0 until nBands).map { bIdx =>
-      (0 until perBand).map(i =>
-        col(s"bit${bIdx * perBand + i}") * lit(1L << i)).reduce(_ + _).as(s"band$bIdx")
-    }
-    val withBands = withBits.select(
-      col("vec_id") +: col("v") +: col("nrm") +: bandKeys: _*)
-    // candidate pairs carry only ids through the band join + distinct;
+    val all = prepared(emb, idCol, vecCol)
+    // signature bits via the compiled kernel (same fold order as the
+    // Column dot, so the sign decisions match the oracle bit-for-bit);
+    // candidate pairs carry only ids through the band join + distinct —
     // vectors are re-attached afterwards (don't shuffle arrays twice)
-    val bands = withBands.select(col("vec_id"),
-      posexplode(array((0 until nBands).map(i => col(s"band$i")): _*))
-        .as(Seq("band_idx", "band_key")))
+    val bcPlanes = spark.sparkContext.broadcast(planes)
+    val bands = typed(emb, idCol, vecCol).mapPartitions { rows =>
+      val ws = bcPlanes.value
+      rows.flatMap { case (id, v) =>
+        val bits = ws.map(w => if (dotK(v, w) > 0) 1L else 0L)
+        (0 until nBands).iterator.map { b =>
+          val key = (0 until perBand).map(i => bits(b * perBand + i) << i).sum
+          (id, b, key)
+        }
+      }
+    }.toDF("vec_id", "band_idx", "band_key")
     val cand = bands.toDF("vec_a", "band_idx", "band_key")
       .join(bands.toDF("vec_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
       .filter(col("vec_a") < col("vec_b"))
