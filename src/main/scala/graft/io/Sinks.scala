@@ -67,6 +67,28 @@ object Sinks {
       .unionByName(dedupedUpdates)
   }
 
+  /** ddl_create analogue (reference: src/load.py:80-263,
+    * sql/schema.sql:9-77): register a parquet-backed table in the
+    * session catalog. The reference's b-tree indexes have no Spark
+    * equivalent — date partitioning on write (see [[append]]) plus
+    * parquet min/max pruning replace them.
+    */
+  def registerTable(spark: org.apache.spark.sql.SparkSession,
+                    name: String, path: String): Unit =
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+
+  /** sink_metrics / sink_history (reference: src/load.py:488-554):
+    * single-row audit appends, with the full metrics map serialized to
+    * JSON exactly like the reference's metrics_json column.
+    */
+  def appendMetrics(metrics: DataFrame, path: String): Unit = {
+    val withJson = metrics.withColumn("metrics_json",
+      org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(metrics.columns.map(col): _*)))
+    append(withJson, path)
+  }
+
   /** Strategy dispatch (reference: src/load.py:265-317). For
     * "upsert" the existing table is read, merged, and rewritten —
     * the plain-Parquet equivalent of MERGE INTO (a transactional table

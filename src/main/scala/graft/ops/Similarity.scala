@@ -156,10 +156,14 @@ object Similarity {
       .join(bands.toDF("vec_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    val a = all.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = all.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // exact re-rank through the native codegen'd cosine expression
+    // (same sequential accumulation → same bits as dot/nrm would give)
+    graft.functions.GraftFunctions.register(spark)
+    val a = all.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = all.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     cand.join(a, "vec_a").join(b, "vec_b")
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosineSim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }

@@ -267,5 +267,59 @@ object AnalyticsQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
+    },
+
+    /** join_asof — most-recent-at-or-before join (graft.ops.AsOf,
+      * union-merge pattern; DuckDB verifies with its native ASOF JOIN):
+      * each order gets its priority's latest daily average price at or
+      * before its own date. */
+    Q("join_asof",
+      s"""WITH rates AS (SELECT o_orderpriority AS priority,
+         |    CAST(o_orderdate AS DATE) AS rd,
+         |    ${davgSql("o_totalprice", "rate")}
+         |  FROM orders GROUP BY 1, 2),
+         |o AS (SELECT o_orderkey, o_orderpriority AS priority,
+         |    CAST(o_orderdate AS DATE) AS od FROM orders)
+         |SELECT o.o_orderkey, o.priority, o.od, r.rate
+         |FROM o ASOF JOIN rates r
+         |  ON o.priority = r.priority AND o.od >= r.rd
+         |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority").as("priority"),
+        Enrich.deriveDate(col("o_orderdate")).as("od"))
+      val rates = table(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          Enrich.deriveDate(col("o_orderdate")).as("rd"))
+        .agg(davg(col("o_totalprice")).as("rate"))
+      graft.ops.AsOf.joinAsOf(o, rates, Seq("priority"), "od", "rd", "rate")
+        .orderBy("o_orderkey")
+    },
+
+    /** agg_rollup — hierarchical subtotals (season ⊃ priority ⊃ total);
+      * NULLS FIRST ordering aligned across engines. */
+    Q("agg_rollup",
+      s"""SELECT CASE WHEN extract(month FROM o_orderdate) IN (12,1,2) THEN 'Winter'
+         |       WHEN extract(month FROM o_orderdate) IN (3,4,5) THEN 'Spring'
+         |       WHEN extract(month FROM o_orderdate) IN (6,7,8) THEN 'Summer'
+         |       ELSE 'Autumn' END AS season,
+         |  o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice", "sum_price")}
+         |FROM orders GROUP BY ROLLUP(1, 2)
+         |ORDER BY season NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .rollup(Enrich.season(col("o_orderdate")).as("season"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("season").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    /** agg_cube — all grouping-set combinations of (status, priority). */
+    Q("agg_cube",
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice", "sum_price")}
+         |FROM orders GROUP BY CUBE(1, 2)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     })
 }

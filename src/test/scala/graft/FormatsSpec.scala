@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import graft.etl.{Pipeline, Quality}
+import graft.io.{Sinks, Sources}
+import graft.model.Schemas
+
+/** Format sinks/sources round-trips + catalog registration + audit
+  * sinks (reference: src/transform.py:317-332, src/load.py:80-263,
+  * 488-554).
+  */
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val weather =
+    Pipeline.weatherFromEvents(Sources.table(spark, sf, "events")).limit(100)
+
+  test("csv sink/source round-trip preserves rows under explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/w"
+    val df = weather.select("city", "country", "timestamp", "temperature")
+    Sinks.csv(df, dir)
+    val back = Sources.csv(spark, dir, org.apache.spark.sql.types.StructType(
+      Schemas.weather.fields.filter(f =>
+        Seq("city", "country", "timestamp", "temperature").contains(f.name))))
+    assert(back.count() == df.count())
+    assert(back.schema("timestamp").dataType.typeName == "timestamp")
+  }
+
+  test("json sink round-trips") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/w"
+    val df = weather.select("city", "country", "temperature")
+    Sinks.json(df, dir)
+    assert(spark.read.json(dir).count() == df.count())
+  }
+
+  test("parquet sink round-trips with full schema fidelity") {
+    val dir = Files.createTempDirectory("graft_parq").toString + "/w"
+    Sinks.parquet(weather, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == weather.count())
+    assert(back.schema("timestamp").dataType.typeName == "timestamp")
+  }
+
+  test("date-partitioned append prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/w"
+    val df = Pipeline.transform(Pipeline.weatherFromEvents(
+      Sources.table(spark, sf, "events")))
+    Sinks.append(df, dir, partitionCols = Seq("date"))
+    val dates = spark.read.parquet(dir).select("date").distinct().count()
+    assert(dates > 1)
+    val one = spark.read.parquet(dir)
+      .filter($"date" === df.select("date").first().getDate(0))
+    val scan = one.queryExecution.executedPlan.toString
+    assert(!scan.contains("PartitionFilters: []"), "expected partition pruning")
+  }
+
+  test("catalog registration (ddl_create analogue) makes the table SQL-visible") {
+    val dir = Files.createTempDirectory("graft_ddl").toString + "/w"
+    Sinks.parquet(weather, dir)
+    Sinks.registerTable(spark, "weather_data_test", dir)
+    try {
+      assert(spark.sql("SELECT count(*) FROM weather_data_test").first().getLong(0) ==
+        weather.count())
+    } finally spark.sql("DROP TABLE IF EXISTS weather_data_test")
+  }
+
+  test("metrics sink appends one audit row with metrics_json") {
+    val dir = Files.createTempDirectory("graft_metrics").toString + "/m"
+    val full = Pipeline.transform(Pipeline.weatherFromEvents(
+      Sources.table(spark, sf, "events")))
+    val metrics = Quality.qualityMetrics(full, 1000L)
+    Sinks.appendMetrics(metrics, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1)
+    val json = back.select("metrics_json").as[String].head()
+    assert(json.contains("records_after_cleaning"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, Parity}
+
+/** Native SQL function registration + codegen behavior. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim native expression: SQL + Column API, exact values") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0, 0.0), Array(2.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 3.0)),
+      (Array(1.0, 2.0), Array(2.0, 4.0))
+    ).toDF("a", "b")
+    val viaSql = df.selectExpr("cosine_sim(a, b) AS c").as[Double].collect()
+    val viaCol = df.select(GraftFunctions.cosineSim($"a", $"b")).as[Double].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql(0) == 1.0)
+    assert(viaSql(1) == 0.0)
+    assert(math.abs(viaSql(2) - 1.0) < 1e-12) // parallel up to fp
+  }
+
+  test("cosine_sim agrees with the interpreted HOF fold on real embeddings") {
+    GraftFunctions.register(spark)
+    val emb = io.Sources.table(spark, sf, "embeddings")
+      .select($"vec_id", graft.ops.Similarity.asDouble($"embedding").as("v"))
+      .limit(50)
+    val both = emb.crossJoin(emb.select($"v".as("w")))
+      .select(
+        GraftFunctions.cosineSim($"v", $"w").as("native"),
+        (graft.ops.Similarity.dot($"v", $"w") /
+          (graft.ops.Similarity.norm($"v") * graft.ops.Similarity.norm($"w"))).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0) // bit-identical
+  }
+
+  test("parity hash: md5_60 stays in [0, 2^60)") {
+    val vals = Seq("a", "b", "spark", "").toDF("s")
+      .select(Parity.md5_60($"s").as("h")).as[Long].collect()
+    assert(vals.forall(h => h >= 0 && h < (1L << 60)))
+    assert(vals.distinct.length == vals.length)
+  }
+}
