@@ -112,6 +112,42 @@ object Similarity {
     }.toDF("vec_a", "vec_b", "cos")
   }
 
+  /** IVF-style ANN: vectors are assigned to the nearest of nCentroids
+    * seed centroids (deterministic: the lowest-id vectors), and probes
+    * search only their own bucket. The inverted-file structure bounds
+    * per-probe work to one bucket (~n/nCentroids) instead of the
+    * corpus; at scale the assignment is one broadcast pass and buckets
+    * become the partitioning key. Recall is approximate by design —
+    * cosineTopK is the exact baseline.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              nCentroids: Int, probePred: Column, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cs = graft.functions.GraftFunctions.cosineSim _
+    val all = prepared(emb, idCol, vecCol)
+    val cent = all.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val asg = all.select("vec_id", "v").crossJoin(broadcast(cent))
+      .withColumn("ccos", cs(col("v"), col("cv")))
+      .withColumn("__rn", row_number().over(wAsg)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cid").as("bucket"))
+    val members = asg.join(all.select("vec_id", "v"), "vec_id")
+    val probes = members.filter(probePred)
+      .select(col("vec_id").as("q_id"), col("bucket"), col("v").as("qv"))
+    val scored = probes.join(members, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cs(col("qv"), col("v")))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        col("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic ±1 random-hyperplane weights (seed-fixed, mirrored
     * verbatim into the oracle SQL as list literals).
     */

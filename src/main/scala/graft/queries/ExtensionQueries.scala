@@ -288,6 +288,64 @@ object ExtensionQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    /** src_json_parse (reference: src/ingest.py:152-169): nested JSON
+      * constructed identically in both engines, then flattened — Spark
+      * via from_json + struct field access, DuckDB via json_extract. */
+    Q("src_json_parse",
+      """WITH j AS (SELECT event_id,
+        |  '{"main":{"temp":' || CAST(value AS VARCHAR) || ',"humidity":' ||
+        |  CAST(CAST(floor(value) AS BIGINT) % 101 AS VARCHAR) || '},"name":"u' ||
+        |  CAST(user_id AS VARCHAR) || '"}' AS js FROM events)
+        |SELECT event_id,
+        |  CAST(json_extract_string(js, '$.main.temp') AS DOUBLE) AS temp,
+        |  CAST(json_extract_string(js, '$.main.humidity') AS INTEGER) AS humidity,
+        |  json_extract_string(js, '$.name') AS name
+        |FROM j ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val js = concat(
+        lit("""{"main":{"temp":"""), col("value").cast("string"),
+        lit(""","humidity":"""),
+        (Parity.floorLong(col("value")) % 101).cast("string"),
+        lit("""},"name":"u"""), col("user_id").cast("string"), lit("\"}"))
+      val schema = StructType(Seq(
+        StructField("main", StructType(Seq(
+          StructField("temp", DoubleType), StructField("humidity", IntegerType)))),
+        StructField("name", StringType)))
+      val parsed = from_json(js, schema)
+      table(s, dir, "events").select(
+        col("event_id"),
+        parsed.getField("main").getField("temp").as("temp"),
+        parsed.getField("main").getField("humidity").as("humidity"),
+        parsed.getField("name").as("name"))
+        .orderBy("event_id")
+    },
+
+    /** IVF-style ANN: nearest-of-8-centroids bucketing, probes search
+      * only their bucket, exact cosine rank within it. */
+    Q("ann_ivf",
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, bucket FROM (
+         |  SELECT a.vec_id, c.cid AS bucket, row_number() OVER (
+         |    PARTITION BY a.vec_id
+         |    ORDER BY ${dotSql("a.v", "c.cv")} / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+         |scored AS (SELECT p.vec_id AS q_id, m.vec_id AS neighbor_id,
+         |    pa.bucket AS bucket,
+         |    ${dotSql("p.v", "m.v")} / (p.nrm * m.nrm) AS cos
+         |  FROM asg pa JOIN n p ON p.vec_id = pa.vec_id
+         |  JOIN asg ma ON ma.bucket = pa.bucket
+         |  JOIN n m ON m.vec_id = ma.vec_id
+         |  WHERE p.vec_id BETWEEN 100 AND 109 AND m.vec_id <> p.vec_id)
+         |SELECT q_id, neighbor_id, bucket, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+          nCentroids = 8, col("vec_id").between(100, 109), k = 3)
+        .orderBy("q_id", "rank")
+    },
+
     /** Multimodal plumbing: binary payload column + batched decode
       * stub via typed mapPartitions (deterministic fake features). */
     Q("mm_decode",
