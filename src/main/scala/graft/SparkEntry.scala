@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Views
 import graft.etl.Pipeline
 import graft.io.Sources
-import graft.queries.{AnalyticsQueries, EtlQueries, ExtensionQueries}
+import graft.queries.{AnalyticsQueries, EtlQueries, ExtensionQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ import graft.queries.{AnalyticsQueries, EtlQueries, ExtensionQueries}
 object SparkEntry {
 
   val registry: Seq[Q] =
-    EtlQueries.all ++ AnalyticsQueries.all ++ ExtensionQueries.all
+    EtlQueries.all ++ AnalyticsQueries.all ++ ExtensionQueries.all ++
+      PipelineQueries.all
 
   /** Flagship: the reference's full 5-stage ETL pipeline (clean →
     * normalize → enrich → validate) over the corpus events table,

@@ -67,7 +67,7 @@ object Enrich {
       when(h < 30, (lit(30) - h) * 0.05).otherwise(0.0)
 
   def comfortIndex(t: Column, h: Column): Column =
-    round(comfortIndexRaw(t, h), 1)
+    graft.functions.Parity.roundAt(comfortIndexRaw(t, h), 1)
 
   /** concat_location (reference: src/transform.py:178) — "City, CC". */
   def location(city: Column, country: Column): Column =

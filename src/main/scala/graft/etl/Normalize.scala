@@ -17,8 +17,14 @@ object Normalize {
     */
   def wrapDegrees(c: Column): Column = pmod(c, lit(360))
 
-  /** round_precision (reference: src/transform.py:144-149). */
-  def roundTo(c: Column, scale: Int): Column = round(c, scale)
+  /** round_precision (reference: src/transform.py:144-149). Uses the
+    * cross-engine-deterministic half-up formula (Parity.roundAt): the
+    * reference's numpy round is half-even on the decimal repr, which
+    * NO SQL engine reproduces exactly on binary doubles (SURVEY §7.4);
+    * graft standardizes on one bit-stable rounding everywhere instead.
+    */
+  def roundTo(c: Column, scale: Int): Column =
+    graft.functions.Parity.roundAt(c, scale)
 
   /** Reference normalization over the weather schema. */
   def normalizeWeather(df: DataFrame): DataFrame = df

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  val stages: Seq[DataFrame => DataFrame] = Seq(
-    df => Clean.dedupFirstPerKeyHour(df, Seq("city", "country"), "timestamp", Nil),
+  def stages(dedupTieBreak: Seq[String] = Nil): Seq[DataFrame => DataFrame] = Seq(
+    df => Clean.dedupFirstPerKeyHour(df, Seq("city", "country"), "timestamp",
+      dedupTieBreak),
     df => Clean.fillConst(df, Map("wind_speed" -> 0.0, "wind_direction" -> 0)),
     df => Clean.fillMedianLazy(df, "visibility"),
     df => Clean.dropNullCritical(df,
@@ -23,8 +24,13 @@ object Pipeline {
     Enrich.enrichWeather,
     Validate.validateWeather)
 
-  /** transform_weather_data (reference: src/transform.py:40-69). */
-  def transform(df: DataFrame): DataFrame = stages.foldLeft(df)((d, s) => s(d))
+  /** transform_weather_data (reference: src/transform.py:40-69).
+    * `dedupTieBreak` pins the keep-first winner when two rows share the
+    * key AND the exact timestamp (pandas keeps input order; a shuffle
+    * has no input order, so ties need a total order to be stable).
+    */
+  def transform(df: DataFrame, dedupTieBreak: Seq[String] = Nil): DataFrame =
+    stages(dedupTieBreak).foldLeft(df)((d, s) => s(d))
 
   /** Deterministic adapter: project the corpus `events` table into the
     * weather schema so the full reference pipeline can run against the
@@ -43,10 +49,12 @@ object Pipeline {
       (floor(v).cast("int") % 101).as("humidity"),
       (lit(800) + (floor(v * 7).cast("int") % 300)).as("pressure"),
       col("event_type").as("description"),
-      when(col("user_id") % 13 === 0, lit(null)).otherwise(round(v / 8, 2)).as("wind_speed"),
+      when(col("user_id") % 13 === 0, lit(null))
+        .otherwise(Normalize.roundTo(v / 8, 2)).as("wind_speed"),
       (floor(v * 13).cast("int") % 720 - 360).as("wind_direction"),
       (floor(v).cast("int") % 120).as("cloudiness"),
-      when(v < 50, lit(null)).otherwise(round(v / 20, 2)).as("visibility"),
+      when(v < 50, lit(null))
+        .otherwise(Normalize.roundTo(v / 20, 2)).as("visibility"),
       (pmod(v, lit(180.0)) - 90 + 0.1234567).as("lat"),
       (pmod(v * 2, lit(360.0)) - 180).as("lon"))
   }

@@ -311,6 +311,29 @@ object AnalyticsQueries {
         .orderBy(col("season").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    /** agg_salted — two-phase skew-safe aggregation over the hot
+      * event_type key (graft.ops.Skew); exact, so the oracle is the
+      * plain GROUP BY. */
+    Q("agg_salted",
+      s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value", "sum_value")}
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.ops.Skew.saltedCountSum(table(s, dir, "events"),
+          Seq("event_type"), "value")
+        .orderBy("event_type")
+    },
+
+    /** agg_approx — sketch aggregates (HLL distinct count, quantile
+      * sketch). No DuckDB oracle: sketch implementations differ by
+      * design; the driver records a rows-present check and AggSpec
+      * asserts error bounds against exact values. */
+    Q.noOracle("agg_approx") { (s, dir) =>
+      table(s, dir, "events").groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+        .orderBy("event_type")
+    },
+
     /** agg_cube — all grouping-set combinations of (status, priority). */
     Q("agg_cube",
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

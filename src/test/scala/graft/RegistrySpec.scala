@@ -8,8 +8,20 @@ class RegistrySpec extends SparkSpec {
   test("registry names are unique and oracle coverage is complete") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size)
-    // every query currently ships an oracle (none are oracle-less yet)
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+    // sketches are the only intentionally oracle-less queries
+    val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(oracleLess == Set("agg_approx"), oracleLess)
+  }
+
+  test("approx aggregates stay within their error bounds") {
+    val approx = SparkEntry.queries("agg_approx")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("agg_ingest_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, users) =>
+      val est = approx(k)._1.toDouble
+      assert(math.abs(est - users) / users < 0.1, s"$k: $est vs $users")
+    }
   }
 
   test("every query executes on sf0.001 and the expected ones are non-empty") {
