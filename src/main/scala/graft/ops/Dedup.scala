@@ -63,7 +63,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // join/shuffle on the 60-bit gram hash, not the gram string:
+    // fixed 8-byte keys through the exchange (collisions at 2^-60 are
+    // below any practical significance; the oracle joins raw strings
+    // and has matched on every corpus)
     val grams = gramTable(docs, idCol, textCol, n)
+      .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val a = grams.toDF("doc_a", "gram")
     val b = grams.toDF("doc_b", "gram")

@@ -311,6 +311,59 @@ object AnalyticsQueries {
         .orderBy(col("season").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    /** window_running — frame-based window functions beyond ranking:
+      * lag, running count, running decimal-exact sum per key. */
+    Q("window_running",
+      """SELECT o_orderkey, o_orderpriority,
+        |  row_number() OVER w AS rn,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        row_number().over(w).as("rn"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_sum"))
+        .orderBy("o_orderkey")
+    },
+
+    /** agg_median_group — exact per-group median (interpolated), the
+      * grouped form of the fill_median scalar. */
+    Q("agg_median_group",
+      """SELECT event_type, median(value) AS med,
+        |  min(value) AS lo, max(value) AS hi, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      table(s, dir, "events").groupBy("event_type")
+        .agg(median(col("value")).as("med"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    /** agg_time_window — tumbling daily windows in batch (the batch
+      * twin of StreamingOps.windowedSummary); window start == the
+      * day truncation DuckDB computes. */
+    Q("agg_time_window",
+      s"""SELECT date_trunc('day', ts) AS ws, event_type, COUNT(*) AS n,
+         |  ${dsumSql("value", "sum_value")}
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    },
+
     /** agg_salted — two-phase skew-safe aggregation over the hot
       * event_type key (graft.ops.Skew); exact, so the oracle is the
       * plain GROUP BY. */

@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan regression tests: the shapes that matter at scale.
+  * A correctness-green query whose plan degrades (lost pushdown, a
+  * broadcast turning into a sort-merge join, a top-k becoming a global
+  * sort) is a silent 100×-at-scale regression — assert the shapes.
+  */
+class PlansSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter_outliers: predicate pushed to the parquet scan, columns pruned") {
+    val p = plan("filter_outliers")
+    assert(p.contains("PushedFilters: [IsNotNull"), "expected pushed filters")
+    // range predicates present in the post-scan filter (the PushedFilters
+    // list itself is truncated in toString)
+    assert(p.contains("(l_quantity#") && p.contains(">= 5.0"))
+    // the FileScan column list (untruncated) must not read unused columns
+    assert(!p.contains("l_shipdate"), "projection should prune unused columns")
+  }
+
+  test("join_star: all dimension joins broadcast, no sort-merge join") {
+    val p = plan("join_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast")
+    assert(p.contains("partial_"), "expected partial aggregation (map-side combine)")
+  }
+
+  test("limit_recent: top-k via TakeOrderedAndProject, no global sort") {
+    val p = plan("limit_recent")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("join_semi / join_anti plan as semi/anti joins, not inner+distinct") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("agg_summary: multi-distinct in a single expand-based pass") {
+    val p = plan("agg_summary")
+    assert(p.contains("Expand") || p.contains("FILTER"),
+      "two countDistinct should share one pass")
+  }
+
+  test("dedup_hour: single shuffle on the dedup key, no extra exchange") {
+    val p = plan("dedup_hour")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected ≤1 hash exchange, got $exchanges")
+  }
+
+  test("whole-stage codegen covers the scalar pipeline queries") {
+    import org.apache.spark.sql.execution.ExplainMode
+    Seq("cat_temp", "quality_score", "round_precision").foreach { q =>
+      val codegen = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen"), s"$q fell out of codegen")
+    }
+  }
+}

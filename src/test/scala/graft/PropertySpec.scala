@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.etl.{Enrich, Normalize}
+import graft.functions.Parity
+
+/** ScalaCheck-generated invariants for normalization/enrichment
+  * expressions (SURVEY §5: property-style upgrade of the reference's
+  * example tests). Raw Gen with fixed seeds (no scalatest bridge in
+  * the dependency set); expressions are evaluated through Spark so the
+  * properties hold for the actual Catalyst evaluation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+  private val seeds = Seq(1L, 42L, 777L, 20260812L)
+
+  private def evalD(values: Seq[Double],
+                    f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[Double] =
+    values.toDF("x").select(f($"x").cast("double")).as[Double].collect().toSeq
+
+  test("clip stays within bounds and is idempotent") {
+    seeds.foreach { s =>
+      val xs = sample(Gen.listOfN(200, Gen.chooseNum(-1e6, 1e6)), s)
+      val once = evalD(xs, c => Normalize.clip(c, 0, 100))
+      assert(once.forall(v => v >= 0 && v <= 100))
+      assert(evalD(once, c => Normalize.clip(c, 0, 100)) == once)
+    }
+  }
+
+  test("wrapDegrees lands in [0,360) including negatives") {
+    seeds.foreach { s =>
+      val xs = sample(Gen.listOfN(200, Gen.chooseNum(-100000, 100000)), s)
+      val out = xs.toDF("x")
+        .select(Normalize.wrapDegrees($"x").cast("int")).as[Int].collect()
+      assert(out.forall(v => v >= 0 && v < 360))
+    }
+  }
+
+  test("roundAt is idempotent and moves values at most half a step") {
+    seeds.foreach { s =>
+      val xs = sample(Gen.listOfN(200, Gen.chooseNum(-1e6, 1e6)), s)
+      val r = evalD(xs, c => Parity.roundAt(c, 2))
+      assert(xs.zip(r).forall { case (x, y) => math.abs(x - y) <= 0.005 + 1e-9 })
+      assert(evalD(r, c => Parity.roundAt(c, 2)) == r)
+    }
+  }
+
+  test("temp bands are total and monotone in the input") {
+    val order = Seq("Freezing", "Cold", "Cool", "Mild", "Warm", "Hot")
+    seeds.foreach { s =>
+      val xs = sample(Gen.listOfN(200, Gen.chooseNum(-100.0, 100.0)), s)
+      val cats = xs.toDF("x").select(Enrich.tempCategory($"x")).as[String].collect()
+      assert(cats.forall(order.contains))
+      val ranked = xs.zip(cats).sortBy(_._1).map(t => order.indexOf(t._2))
+      assert(ranked.zip(ranked.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("quality score clipped to [0,100] for any inputs incl. nulls") {
+    val opt = Gen.option(Gen.chooseNum(-500.0, 500.0))
+    seeds.foreach { s =>
+      val rows = sample(Gen.listOfN(100, Gen.zip(opt, opt, opt)), s)
+      val out = rows.toDF("ws", "vis", "t")
+        .select(Enrich.qualityScore($"ws", $"vis", $"t")).as[Double].collect()
+      assert(out.forall(v => v >= 0 && v <= 100))
+    }
+  }
+
+  test("upsert idempotence property: merging a batch twice = once") {
+    seeds.foreach { s =>
+      val rows = sample(Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 3L),
+          Gen.chooseNum(-100.0, 100.0))), s)
+      val base = rows.toDF("k1", "k2", "v")
+      val updates = rows.take(30).map { case (a, b, v) => (a, b, v + 1) }
+        .toDF("k1", "k2", "v")
+      val dedupedBase = base.dropDuplicates("k1", "k2").cache()
+      val once = io.Sinks.upsert(dedupedBase, updates,
+        Seq("k1", "k2"), updatePriority = Seq("v")).cache()
+      val twice = io.Sinks.upsert(once, updates, Seq("k1", "k2"),
+        updatePriority = Seq("v"))
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(rowsOf(once) == rowsOf(twice))
+    }
+  }
+}

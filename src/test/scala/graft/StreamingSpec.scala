@@ -33,6 +33,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert sink merges micro-batches by key") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+      .toString + "/t"
+    val input = MemoryStream[(String, Long, Double)]
+    val events = input.toDF().toDF("city", "k", "temp")
+    val q = events.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingOps.upsertSink(batch, id, dir, Seq("city", "k")))
+      .start()
+    try {
+      input.addData(("London", 1L, 15.0), ("Tokyo", 1L, 22.0))
+      q.processAllAvailable()
+      input.addData(("London", 1L, 16.5), ("Paris", 1L, 18.0)) // update + insert
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+      assert(out.count() == 3)
+      assert(out.filter($"city" === "London").select("temp")
+        .as[Double].head() == 16.5)
+    } finally q.stop()
+  }
+
   test("windowed summary aggregates per key per hour") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
