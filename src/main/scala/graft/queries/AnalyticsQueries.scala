@@ -311,6 +311,47 @@ object AnalyticsQueries {
         .orderBy(col("season").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    /** agg_pivot — long→wide reshape: one column per event_type with
+      * decimal-exact sums (oracle states it as CASE aggregation, which
+      * is exactly what Spark's pivot plans to). */
+    Q("agg_pivot",
+      s"""SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+         |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+        .orderBy("user_id")
+    },
+
+    /** set_intersect / set_except — set operators over projections. */
+    Q("set_intersect",
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      e.filter(col("event_type") === "click").select("user_id")
+        .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    Q("set_except",
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      e.filter(col("event_type") === "view").select("user_id")
+        .except(e.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    },
+
     /** window_running — frame-based window functions beyond ranking:
       * lag, running count, running decimal-exact sum per key. */
     Q("window_running",
