@@ -346,6 +346,55 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    /** sessionize — gap-based sessions (30 min) per user: lag flags
+      * session starts, a running sum numbers them, then a per-session
+      * rollup. One shuffle on the key (graft.ops.Sessionize). */
+    Q("sessionize",
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s2 AS (SELECT user_id, ts, CAST(SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM s)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS duration_s
+        |FROM s2 GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+      graft.ops.Sessionize.sessionStats(table(s, dir, "events"),
+          "user_id", "ts", gapSeconds = 1800)
+        .orderBy("user_id", "session_seq")
+    },
+
+    /** dedup_cluster — connected components over the Jaccard ≥ 0.6
+      * near-dup graph (iterative min-label propagation; DuckDB
+      * verifies with a recursive CTE transitive closure). Turns pair
+      * matches into dedup groups. */
+    Q("dedup_cluster",
+      s"""WITH RECURSIVE $gramsCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM grams a JOIN grams b USING (g)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jac AS (SELECT da, db
+         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
+         |und AS (SELECT da AS u, db AS v FROM jac UNION SELECT db, da FROM jac),
+         |reach AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u)
+         |SELECT u AS node, least(u, min(v)) AS component
+         |FROM reach GROUP BY u ORDER BY node""".stripMargin) { (s, dir) =>
+      val edges = Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+          "doc_id", "text", 3, 0.6)
+        .select("doc_a", "doc_b")
+      graft.ops.Components.connectedComponents(edges, "doc_a", "doc_b")
+        .orderBy("node")
+    },
+
     /** Multimodal plumbing: binary payload column + batched decode
       * stub via typed mapPartitions (deterministic fake features). */
     Q("mm_decode",

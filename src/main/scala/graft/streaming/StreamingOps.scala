@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming forms of the pipeline's keyed operators (SURVEY.md §2.6).
   *
@@ -38,6 +40,42 @@ object StreamingOps {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), avg(col(valCol)).as("avg_value"),
         min(col(valCol)).as("min_value"), max(col(valCol)).as("max_value"))
+
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class ClosedSession(
+      user_id: Long, start_s: Long, n_events: Long, duration_s: Long)
+
+  /** Custom per-key state via flatMapGroupsWithState: gap-based
+    * sessionization. A session closes (and emits) when a later event
+    * for the key arrives more than `gapSeconds` after the last one;
+    * open sessions ride in the state store across micro-batches.
+    * The streaming twin of graft.ops.Sessionize.
+    */
+  def sessionizeStream(events: Dataset[(Long, Timestamp)],
+                       gapSeconds: Long): Dataset[ClosedSession] = {
+    implicit val stEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
+          val times = it.map(_._2.getTime / 1000).toArray.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var st = state.getOption
+          times.foreach { t =>
+            st match {
+              case Some(s) if t - s.last <= gapSeconds =>
+                st = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(user, s.start, s.n, s.last - s.start)
+                st = Some(SessionState(t, t, 1))
+              case None =>
+                st = Some(SessionState(t, t, 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.iterator
+      }
+  }
 
   /** Streaming upsert sink: per-micro-batch set-based merge into a
     * parquet target — the foreachBatch analogue of the reference's

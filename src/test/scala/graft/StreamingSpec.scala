@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamingOps.sessionizeStream(input.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2023-11-07 12:00:00")),
+        (1L, ts("2023-11-07 12:10:00")),
+        (2L, ts("2023-11-07 12:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("session_out").count() == 0) // all sessions still open
+      input.addData((1L, ts("2023-11-07 14:00:00"))) // > 30 min gap → closes
+      q.processAllAvailable()
+      val out = spark.table("session_out").as[StreamingOps.ClosedSession].collect()
+      assert(out.length == 1)
+      assert(out.head.user_id == 1L)
+      assert(out.head.n_events == 2L)
+      assert(out.head.duration_s == 600L)
+    } finally q.stop()
+  }
+
   test("windowed summary aggregates per key per hour") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
