@@ -51,4 +51,24 @@ object Multimodal {
     media.select("doc_id", "kind", "payload").as[MediaRecord]
       .mapPartitions(_.map(decodeStub))
   }
+
+  /** Frame sampling plumbing: chunk the binary payload into fixed
+    * `frameBytes` frames and keep every `stride`-th one — the shape of
+    * video frame extraction (the codec-free stand-in samples byte
+    * ranges; a real decoder swaps in at the substr step). Pure Column
+    * expressions: the explode happens on the executors, frames never
+    * gather on the driver.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
+      .filter(col("frame_idx") % stride === 0)
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+  }
 }

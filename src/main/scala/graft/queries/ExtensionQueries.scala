@@ -397,6 +397,22 @@ object ExtensionQueries {
 
     /** Multimodal plumbing: binary payload column + batched decode
       * stub via typed mapPartitions (deterministic fake features). */
+    /** Frame sampling over binary payloads: 64-byte frames, every 4th
+      * kept (ASCII corpus → byte offsets == char offsets, so the
+      * oracle can state it over text). */
+    Q("mm_frame_sample",
+      """SELECT doc_id, frame_idx,
+        |  length(substring(text, frame_idx * 64 + 1, 64)) AS frame_bytes,
+        |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |FROM documents,
+        |  UNNEST(range(0, greatest(CAST(ceil(length(text) / 64.0::DOUBLE) AS INTEGER), 1))) AS r(frame_idx)
+        |WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      val media = Multimodal.toMediaTable(table(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     Q("mm_decode",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  ascii(substring(text, 1, 1)) AS first_byte,

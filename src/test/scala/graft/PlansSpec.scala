@@ -49,6 +49,15 @@ class PlansSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected ≤1 hash exchange, got $exchanges")
   }
 
+  test("latest-per-key rank filter gets partial window-group-limit pushdown") {
+    // rn=1 filters plan as Partial WindowGroupLimit BEFORE the shuffle:
+    // each map task forwards one candidate per key, not the key's whole
+    // history — the property that makes latest-row queries scale
+    val p = plan("view_latest_weather")
+    assert(p.contains("WindowGroupLimit"), "expected window group limit pushdown")
+    assert(p.contains("Partial"), "expected map-side partial top-k")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     import org.apache.spark.sql.execution.ExplainMode
     Seq("cat_temp", "quality_score", "round_precision").foreach { q =>
