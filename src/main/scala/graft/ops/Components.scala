@@ -33,14 +33,16 @@ object Components {
         .join(labels, und("v") === labels("node"))
         .groupBy(und("u").as("node"))
         .agg(min(col("label")).as("nmin"))
+      // carry the changed flag inside the same job — one cached
+      // materialization per iteration instead of a second join+count
       val next = labels.join(neighborMin, "node")
         .select(col("node"),
-          least(col("label"), col("nmin")).as("label"))
+          least(col("label"), col("nmin")).as("label"),
+          (col("nmin") < col("label")).as("__changed"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val changed = next.filter(col("__changed")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("__changed")
       converged = changed == 0
       i += 1
     }

@@ -311,6 +311,28 @@ object AnalyticsQueries {
         .orderBy(col("season").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    /** join_range — pairs of same-user events within 10 minutes, via
+      * the bucketed range join (graft.ops.RangeJoin): equi-join on
+      * (user, time bucket) + exact residual filter, never a
+      * nested-loop over the pair space. */
+    Q("join_range",
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600 * 1000000
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select("event_id", "ts", "user_id")
+      val a = e.toDF("id_a", "ts_a", "user_id")
+      val b = e.toDF("id_b", "ts_b", "user_id")
+      graft.ops.RangeJoin.withinInterval(a, b, Seq("user_id"),
+          "ts_a", "ts_b", maxDeltaSeconds = 600)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("__rus") - col("__lus")).as("dt_us"))
+        .orderBy("id_a", "id_b")
+    },
+
     /** agg_pivot — long→wide reshape: one column per event_type with
       * decimal-exact sums (oracle states it as CASE aggregation, which
       * is exactly what Spark's pivot plans to). */
