@@ -35,6 +35,18 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter($"native" =!= $"hof").count() == 0) // bit-identical
   }
 
+  test("GraftExtensions registers its injections without error") {
+    // a fresh session with extensions needs a fresh JVM (one context
+    // per JVM); what is testable here is that the injection callback
+    // registers cleanly and the same builder resolves through the
+    // session registry path exercised above
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT cosine_sim(array(1.0d,0.0d), array(3.0d,0.0d))")
+      .first().getDouble(0) == 1.0)
+  }
+
   test("parity hash: md5_60 stays in [0, 2^60)") {
     val vals = Seq("a", "b", "spark", "").toDF("s")
       .select(Parity.md5_60($"s").as("h")).as[Long].collect()
