@@ -427,6 +427,24 @@ object AnalyticsQueries {
         .orderBy("ws", "event_type")
     },
 
+    /** agg_topk_udaf — global top-10 by value through the typed
+      * TopKAggregator (bounded buffer: map-side partials carry k rows,
+      * no global sort); oracle is the plain ORDER BY ... LIMIT. */
+    Q("agg_topk_udaf",
+      """SELECT CAST(row_number() OVER (ORDER BY value DESC, event_id) AS INTEGER) AS rank,
+        |  event_id, value
+        |FROM events ORDER BY value DESC, event_id LIMIT 10""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{Scored, TopKAggregator}
+      val scored = table(s, dir, "events")
+        .select(col("event_id").as("id"), col("value").as("score")).as[Scored]
+      scored.select(new TopKAggregator(10).toColumn).toDF("top")
+        .select(posexplode(col("top")).as(Seq("pos", "row")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("row.id").as("event_id"), col("row.score").as("value"))
+        .orderBy("rank")
+    },
+
     /** agg_salted — two-phase skew-safe aggregation over the hot
       * event_type key (graft.ops.Skew); exact, so the oracle is the
       * plain GROUP BY. */
