@@ -63,20 +63,26 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // join/shuffle on the 60-bit gram hash, not the gram string:
-    // fixed 8-byte keys through the exchange (collisions at 2^-60 are
-    // below any practical significance; the oracle joins raw strings
-    // and has matched on every corpus)
+    // Two plan-shape choices that matter:
+    //  - join/shuffle on the 60-bit gram hash, not the gram string:
+    //    fixed 8-byte keys through the exchange (collisions at 2^-60
+    //    are below practical significance; the oracle joins raw
+    //    strings and matches);
+    //  - per-doc gram counts ride along via a window over the SAME
+    //    gram relation instead of a separate sizes aggregate joined
+    //    back twice — Spark does not reuse the exchange across renamed
+    //    self-join branches, so the sizes-join shape re-evaluated the
+    //    tokenize/explode pipeline four times.
     val grams = gramTable(docs, idCol, textCol, n)
       .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val a = grams.toDF("doc_a", "gram")
-    val b = grams.toDF("doc_b", "gram")
-    val inter = a.join(b, "gram").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    val sa = sizes.toDF("doc_a", "na")
-    val sb = sizes.toDF("doc_b", "nb")
-    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val a = grams.toDF("doc_a", "gram", "na")
+    val b = grams.toDF("doc_b", "gram", "nb")
+    a.join(b, "gram").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
