@@ -130,20 +130,25 @@ object Dedup {
         .map(i => col(s"s$i").cast("string"))
       concat_ws(",", parts: _*).as(s"b$bIdx")
     }
-    val withBands = sigs.select(col("doc_id") +: (0 until k).map(i => col(s"s$i")) ++: bandCols: _*)
-    val bands = withBands.select(col("doc_id"),
-      posexplode(array((0 until nBands).map(i => col(s"b$i")): _*)).as(Seq("band_idx", "band_key")))
-    val cand = bands.toDF("doc_a", "band_idx", "band_key")
-      .join(bands.toDF("doc_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
+    // the full signature rides along as ONE array column through the
+    // band explode and join, so the gram/min-hash pipeline is evaluated
+    // once — a separate signature join per pair side would re-run it
+    // (Spark does not reuse exchanges across renamed self-join branches)
+    val sigArr = array((0 until k).map(i => col(s"s$i")): _*)
+    val bands = sigs
+      .select(col("doc_id") +: sigArr.as("sig") +: bandCols: _*)
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
+          .as(Seq("band_idx", "band_key")))
+    val pairs = bands.toDF("doc_a", "sig_a", "band_idx", "band_key")
+      .join(bands.toDF("doc_b", "sig_b", "band_idx", "band_key"),
+        Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = withBands.select(col("doc_id").as("doc_a") +:
-      (0 until k).map(i => col(s"s$i").as(s"sa$i")): _*)
-    val sb = withBands.select(col("doc_id").as("doc_b") +:
-      (0 until k).map(i => col(s"s$i").as(s"sb$i")): _*)
-    val matches = (0 until k).map(i =>
-      when(col(s"sa$i") === col(s"sb$i"), 1).otherwise(0)).reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    val matches =
+      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        m => m))
+    pairs
       .withColumn("est_jaccard", matches.cast("double") / k.toDouble)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
