@@ -41,6 +41,19 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), avg(col(valCol)).as("avg_value"),
         min(col(valCol)).as("min_value"), max(col(valCol)).as("max_value"))
 
+  /** Same dedup with Spark 3.5+'s dropDuplicatesWithinWatermark: rows
+    * whose event times fall within the watermark delay of a seen key
+    * are duplicates even across micro-batches, and state still evicts
+    * with the watermark — the API built for exactly this pattern
+    * (SURVEY §2.6).
+    */
+  def dedupWithinWatermarkStream(events: DataFrame, keys: Seq[String],
+                                 tsCol: String,
+                                 lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class ClosedSession(
       user_id: Long, start_s: Long, n_events: Long, duration_s: Long)

@@ -55,6 +55,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups keyed events across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("city", "ts", "temp")
+    val deduped = StreamingOps.dedupWithinWatermarkStream(events, Seq("city"), "ts")
+    val q = deduped.writeStream.format("memory")
+      .queryName("wm_dedup_out").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("London", ts("2023-11-07 12:00:00"), 15.5))
+      q.processAllAvailable()
+      // same key within the 1h watermark window, next micro-batch
+      input.addData(("London", ts("2023-11-07 12:20:00"), 16.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
