@@ -93,6 +93,12 @@ object Sinks {
     * "upsert" the existing table is read, merged, and rewritten —
     * the plain-Parquet equivalent of MERGE INTO (a transactional table
     * format would replace the rewrite with a row-level merge).
+    *
+    * The merge result is materialized with an EAGER localCheckpoint
+    * before the overwrite: the write must never hold a lineage
+    * dependency on the files it is about to delete (a cache() is not a
+    * barrier — eviction or executor loss would recompute from the
+    * already-deleted source and corrupt the target).
     */
   def load(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
            path: String, strategy: String, keys: Seq[String] = Nil): Unit =
@@ -104,11 +110,49 @@ object Sinks {
         if (!target.exists()) replace(df, path)
         else {
           val existing = spark.read.parquet(path)
-          val merged = upsert(existing, df, keys).cache()
-          merged.count() // materialize before overwriting the source
+          val merged = upsert(existing, df, keys).localCheckpoint(true)
           replace(merged, path)
-          merged.unpersist()
         }
       case other => throw new IllegalArgumentException(s"unknown strategy: $other")
     }
+
+  /** Partition-pruned upsert: the 100-TB form of the merge. The target
+    * is parquet partitioned on `partitionCol` (a low-cardinality column
+    * like the event date); an incoming batch
+    *
+    *  1. lists the partition values it touches (partition METADATA —
+    *     bounded by distinct dates in the batch, never data-scale),
+    *  2. reads ONLY those partitions of the target (partition pruning —
+    *     `.explain` shows PartitionFilters on the scan),
+    *  3. merges with [[upsert]] and materializes the result past a
+    *     lineage barrier (eager localCheckpoint),
+    *  4. overwrites with `partitionOverwriteMode=dynamic`, which
+    *     replaces exactly the partitions present in the result and
+    *     leaves every other partition's files untouched.
+    *
+    * A daily batch into a years-deep table therefore rewrites one or
+    * two date directories, not the table — the reference's
+    * touch-only-matched-keys semantics (reference: src/load.py:371-486)
+    * at file-system granularity.
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+                        updates: DataFrame, path: String, keys: Seq[String],
+                        partitionCol: String): Unit = {
+    val target = new java.io.File(path)
+    if (!target.exists()) {
+      updates.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(path)
+    } else {
+      val touched = updates.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0))
+      val existing = spark.read.parquet(path)
+        .filter(col(partitionCol).isInCollection(touched))
+        // partition col is read back last — realign to the update schema
+        .select(updates.columns.map(col).toIndexedSeq: _*)
+      val merged = upsert(existing, updates, keys).localCheckpoint(true)
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(path)
+    }
+  }
 }

@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * that turns pairwise matches into dedup GROUPS (keep one
   * representative per component).
   *
-  * Iterative minimum-label propagation: every node repeatedly adopts
-  * the smallest label among itself and its neighbors until fixpoint.
-  * Each iteration is one distributed join + aggregate; the driver only
-  * checks the converged flag (a count), so iterations = O(component
-  * diameter) — near-dup clusters are shallow (pairs/triples), so this
-  * terminates in 2-3 rounds in practice and is capped by `maxIters`.
+  * Iterative minimum-label propagation with pointer jumping: each
+  * round every node adopts the smallest label among itself and its
+  * neighbors, then follows its label one more hop
+  * (label ← label(label)). The jump halves the distance a minimum
+  * still has to travel, so rounds are O(log diameter) instead of
+  * O(diameter) — a 1000-node chain converges in ~10 rounds, not 999.
+  *
+  * Each round is a fixed number of distributed joins + one aggregate;
+  * the driver only ever sees a converged flag. Lineage is truncated
+  * with localCheckpoint every round (the labels relation is
+  * re-materialized anyway for the convergence check), so plan depth
+  * and analysis time stay constant no matter how many rounds run —
+  * without it, iteration 20's logical plan nests all 19 predecessors.
   */
 object Components {
 
@@ -29,20 +36,30 @@ object Components {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // 1) propagate: adopt the min label among self and neighbors.
+      // Materialized (eager localCheckpoint) both to cut lineage and
+      // because the jump below self-joins it — Spark does not reuse
+      // exchanges across renamed self-join branches, so an unmaterialized
+      // `mid` would evaluate the join+agg twice.
       val neighborMin = und
         .join(labels, und("v") === labels("node"))
         .groupBy(und("u").as("node"))
         .agg(min(col("label")).as("nmin"))
-      // carry the changed flag inside the same job — one cached
-      // materialization per iteration instead of a second join+count
-      val next = labels.join(neighborMin, "node")
-        .select(col("node"),
-          least(col("label"), col("nmin")).as("label"),
-          (col("nmin") < col("label")).as("__changed"))
-        .cache()
-      val changed = next.filter(col("__changed")).limit(1).count()
+      val mid = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, "node")
+        .select(col("node"), col("old"),
+          least(col("old"), col("nmin")).as("mid"))
+        .localCheckpoint(true)
+      // 2) jump: label ← label(label). Every label IS a node id present
+      // in `mid` (labels only ever hold reachable node ids), so the
+      // inner join is total; jumped labels can only shrink further.
+      val jumpMap = mid.select(col("node").as("__jn"), col("mid").as("__jl"))
+      val next = mid.join(jumpMap, mid("mid") === jumpMap("__jn"))
+        .select(mid("node").as("node"), col("old"), col("__jl").as("label"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("label") < col("old")).limit(1).count()
       labels.unpersist()
-      labels = next.drop("__changed")
+      labels = next.drop("old")
       converged = changed == 0
       i += 1
     }

@@ -86,30 +86,29 @@ object Similarity {
         col("cos"), col("rank").cast("long").as("rank"))
   }
 
-  /** All-pairs cosine near-duplicates above a threshold — correctness
-    * baseline, as a broadcast nested-loop with the compiled kernel:
-    * one side is broadcast (fits up to ~1M vectors), the other streams;
-    * no shuffle, all pairs evaluated, only passing pairs emitted.
-    * Beyond broadcastable sizes, run lshPairs first and verify only
-    * its candidates (same kernel, bounded pair space).
+  /** All-pairs cosine near-duplicates above a threshold — the exact
+    * baseline, declared as a self-join on `vec_a < vec_b` scored by the
+    * codegen'd [[graft.functions.CosineSimilarity]] expression. No
+    * driver-side state: Spark plans a BroadcastNestedLoopJoin while one
+    * side fits the broadcast threshold and a distributed
+    * CartesianProduct (partition-pair tasks) beyond it, so the
+    * inherently O(n²) compare work spreads across executors at any
+    * scale. For sub-quadratic near-dup search at corpus scale, use
+    * [[lshPairs]] (banded candidates + the same exact re-rank).
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
-    val all = typed(emb, idCol, vecCol)
-    val build = all.collect().map { case (id, v) => (id, v, normK(v)) }
-    val bc = spark.sparkContext.broadcast(build)
-    all.mapPartitions { rows =>
-      val right = bc.value
-      rows.flatMap { case (ida, va) =>
-        val na = normK(va)
-        right.iterator
-          .filter(_._1 > ida)
-          .map { case (idb, vb, nb) => (ida, idb, dotK(va, vb) / (na * nb)) }
-          .filter(_._3 >= threshold)
-      }
-    }.toDF("vec_a", "vec_b", "cos")
+    graft.functions.GraftFunctions.register(spark)
+    val a = emb.select(col(idCol).cast("long").as("vec_a"),
+      asDouble(col(vecCol)).as("va"))
+    val b = emb.select(col(idCol).cast("long").as("vec_b"),
+      asDouble(col(vecCol)).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
   }
 
   /** IVF-style ANN: vectors are assigned to the nearest of nCentroids
@@ -166,8 +165,7 @@ object Similarity {
     */
   def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
                nPlanes: Int = 16, nBands: Int = 4,
-               threshold: Double = 0.35): DataFrame = {
-    val dims = 64
+               threshold: Double = 0.35, dims: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val planes = hyperplanes(nPlanes, dims).map(_.toArray).toArray
@@ -181,6 +179,8 @@ object Similarity {
     val bands = typed(emb, idCol, vecCol).mapPartitions { rows =>
       val ws = bcPlanes.value
       rows.flatMap { case (id, v) =>
+        require(v.length == ws(0).length,
+          s"lshPairs: vector $id has ${v.length} dims, hyperplanes expect ${ws(0).length}")
         val bits = ws.map(w => if (dotK(v, w) > 0) 1L else 0L)
         (0 until nBands).iterator.map { b =>
           val key = (0 until perBand).map(i => bits(b * perBand + i) << i).sum

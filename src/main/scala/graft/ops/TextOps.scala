@@ -26,7 +26,7 @@ object TextOps {
     * but deterministic stand-in for a real tokenizer's word pieces).
     */
   def regexTokenCount(text: Column): Column =
-    size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+    size(regexp_extract_all(text, lit("[a-z]+"), lit(0))).cast("long")
 
   /** Stopword occurrence count over whitespace tokens. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =

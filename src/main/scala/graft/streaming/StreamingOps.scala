@@ -60,33 +60,56 @@ object StreamingOps {
 
   /** Custom per-key state via flatMapGroupsWithState: gap-based
     * sessionization. A session closes (and emits) when a later event
-    * for the key arrives more than `gapSeconds` after the last one;
-    * open sessions ride in the state store across micro-batches.
+    * for the key arrives more than `gapSeconds` after the last one, OR
+    * when the event-time watermark passes `last + gap` with no new
+    * events — an EventTimeTimeout flushes and EVICTS idle sessions, so
+    * per-key state really is bounded (a key that goes quiet does not
+    * pin state forever). Out-of-order events within the gap merge into
+    * the open session without moving its frontier backwards.
     * The streaming twin of graft.ops.Sessionize.
     */
   def sessionizeStream(events: Dataset[(Long, Timestamp)],
-                       gapSeconds: Long): Dataset[ClosedSession] = {
+                       gapSeconds: Long,
+                       lateness: String = "30 minutes"): Dataset[ClosedSession] = {
     implicit val stEnc: Encoder[SessionState] = Encoders.product[SessionState]
     implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
-    events.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+    events
+      .withWatermark("_2", lateness)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
-          val times = it.map(_._2.getTime / 1000).toArray.sorted
-          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          var st = state.getOption
-          times.foreach { t =>
-            st match {
-              case Some(s) if t - s.last <= gapSeconds =>
-                st = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                closed += ClosedSession(user, s.start, s.n, s.last - s.start)
-                st = Some(SessionState(t, t, 1))
-              case None =>
-                st = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.n, s.last - s.start))
+          } else {
+            val times = it.map(_._2.getTime / 1000).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var st = state.getOption
+            times.foreach { t =>
+              st match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  // late in-session event: extend membership but never
+                  // move start forward or last backward
+                  st = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.n, s.last - s.start)
+                  st = Some(SessionState(t, t, 1))
+                case None =>
+                  st = Some(SessionState(t, t, 1))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              // idle eviction: fire once the watermark passes the gap
+              // deadline (a timeout timestamp ≤ the watermark is illegal)
+              val deadline = (s.last + gapSeconds) * 1000L
+              state.setTimeoutTimestamp(
+                math.max(deadline, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
           }
-          st.foreach(state.update)
-          closed.iterator
       }
   }
 

@@ -74,6 +74,27 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("q") >= 0 && r.getAs[Double]("q") <= 100))
   }
 
+  test("connected components: pointer jumping converges on a deep chain") {
+    // a 1000-node path has diameter 999: plain min-propagation would
+    // need 999 rounds; propagate+jump doubles reach per round, so the
+    // default maxIters=20 (≥ log2) must fully converge it
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = ops.Components.connectedComponents(chain, "doc_a", "doc_b")
+    assert(comp.count() == 1000)
+    assert(comp.select(countDistinct($"component")).as[Long].head() == 1L)
+    assert(comp.select(min($"component"), max($"component"))
+      .as[(Long, Long)].head() == ((0L, 0L)))
+  }
+
+  test("connected components: separate clusters keep separate min labels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val comp = ops.Components.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("multimodal decode stub: deterministic features from bytes") {
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName == "binary")

@@ -60,4 +60,50 @@ class SinksSpec extends SparkSpec {
       Sinks.load(spark, df1, dir, "bogus")
     }
   }
+
+  test("partitioned upsert rewrites only touched date partitions") {
+    val dir = Files.createTempDirectory("graft_psink").toString + "/t"
+    val base = Seq(
+      ("London", "GB", 1L, 15.5, "2023-11-01"),
+      ("Tokyo", "JP", 1L, 22.3, "2023-11-02"),
+      ("Paris", "FR", 1L, 18.0, "2023-11-03")
+    ).toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, base, dir, keys, "date")
+
+    def partFiles(date: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouched02 = partFiles("2023-11-02")
+    val untouched03 = partFiles("2023-11-03")
+
+    // batch touches only 2023-11-01 (update) — other partitions' files
+    // must be byte-identical (same names, same mtimes: never rewritten)
+    val batch = Seq(("London", "GB", 1L, 9.9, "2023-11-01"))
+      .toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, batch, dir, keys, "date")
+    assert(partFiles("2023-11-02") == untouched02, "untouched partition rewritten")
+    assert(partFiles("2023-11-03") == untouched03, "untouched partition rewritten")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 3)
+    assert(after.filter($"city" === "London").select("temp").as[Double].head() == 9.9)
+
+    // idempotency: replaying the same batch changes nothing
+    Sinks.upsertPartitioned(spark, batch, dir, keys, "date")
+    val replay = spark.read.parquet(dir)
+    assert(replay.count() == 3)
+    assert(replay.filter($"city" === "London").select("temp").as[Double].head() == 9.9)
+
+    // mixed batch: update one partition + insert a brand-new one
+    val mixed = Seq(
+      ("Tokyo", "JP", 1L, 25.0, "2023-11-02"),
+      ("Cairo", "EG", 1L, 30.0, "2023-11-04")
+    ).toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, mixed, dir, keys, "date")
+    assert(partFiles("2023-11-03") == untouched03, "untouched partition rewritten")
+    val last = spark.read.parquet(dir)
+    assert(last.count() == 4)
+    assert(last.filter($"city" === "Tokyo").select("temp").as[Double].head() == 25.0)
+  }
 }

@@ -85,14 +85,48 @@ class StreamingSpec extends SparkSpec {
         (1L, ts("2023-11-07 12:10:00")),
         (2L, ts("2023-11-07 12:00:00")))
       q.processAllAvailable()
-      assert(spark.table("session_out").count() == 0) // all sessions still open
-      input.addData((1L, ts("2023-11-07 14:00:00"))) // > 30 min gap → closes
+      input.addData((1L, ts("2023-11-07 14:00:00"))) // > 30 min gap → closes s1
+      q.processAllAvailable()
+      val s1 = spark.table("session_out").as[StreamingOps.ClosedSession]
+        .collect().filter(_.user_id == 1L)
+      assert(s1.length == 1)
+      assert(s1.head.n_events == 2L)
+      assert(s1.head.duration_s == 600L)
+      // advance event time far enough that the watermark (14:00+2h − 30min
+      // lateness) passes user 2's idle deadline (12:00 + gap) → its state
+      // is EVICTED and the session emitted by the EventTimeTimeout, and
+      // user 1's 14:00 session closes by gap
+      input.addData((1L, ts("2023-11-07 16:00:00")))
       q.processAllAvailable()
       val out = spark.table("session_out").as[StreamingOps.ClosedSession].collect()
+      val u2 = out.filter(_.user_id == 2L)
+      assert(u2.length == 1, "idle session must be flushed by timeout")
+      assert(u2.head.n_events == 1L && u2.head.duration_s == 0L)
+      assert(out.count(_.user_id == 1L) == 2)
+    } finally q.stop()
+  }
+
+  test("sessionization: late out-of-order event merges without moving frontier back") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamingOps.sessionizeStream(input.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_ooo_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2023-11-07 12:00:00")), (1L, ts("2023-11-07 12:20:00")))
+      q.processAllAvailable()
+      // late event BEFORE the session frontier (within watermark + gap):
+      // joins the session, must not shrink `last` (12:20 stays the frontier)
+      input.addData((1L, ts("2023-11-07 12:05:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2023-11-07 14:00:00"))) // closes the session
+      q.processAllAvailable()
+      val out = spark.table("session_ooo_out").as[StreamingOps.ClosedSession]
+        .collect().filter(_.duration_s > 0)
       assert(out.length == 1)
-      assert(out.head.user_id == 1L)
-      assert(out.head.n_events == 2L)
-      assert(out.head.duration_s == 600L)
+      assert(out.head.n_events == 3L)
+      assert(out.head.duration_s == 1200L) // 12:00 → 12:20, not negative/shrunk
     } finally q.stop()
   }
 
