@@ -1,0 +1,220 @@
+package graft.io.weather
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.Schemas
+
+/** DataSource V2 table for the reference's HTTP-JSON ingest entry
+  * point (reference: src/ingest.py:63-120): one GET per configured
+  * city against an OpenWeatherMap-shaped endpoint, with bounded
+  * retries, exponential backoff and a request timeout, parsed into the
+  * canonical 14-column weather schema (reference: src/ingest.py:20-37).
+  *
+  * Spark-first shape: each city is an [[InputPartition]], so the fetch
+  * fan-out IS the task fan-out — on a cluster, 10k cities spread over
+  * the executors with no driver-side loop, and a failed city (after
+  * retries) yields an empty partition rather than failing the job,
+  * mirroring the reference's skip-and-log behavior
+  * (reference: src/ingest.py:110-120). The endpoint is an option, so
+  * tests serve `file://` fixtures and production serves `https://`.
+  *
+  * {{{
+  * spark.read.format("graft-weather")
+  *   .option("cities", "London:GB,Tokyo:JP")
+  *   .option("urlTemplate", "https://host/data/2.5/weather?q={city}")
+  *   .load()
+  * }}}
+  *
+  * Options: `cities` ("Name:CC" comma list) or `configPath` (JSON file
+  * of {city, country_code} objects, reference: config/cities.json) —
+  * neither given falls back to the reference's built-in 10 cities;
+  * `urlTemplate` with `{city}` (and optional `{country}`) placeholders;
+  * `maxRetries` (3), `backoffMs` (1000, doubling per attempt — the
+  * reference session's backoff_factor=1, src/ingest.py:63-77),
+  * `timeoutMs` (10000, src/ingest.py:102), `failFast` (false).
+  */
+class WeatherSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-weather"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.weather
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new WeatherTable(properties.asScala.toMap
+      .map { case (k, v) => k.toLowerCase -> v })
+}
+
+final class WeatherTable(options: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "graft-weather"
+  override def schema(): StructType = Schemas.weather
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new WeatherScan(options)
+    }
+}
+
+final class WeatherScan(options: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = Schemas.weather
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    WeatherFetch.cities(options)
+      .map { case (city, cc) => CityPartition(city, cc): InputPartition }
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WeatherReaderFactory(
+      urlTemplate = options.getOrElse("urltemplate",
+        sys.error("graft-weather requires the urlTemplate option")),
+      maxRetries = options.getOrElse("maxretries", "3").toInt,
+      backoffMs = options.getOrElse("backoffms", "1000").toLong,
+      timeoutMs = options.getOrElse("timeoutms", "10000").toInt,
+      failFast = options.getOrElse("failfast", "false").toBoolean)
+}
+
+final case class CityPartition(city: String, country: String) extends InputPartition
+
+final case class WeatherReaderFactory(urlTemplate: String, maxRetries: Int,
+                                      backoffMs: Long, timeoutMs: Int,
+                                      failFast: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CityPartition]
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      private var consumed = false
+
+      override def next(): Boolean = {
+        if (row == null && !consumed) {
+          consumed = true
+          val url = urlTemplate
+            .replace("{city}", p.city.replace(" ", "%20"))
+            .replace("{country}", p.country)
+          try {
+            val bytes = WeatherFetch.withRetry(maxRetries, backoffMs)(
+              () => WeatherFetch.get(url, timeoutMs))
+            row = WeatherFetch.parse(new String(bytes, "UTF-8"))
+          } catch {
+            // after retries: skip the city, don't fail the job
+            // (reference: src/ingest.py:110-120 returns None)
+            case e: Exception => if (failFast) throw e
+          }
+        }
+        row != null
+      }
+      override def get(): InternalRow = { val r = row; row = null; r }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Driver/executor helpers: city-list resolution, HTTP GET with retry,
+  * and the JSON → InternalRow parse. Pure functions, unit-testable
+  * without a cluster or a webserver.
+  */
+object WeatherFetch {
+
+  /** Bounded retry with exponential backoff: sleeps backoffMs · 2^k
+    * after failed attempt k, rethrows once maxRetries is exhausted
+    * (reference: src/ingest.py:63-77, Retry(total=3, backoff_factor=1)).
+    */
+  def withRetry[T](maxRetries: Int, backoffMs: Long)(f: () => T): T = {
+    var attempt = 0
+    var last: Exception = null
+    while (attempt <= maxRetries) {
+      try return f()
+      catch {
+        case e: Exception =>
+          last = e
+          if (attempt < maxRetries && backoffMs > 0)
+            Thread.sleep(backoffMs << attempt)
+          attempt += 1
+      }
+    }
+    throw last
+  }
+
+  /** GET with connect+read timeouts; file:// and http(s):// both work
+    * (tests serve fixtures from disk).
+    */
+  def get(url: String, timeoutMs: Int): Array[Byte] = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    val in = conn.getInputStream
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** City list: explicit option, config file, or the reference's
+    * 10-city fallback (reference: src/ingest.py:192-213).
+    */
+  def cities(options: Map[String, String]): Seq[(String, String)] = {
+    val opts = options.map { case (k, v) => k.toLowerCase -> v }
+    opts.get("cities") match {
+      case Some(list) =>
+        list.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+          e.split(":") match {
+            case Array(c, cc) => (c, cc)
+            case Array(c) => (c, "")
+          }
+        }
+      case None =>
+        opts.get("configpath") match {
+          case Some(path) =>
+            val mapper = new ObjectMapper()
+            val root = mapper.readTree(new java.io.File(path))
+            root.asScala.toSeq.map(n =>
+              (n.path("city").asText(), n.path("country_code").asText()))
+          case None => fallbackCities
+        }
+    }
+  }
+
+  val fallbackCities: Seq[(String, String)] = Seq(
+    "London" -> "GB", "New York" -> "US", "Tokyo" -> "JP",
+    "Paris" -> "FR", "Sydney" -> "AU", "Berlin" -> "DE",
+    "Moscow" -> "RU", "Beijing" -> "CN", "Mumbai" -> "IN",
+    "Cairo" -> "EG")
+
+  /** OpenWeatherMap JSON → 14-col InternalRow; identical field mapping
+    * and defaults to [[graft.io.Sources.parseWeatherJson]]
+    * (reference: src/ingest.py:152-169): absent wind/clouds/visibility
+    * default to 0 and visibility converts m → km.
+    */
+  def parse(json: String): InternalRow = {
+    val mapper = new ObjectMapper()
+    val j = mapper.readTree(json)
+    def str(n: JsonNode): Any =
+      if (n.isMissingNode || n.isNull) null else UTF8String.fromString(n.asText())
+    val weather0 = j.path("weather").path(0)
+    new GenericInternalRow(Array[Any](
+      str(j.path("name")),
+      str(j.path("sys").path("country")),
+      j.path("dt").asLong() * 1000000L, // epoch s → µs (TimestampType)
+      j.path("main").path("temp").asDouble(),
+      j.path("main").path("feels_like").asDouble(),
+      j.path("main").path("humidity").asInt(),
+      j.path("main").path("pressure").asInt(),
+      str(weather0.path("description")),
+      j.path("wind").path("speed").asDouble(0.0),
+      j.path("wind").path("deg").asInt(0),
+      j.path("clouds").path("all").asInt(0),
+      j.path("visibility").asDouble(0.0) / 1000.0,
+      j.path("coord").path("lat").asDouble(),
+      j.path("coord").path("lon").asDouble()))
+  }
+}

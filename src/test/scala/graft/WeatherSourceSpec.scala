@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.io.weather.WeatherFetch
+
+/** DataSource V2 HTTP-JSON ingest source, driven against file://
+  * fixtures shaped like the reference's mock API response
+  * (reference: tests/conftest.py:122-145).
+  */
+class WeatherSourceSpec extends SparkSpec {
+
+  private def fixture(city: String, country: String, temp: Double): String =
+    s"""{
+       |  "coord": {"lon": -0.1278, "lat": 51.5074},
+       |  "weather": [{"id": 801, "main": "Clouds", "description": "few clouds", "icon": "02d"}],
+       |  "main": {"temp": $temp, "feels_like": 14.2, "temp_min": 13.0,
+       |           "temp_max": 18.0, "pressure": 1013, "humidity": 65},
+       |  "visibility": 10000,
+       |  "wind": {"speed": 3.2, "deg": 180},
+       |  "clouds": {"all": 40},
+       |  "dt": 1699358400,
+       |  "sys": {"type": 1, "id": 1414, "country": "$country",
+       |          "sunrise": 1699339200, "sunset": 1699372800},
+       |  "timezone": 0, "id": 2643743, "name": "$city", "cod": 200
+       |}""".stripMargin
+
+  private def writeFixtures(entries: (String, String, Double)*): String = {
+    val dir = Files.createTempDirectory("graft_weather_api")
+    entries.foreach { case (city, cc, temp) =>
+      Files.write(dir.resolve(s"$city.json"), // URL %20 decodes back to the space
+
+        fixture(city, cc, temp).getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+
+  test("graft-weather returns the 14-col schema with parsed values") {
+    val dir = writeFixtures(("London", "GB", 15.5), ("Tokyo", "JP", 22.0))
+    val df = spark.read.format("graft-weather")
+      .option("cities", "London:GB,Tokyo:JP")
+      .option("urlTemplate", s"file://$dir/{city}.json")
+      .load()
+    assert(df.schema == graft.model.Schemas.weather)
+    assert(df.schema.fields.length == 14)
+    val rows = df.collect().map(r => r.getAs[String]("city") -> r).toMap
+    assert(rows.keySet == Set("London", "Tokyo"))
+    val london = rows("London")
+    assert(london.getAs[String]("country") == "GB")
+    assert(london.getAs[Double]("temperature") == 15.5)
+    assert(london.getAs[Int]("humidity") == 65)
+    assert(london.getAs[String]("description") == "few clouds")
+    assert(london.getAs[Double]("visibility") == 10.0) // m → km
+    assert(london.getAs[Int]("wind_direction") == 180)
+    assert(london.getAs[java.sql.Timestamp]("timestamp").getTime == 1699358400000L)
+  }
+
+  test("cities with spaces resolve through the URL template") {
+    val dir = writeFixtures(("New York", "US", 9.0))
+    val df = spark.read.format("graft-weather")
+      .option("cities", "New York:US")
+      .option("urlTemplate", s"file://$dir/{city}.json")
+      .load()
+    val r = df.collect()
+    assert(r.length == 1 && r(0).getAs[String]("city") == "New York")
+  }
+
+  test("a city that fails after retries is skipped, not fatal") {
+    val dir = writeFixtures(("London", "GB", 15.5))
+    val df = spark.read.format("graft-weather")
+      .option("cities", "London:GB,Atlantis:XX") // no Atlantis fixture
+      .option("urlTemplate", s"file://$dir/{city}.json")
+      .option("maxRetries", "1").option("backoffMs", "1")
+      .load()
+    assert(df.count() == 1) // reference skips failed cities (src/ingest.py:110-120)
+
+    val strict = spark.read.format("graft-weather")
+      .option("cities", "Atlantis:XX")
+      .option("urlTemplate", s"file://$dir/{city}.json")
+      .option("maxRetries", "0").option("backoffMs", "1")
+      .option("failFast", "true")
+      .load()
+    intercept[org.apache.spark.SparkException] { strict.count() }
+  }
+
+  test("withRetry retries with backoff then succeeds / exhausts") {
+    var calls = 0
+    val out = WeatherFetch.withRetry(maxRetries = 3, backoffMs = 1) { () =>
+      calls += 1
+      if (calls < 3) sys.error("transient") else "ok"
+    }
+    assert(out == "ok" && calls == 3)
+
+    var failCalls = 0
+    val e = intercept[RuntimeException] {
+      WeatherFetch.withRetry(maxRetries = 2, backoffMs = 1) { () =>
+        failCalls += 1; sys.error("down")
+      }
+    }
+    assert(e.getMessage == "down")
+    assert(failCalls == 3) // initial attempt + 2 retries, then rethrow
+  }
+
+  test("config file and fallback city resolution") {
+    val cfg = Files.createTempDirectory("graft_cities")
+      .resolve("cities.json")
+    Files.write(cfg,
+      """[{"city": "Oslo", "country_code": "NO"},
+        | {"city": "Lima", "country_code": "PE"}]""".stripMargin.getBytes("UTF-8"))
+    assert(WeatherFetch.cities(Map("configpath" -> cfg.toString)) ==
+      Seq("Oslo" -> "NO", "Lima" -> "PE"))
+    assert(WeatherFetch.cities(Map.empty) == WeatherFetch.fallbackCities)
+    assert(WeatherFetch.cities(Map("cities" -> "London:GB, Tokyo:JP")) ==
+      Seq("London" -> "GB", "Tokyo" -> "JP"))
+  }
+}
