@@ -101,16 +101,22 @@ object Sinks {
     * already-deleted source and corrupt the target).
     */
   def load(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-           path: String, strategy: String, keys: Seq[String] = Nil): Unit =
+           path: String, strategy: String, keys: Seq[String] = Nil,
+           updatePriority: Seq[String] = Nil): Unit =
     strategy match {
       case "insert"  => append(df, path)
       case "replace" => replace(df, path)
       case "upsert" =>
         val target = new java.io.File(path)
-        if (!target.exists()) replace(df, path)
+        if (!target.exists())
+          // first batch still dedups by key (a batch may carry several
+          // rows per key); merging against an empty target does exactly
+          // the in-batch winner selection
+          replace(upsert(df.limit(0), df, keys, updatePriority), path)
         else {
           val existing = spark.read.parquet(path)
-          val merged = upsert(existing, df, keys).localCheckpoint(true)
+          val merged = upsert(existing, df, keys, updatePriority)
+            .localCheckpoint(true)
           replace(merged, path)
         }
       case other => throw new IllegalArgumentException(s"unknown strategy: $other")

@@ -28,11 +28,20 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 20): DataFrame = {
-    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    // materialize the edge list ONCE before mirroring it: the union's
+    // two branches are renamed copies of the same subplan, and Spark
+    // does not reuse exchanges across renamed branches — an expensive
+    // upstream (e.g. a Jaccard pair join) would run twice
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint(true)
+    val und = e0
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
-    var labels = und.select(col("u").as("node"))
-      .distinct().withColumn("label", col("node")).cache()
+    // seed with round 1 for free: label = min(self, neighbors) is a
+    // plain aggregate over the edge list, no join needed
+    var labels = und.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .select(col("u").as("node"), col("label")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {

@@ -140,18 +140,24 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
           .as(Seq("band_idx", "band_key")))
-    val pairs = bands.toDF("doc_a", "sig_a", "band_idx", "band_key")
+    // estimate BEFORE deduping candidates: a pair colliding in several
+    // bands recomputes the (cheap, codegen'd) match count per collision,
+    // but the distinct then shuffles only (long, long, double) rows
+    // instead of two 32-element signature arrays (~20× narrower), and
+    // the threshold filter prunes ahead of the exchange. The count is a
+    // flat sum of element_at comparisons — stays in whole-stage codegen,
+    // unlike an interpreted zip_with/filter HOF chain (~100× slower).
+    val matches = (1 to k).map(i =>
+      when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
+        .otherwise(0)).reduce(_ + _)
+    bands.toDF("doc_a", "sig_a", "band_idx", "band_key")
       .join(bands.toDF("doc_b", "sig_b", "band_idx", "band_key"),
         Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-    val matches =
-      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-        m => m))
-    pairs
-      .withColumn("est_jaccard", matches.cast("double") / k.toDouble)
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / k.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select("doc_a", "doc_b", "est_jaccard")
+      .distinct()
   }
 
   /** 60-bit SimHash fingerprint per doc: token hashes vote ±1 per bit

@@ -46,5 +46,73 @@ object StreamingQueries {
         .select(col("window.start").as("ws"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy("ws", "event_type")
+    },
+
+    /** Watermarked stream-stream interval join: each click joined to
+      * the same user's views in the preceding hour
+      * (StreamingOps.intervalJoinStream), attribution counts per user.
+      * The join runs in the streaming engine with state eviction from
+      * the watermark + time bound; only the final per-user rollup of
+      * the emitted pairs happens in batch.
+      */
+    Q("stream_join_attrib",
+      """SELECT c.user_id AS user_id, COUNT(*) AS n_view_click_pairs,
+        |  COUNT(DISTINCT c.event_id) AS n_attributed_clicks
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts >= c.ts - INTERVAL 60 MINUTE AND v.ts < c.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id").as("view_user"), col("ts").as("view_ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoinStream(
+        clicks, views, "user_id", "view_user", "click_ts", "view_ts",
+        before = "60 minutes", lateness = "1 hour")
+      val name = s"graft_stream_join_${runId.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).groupBy("user_id")
+        .agg(count(lit(1)).as("n_view_click_pairs"),
+          countDistinct(col("click_id")).as("n_attributed_clicks"))
+        .orderBy("user_id")
+    },
+
+    /** foreachBatch + upsert sink end to end: the event stream merges
+      * into a parquet target keyed by (user, event type), the latest
+      * event winning per key — the streaming form of the reference's
+      * upsert load (reference: src/load.py:371-486) with a
+      * deterministic in-batch winner.
+      */
+    Q("stream_upsert_latest",
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "event_type", "event_id", "value", "ts")
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+        .toString + s"/t${runId.incrementAndGet()}"
+      val q = stream.writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.StreamingOps.upsertSink(b, id, out,
+            keys = Seq("user_id", "event_type"),
+            updatePriority = Seq("ts", "event_id")))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
     })
 }

@@ -113,11 +113,33 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked stream-stream interval join: left rows match right
+    * rows with the same key whose event times fall in
+    * [leftTs − before, leftTs). The watermarks plus the two-sided time
+    * bound are what make it runnable forever — they let Spark compute
+    * how old a buffered row can still possibly match, and evict join
+    * state beyond that; an unconstrained stream-stream join's state
+    * grows without bound.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         before: String = "10 minutes",
+                         lateness: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+          col(rightTs) < col(leftTs))
+
   /** Streaming upsert sink: per-micro-batch set-based merge into a
     * parquet target — the foreachBatch analogue of the reference's
-    * upsert strategy (reference: src/load.py:371-486).
+    * upsert strategy (reference: src/load.py:371-486). `updatePriority`
+    * picks the in-batch winner per key (e.g. latest event time),
+    * keeping the merge deterministic under micro-batch replay.
     */
   def upsertSink(batch: DataFrame, batchId: Long, path: String,
-                 keys: Seq[String]): Unit =
-    graft.io.Sinks.load(batch.sparkSession, batch, path, "upsert", keys)
+                 keys: Seq[String], updatePriority: Seq[String] = Nil): Unit =
+    graft.io.Sinks.load(batch.sparkSession, batch, path, "upsert", keys,
+      updatePriority)
 }

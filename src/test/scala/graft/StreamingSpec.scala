@@ -130,6 +130,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches prior views within the window") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      views.toDF().toDF("view_user", "view_ts"),
+      "user_id", "view_user", "click_ts", "view_ts",
+      before = "10 minutes", lateness = "1 hour")
+    val q = joined.writeStream.format("memory")
+      .queryName("ij_out").outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        (1L, ts("2023-11-07 12:00:00")),  // 5 min before the click → match
+        (1L, ts("2023-11-07 11:40:00")),  // 25 min before → outside window
+        (1L, ts("2023-11-07 12:30:00")),  // after the click → no match
+        (2L, ts("2023-11-07 12:04:00")))  // other user → no match
+      clicks.addData((1L, ts("2023-11-07 12:05:00")))
+      q.processAllAvailable()
+      val out = spark.table("ij_out").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[Long]("user_id") == 1L)
+      assert(out(0).getAs[Timestamp]("view_ts") == ts("2023-11-07 12:00:00"))
+    } finally q.stop()
+  }
+
   test("windowed summary aggregates per key per hour") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
