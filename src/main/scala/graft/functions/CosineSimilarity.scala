@@ -45,17 +45,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      // read elements in place (UnsafeArrayData offset reads) — a
+      // toDoubleArray() here would copy both vectors per EVALUATION,
+      // gigabytes of allocation churn on a quadratic pair space
+      val n = ctx.freshName("n"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny"); val i = ctx.freshName("i")
       s"""
-         |double[] $x = $a.toDoubleArray();
-         |double[] $y = $b.toDoubleArray();
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $x.length; $i++) {
-         |  $dot += $x[$i] * $y[$i];
-         |  $nx += $x[$i] * $x[$i];
-         |  $ny += $y[$i] * $y[$i];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi;
+         |  $nx += $xi * $xi;
+         |  $ny += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
@@ -66,13 +71,69 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential-fold dot product of two array<double> columns, with
+  * whole-stage codegen. Same accumulation order as [[CosineSimilarity]]
+  * and the oracle's list_reduce. With per-row precomputed norms,
+  * `dot_product(a,b)/(nrm_a*nrm_b)` gives bit-identical cosines to
+  * [[CosineSimilarity]] at a third of the per-pair flops — the shape
+  * that matters when the pair space is quadratic.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects (array<double>, array<double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    var dot = 0.0; var i = 0
+    while (i < x.length) { dot += x(i) * y(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // in-place element reads — see CosineSimilarity.doGenCode
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for graft's native SQL functions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
 
-  /** Column API for the registered function (register(spark) first). */
+  /** Column API for the registered functions (register(spark) first). */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 }

@@ -100,13 +100,19 @@ object Similarity {
                   threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val a = emb.select(col(idCol).cast("long").as("vec_a"),
-      asDouble(col(vecCol)).as("va"))
-    val b = emb.select(col(idCol).cast("long").as("vec_b"),
-      asDouble(col(vecCol)).as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos",
-        graft.functions.GraftFunctions.cosineSim(col("va"), col("vb")))
+    val dp = graft.functions.GraftFunctions.dotProduct _
+    // norms precomputed per ROW (2n·d flops), so the quadratic pair
+    // stage pays one dot product per pair instead of three; identical
+    // accumulation order → bit-identical cosines to the oracle's
+    // dot/(nrm_a·nrm_b)
+    def side(id: String, v: String, n: String): DataFrame = {
+      val vec = asDouble(col(vecCol)).as(v)
+      emb.select(col(idCol).cast("long").as(id), vec)
+        .withColumn(n, sqrt(dp(col(v), col(v))))
+    }
+    side("vec_a", "va", "na")
+      .join(side("vec_b", "vb", "nb"), col("vec_a") < col("vec_b"))
+      .withColumn("cos", dp(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
