@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // local-mode scratch I/O (shuffle spill, streaming state + temp
+  // checkpoints) on tmpfs: disk fsyncs under /tmp dominate streaming
+  // micro-benchmarks; a real cluster gets this from spark.local.dir
+  "-Djava.io.tmpdir=/dev/shm",
   // 8g GC-thrashes under the full bench (69 queries × warmup + 2 timed
   // passes + streaming state); the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
