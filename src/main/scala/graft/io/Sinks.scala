@@ -196,10 +196,14 @@ object Sinks {
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
                         updates: DataFrame, path: String, keys: Seq[String],
-                        partitionCol: String): Unit = {
+                        partitionCol: String,
+                        updatePriority: Seq[String] = Nil): Unit = {
     val target = new java.io.File(path)
     if (!target.exists()) {
-      updates.write.mode(SaveMode.Overwrite)
+      // first batch dedups by key too (several rows per key must pick
+      // the same winner a merge would)
+      upsert(updates.limit(0), updates, keys, updatePriority)
+        .write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(path)
     } else {
       val touched = updates.select(col(partitionCol)).distinct()
@@ -208,7 +212,8 @@ object Sinks {
         .filter(col(partitionCol).isInCollection(touched))
         // partition col is read back last — realign to the update schema
         .select(updates.columns.map(col).toIndexedSeq: _*)
-      val merged = upsert(existing, updates, keys).localCheckpoint(true)
+      val merged = upsert(existing, updates, keys, updatePriority)
+        .localCheckpoint(true)
       merged.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol).parquet(path)

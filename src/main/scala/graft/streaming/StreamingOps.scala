@@ -132,6 +132,22 @@ object StreamingOps {
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
           col(rightTs) < col(leftTs))
 
+  /** Per-micro-batch quality gate for foreachBatch sinks: compute the
+    * batch's quality metrics and fail the STREAM when a threshold is
+    * violated — the streaming analogue of the reference's Airflow gate
+    * task failing the DAG run
+    * (reference: airflow_dag/weather_etl_dag.py:349-389). Wrap the real
+    * sink: {{{ foreachBatch(gatedSink(upsertSink(...))) }}}. A thrown
+    * gate stops the query BEFORE the bad batch is committed, so the
+    * checkpoint replays it after the upstream fix — no partial load.
+    */
+  def gatedBatch(batch: DataFrame, inputCount: Long,
+                 thresholds: graft.etl.Quality.Thresholds =
+                   graft.etl.Quality.Thresholds()): Unit = {
+    val metrics = graft.etl.Quality.qualityMetrics(batch, inputCount).head()
+    graft.etl.Quality.gate(metrics, thresholds)
+  }
+
   /** Streaming upsert sink: per-micro-batch set-based merge into a
     * parquet target — the foreachBatch analogue of the reference's
     * upsert strategy (reference: src/load.py:371-486). `updatePriority`

@@ -58,6 +58,37 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("Partial"), "expected map-side partial top-k")
   }
 
+  test("dedup_embed_cosine: distributed pair join, no driver-side corpus") {
+    val p = plan("dedup_embed_cosine")
+    // the pair space must come from a JOIN Spark can distribute (BNLJ
+    // while a side is broadcastable, CartesianProduct beyond) — never
+    // from a collected corpus re-parallelized on the driver
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      "expected a distributed non-equi self-join")
+    assert(p.contains("dot_product"), "expected the codegen'd kernel")
+    assert(!p.contains("MapPartitions"), "no opaque driver-fed stage")
+  }
+
+  test("partitioned upsert read prunes to touched partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    import spark.implicits._
+    Seq(("a", 1L, "2023-11-01"), ("b", 2L, "2023-11-02"), ("c", 3L, "2023-11-03"))
+      .toDF("k", "v", "date")
+      .write.partitionBy("date").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("date")
+        .isInCollection(Seq("2023-11-01")))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: ["), "expected partition filters")
+    assert(scan.contains("date"), "partition column must drive pruning")
+    // the pruned scan must select 1 of the 3 partition directories
+    val files = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(files.contains(1), s"expected 1 selected partition, got $files")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     import org.apache.spark.sql.execution.ExplainMode
     Seq("cat_temp", "quality_score", "round_precision").foreach { q =>

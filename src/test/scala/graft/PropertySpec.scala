@@ -71,6 +71,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("partitioned upsert ≡ reference key-wise merge over random batch sequences") {
+    // fold a random sequence of dated batches through the on-disk
+    // partition-pruned upsert; the final table must equal a plain
+    // driver-side last-writer-wins map over the same sequence
+    seeds.take(2).foreach { s =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_prop_upsert").toString + "/t"
+      val batches = sample(Gen.listOfN(4, Gen.listOfN(25,
+        Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(1, 3),
+          Gen.chooseNum(-100.0, 100.0)))), s)
+      val ref = scala.collection.mutable.Map.empty[(Long, String), Double]
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        // make the in-batch winner deterministic: keep the max value
+        // per key, matching updatePriority = value
+        val rows = batch.map { case (k, d, v) => (k, f"2023-11-$d%02d", v) }
+        rows.groupBy(r => (r._1, r._2)).foreach { case (key, group) =>
+          ref(key) = group.map(_._3).max
+        }
+        val df = rows.toDF("k", "date", "v").withColumn("prio", $"v")
+        io.Sinks.upsertPartitioned(spark, df.select("k", "v", "prio", "date"),
+          dir, Seq("k", "date"), "date", updatePriority = Seq("prio"))
+      }
+      // partition values round-trip through directory names and come
+      // back type-inferred as DATE — normalize for the compare
+      val got = spark.read.parquet(dir)
+        .select($"k", $"date".cast("string"), $"v")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(got == ref.toMap, s"seed $s: disk state diverged from reference")
+    }
+  }
+
   test("upsert idempotence property: merging a batch twice = once") {
     seeds.foreach { s =>
       val rows = sample(Gen.listOfN(60,

@@ -130,6 +130,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate passes good batches and fails the query on bad ones") {
+    implicit val sq = spark.sqlContext
+    def run(rows: Seq[(String, String, Timestamp, Double)]): Unit = {
+      val input = MemoryStream[(String, String, Timestamp, Double)]
+      val q = input.toDF().toDF("city", "country", "timestamp", "quality_score")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingOps.gatedBatch(b, b.count()))
+        .start()
+      try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    val good = (1 to 6).map(i =>
+      (s"City$i", "GB", ts("2023-11-07 12:00:00"), 90.0))
+    run(good) // does not throw
+    val bad = (1 to 6).map(i =>
+      (s"City$i", "GB", ts("2023-11-07 12:00:00"), 10.0)) // avg quality < 70
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(bad)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => String.valueOf(c.getMessage).contains("quality gate failed")),
+      s"expected gate failure in cause chain: $e")
+  }
+
   test("stream-stream interval join matches prior views within the window") {
     implicit val sq = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp)]
