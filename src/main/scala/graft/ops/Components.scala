@@ -46,10 +46,12 @@ object Components {
     var i = 0
     while (!converged && i < maxIters) {
       // 1) propagate: adopt the min label among self and neighbors.
-      // Materialized (eager localCheckpoint) both to cut lineage and
-      // because the jump below self-joins it — Spark does not reuse
-      // exchanges across renamed self-join branches, so an unmaterialized
-      // `mid` would evaluate the join+agg twice.
+      // The jump self-joins `mid`, but its expensive part (the
+      // neighbor-min aggregate) terminates in an exchange, which AQE's
+      // ReuseExchange dedupes across the renamed branches (measured:
+      // checkpointing `mid` here bought nothing) — only `next` is
+      // materialized, which both cuts per-round lineage and feeds the
+      // convergence check.
       val neighborMin = und
         .join(labels, und("v") === labels("node"))
         .groupBy(und("u").as("node"))
@@ -58,7 +60,6 @@ object Components {
         .join(neighborMin, "node")
         .select(col("node"), col("old"),
           least(col("old"), col("nmin")).as("mid"))
-        .localCheckpoint(true)
       // 2) jump: label ← label(label). Every label IS a node id present
       // in `mid` (labels only ever hold reachable node ids), so the
       // inner join is total; jumped labels can only shrink further.
