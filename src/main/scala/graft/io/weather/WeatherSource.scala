@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,7 +61,8 @@ final class WeatherTable(options: Map[String, String])
   override def name(): String = "graft-weather"
   override def schema(): StructType = Schemas.weather
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new WeatherScan(options)
@@ -70,6 +72,8 @@ final class WeatherTable(options: Map[String, String])
 final class WeatherScan(options: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = Schemas.weather
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WeatherMicroBatchStream(options)
 
   override def planInputPartitions(): Array[InputPartition] =
     WeatherFetch.cities(options)
@@ -77,6 +81,11 @@ final class WeatherScan(options: Map[String, String]) extends Scan with Batch {
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
+    WeatherScan.readerFactory(options)
+}
+
+object WeatherScan {
+  def readerFactory(options: Map[String, String]): WeatherReaderFactory =
     WeatherReaderFactory(
       urlTemplate = options.getOrElse("urltemplate",
         sys.error("graft-weather requires the urlTemplate option")),
@@ -84,6 +93,62 @@ final class WeatherScan(options: Map[String, String]) extends Scan with Batch {
       backoffMs = options.getOrElse("backoffms", "1000").toLong,
       timeoutMs = options.getOrElse("timeoutms", "10000").toInt,
       failFast = options.getOrElse("failfast", "false").toBoolean)
+}
+
+/** Offset = number of completed polls. */
+final case class WeatherOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** The reference's cadence as a streaming source: every trigger is one
+  * poll of the API across all configured cities (reference's Airflow
+  * schedule, airflow_dag/weather_etl_dag.py:57, turned into
+  * `readStream` + a processing-time trigger). A poller cannot refetch
+  * the past, so a committed-offset gap after restart collapses to a
+  * single fresh fetch per city — at-least-once per trigger window, the
+  * strongest guarantee a current-conditions endpoint can give.
+  */
+final class WeatherMicroBatchStream(options: Map[String, String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val cities = WeatherFetch.cities(options)
+  private var polls = 0L
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(polls + 1)
+
+  override def initialOffset(): Offset = WeatherOffset(0L)
+
+  override def latestOffset(): Offset = availableNowTarget match {
+    case Some(t) => WeatherOffset(t)
+    case None => polls += 1; WeatherOffset(polls)
+  }
+
+  // admission-control form (SupportsTriggerAvailableNow extends it):
+  // a poll is atomic, so read limits don't subdivide it
+  override def latestOffset(start: Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = WeatherOffset(json.trim.toLong)
+    polls = math.max(polls, o.n) // resume past the committed poll count
+    o
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WeatherOffset].n
+    val e = end.asInstanceOf[WeatherOffset].n
+    if (e <= s) Array.empty
+    else cities.map { case (c, cc) => CityPartition(c, cc): InputPartition }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WeatherScan.readerFactory(options)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class CityPartition(city: String, country: String) extends InputPartition

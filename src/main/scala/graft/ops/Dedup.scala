@@ -160,6 +160,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup dedup END TO END: given near-dup pair edges (from any of
+    * the methods here), cluster them and drop every member except its
+    * component representative (the minimum doc id); docs in no pair
+    * survive untouched. The anti join keys on the doc id — corpus rows
+    * shuffle once against the (tiny relative to the corpus) loser set.
+    */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          aCol: String, bCol: String): DataFrame = {
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+    val losers = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit SimHash fingerprint per doc: token hashes vote ±1 per bit
     * position, weighted by term frequency (tokens keep multiplicity).
     */

@@ -395,6 +395,35 @@ object ExtensionQueries {
         .orderBy("node")
     },
 
+    /** dedup_near_corpus — the end product of the near-dup pipeline:
+      * the corpus with every Jaccard ≥ 0.6 cluster collapsed to its
+      * minimum-id representative (pairs → components → anti join). */
+    Q("dedup_near_corpus",
+      s"""WITH RECURSIVE $gramsCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM grams a JOIN grams b USING (g)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jac AS (SELECT da, db
+         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
+         |und AS (SELECT da AS u, db AS v FROM jac UNION SELECT db, da FROM jac),
+         |reach AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
+         |comp AS (SELECT u AS node, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+        .select("doc_a", "doc_b")
+      Dedup.keepRepresentatives(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
     /** Multimodal plumbing: binary payload column + batched decode
       * stub via typed mapPartitions (deterministic fake features). */
     /** Frame sampling over binary payloads: 64-byte frames, every 4th

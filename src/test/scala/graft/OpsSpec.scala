@@ -74,6 +74,14 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("q") >= 0 && r.getAs[Double]("q") <= 100))
   }
 
+  test("keepRepresentatives drops near-dup cluster members, keeps the min id") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("doc_a", "doc_b")
+    val kept = Dedup.keepRepresentatives(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L)) // {1,2,3} collapse to 1; 4 untouched
+  }
+
   test("connected components: pointer jumping converges on a deep chain") {
     // a 1000-node path has diameter 999: plain min-propagation would
     // need 999 rounds; propagate+jump doubles reach per round, so the

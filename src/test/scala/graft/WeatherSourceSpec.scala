@@ -82,6 +82,42 @@ class WeatherSourceSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { strict.count() }
   }
 
+  test("streaming read polls every city once per trigger") {
+    val dir = writeFixtures(("London", "GB", 15.5), ("Tokyo", "JP", 22.0))
+    val stream = spark.readStream.format("graft-weather")
+      .option("cities", "London:GB,Tokyo:JP")
+      .option("urlTemplate", s"file://$dir/{city}.json")
+      .load()
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("weather_poll")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("weather_poll")
+    assert(out.schema == graft.model.Schemas.weather)
+    assert(out.count() == 2) // one poll × two cities
+    assert(out.select("city").collect().map(_.getString(0)).toSet ==
+      Set("London", "Tokyo"))
+  }
+
+  test("poll offsets advance per trigger and gaps collapse to one fetch") {
+    val s = new graft.io.weather.WeatherMicroBatchStream(
+      Map("cities" -> "London:GB,Tokyo:JP", "urltemplate" -> "file:///x/{city}.json"))
+    val o0 = s.initialOffset().asInstanceOf[graft.io.weather.WeatherOffset]
+    val o1 = s.latestOffset().asInstanceOf[graft.io.weather.WeatherOffset]
+    val o2 = s.latestOffset().asInstanceOf[graft.io.weather.WeatherOffset]
+    assert(o0.n == 0 && o1.n == 1 && o2.n == 2)
+    assert(s.planInputPartitions(o0, o1).length == 2)    // 2 cities
+    assert(s.planInputPartitions(o0, o2).length == 2)    // gap ≠ more fetches
+    assert(s.planInputPartitions(o2, o2).isEmpty)        // nothing new
+    // restart resumes past the committed poll count
+    val restarted = new graft.io.weather.WeatherMicroBatchStream(
+      Map("cities" -> "London:GB", "urltemplate" -> "file:///x/{city}.json"))
+    assert(restarted.deserializeOffset("7")
+      .asInstanceOf[graft.io.weather.WeatherOffset].n == 7)
+    assert(restarted.latestOffset()
+      .asInstanceOf[graft.io.weather.WeatherOffset].n == 8)
+  }
+
   test("withRetry retries with backoff then succeeds / exhausts") {
     var calls = 0
     val out = WeatherFetch.withRetry(maxRetries = 3, backoffMs = 1) { () =>
