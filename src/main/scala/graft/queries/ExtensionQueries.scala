@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.Parity
 import graft.io.Sources.table
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 
 /** LLM-training-data-pipeline operators (beyond the reference surface;
   * see the build brief + SURVEY.md §7.5): text analysis, JSON prop
@@ -151,6 +151,45 @@ object ExtensionQueries {
         .groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
         .orderBy("fp")
+    },
+
+    /** Deterministic stratified hash sampling: reproducible per-language
+      * rates (en downsampled, the rest upsampled) as a pure function of
+      * the doc id — re-derivable on any engine at any parallelism,
+      * unlike seed-based df.sample. */
+    Q("sample_stratified",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${md5_60Sql("CAST(doc_id AS VARCHAR)")} % 100 <
+         |  CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.stratifiedHashSample(table(s, dir, "documents"), "doc_id",
+          when(col("lang") === "en", 10).otherwise(30))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    /** Top-k corpus vocabulary (ties broken lexicographically);
+      * plans as TakeOrderedAndProject — no global sort. */
+    Q("text_vocab_topk",
+      """SELECT token, COUNT(*) AS n FROM documents,
+        |  UNNEST(string_split(lower(trim(text)), ' ')) AS u(token)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+      Corpus.vocabTopK(table(s, dir, "documents"), "text", 50)
+    },
+
+    /** Greedy sequence packing: per-language concatenate-and-chop into
+      * 2048-token context bins via one running-sum window. */
+    Q("pack_greedy",
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok, SUM(n_tok) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT lang, (cum - n_tok) // 2048 AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin) { (s, dir) =>
+      Corpus.packGreedy(table(s, dir, "documents"), "doc_id", "text",
+          "lang", budgetTokens = 2048)
+        .orderBy("lang", "bin")
     },
 
     /** JSON property extraction over events.props. */

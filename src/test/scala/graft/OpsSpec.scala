@@ -74,6 +74,39 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("q") >= 0 && r.getAs[Double]("q") <= 100))
   }
 
+  test("hash sampling is deterministic, a subset, and rate-proportional") {
+    import graft.ops.Corpus
+    val ids = (1L to 2000L).toDF("doc_id")
+    val s1 = Corpus.hashSample(ids, "doc_id", lit(10)).as[Long].collect().sorted
+    val s2 = Corpus.hashSample(ids, "doc_id", lit(10)).as[Long].collect().sorted
+    assert(s1.toSeq == s2.toSeq) // reproducible
+    assert(math.abs(s1.length - 200) < 60, s"rate off: ${s1.length}")
+    val s30 = Corpus.hashSample(ids, "doc_id", lit(30)).as[Long].collect()
+    assert(s1.toSet.subsetOf(s30.toSet)) // rates nest: 10% ⊂ 30%
+  }
+
+  test("vocab top-k ranks the most frequent token first, ties by token") {
+    val top = graft.ops.Corpus.vocabTopK(docs, "text", 3).collect()
+    assert(top(0).getString(0) == "the") // 2 per dup'd doc
+    assert(top(0).getLong(1) > top(2).getLong(1) ||
+      top(1).getString(0) < top(2).getString(0))
+  }
+
+  test("greedy packing bins by starting token offset per group") {
+    import graft.ops.Corpus
+    val d = Seq(
+      (1L, "a", "w " * 9 + "w"),   // 10 tokens, starts at 0   → bin 0
+      (2L, "a", "w " * 9 + "w"),   // starts at 10             → bin 0
+      (3L, "a", "w " * 9 + "w"),   // starts at 20             → bin 1
+      (4L, "b", "w w")             // other group              → bin 0
+    ).toDF("doc_id", "grp", "text")
+    val bins = Corpus.packGreedy(d, "doc_id", "text", "grp", budgetTokens = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(bins(("a", 0L)) == ((2L, 20L)))
+    assert(bins(("a", 1L)) == ((1L, 10L)))
+    assert(bins(("b", 0L)) == ((1L, 2L)))
+  }
+
   test("keepRepresentatives drops near-dup cluster members, keeps the min id") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
       .select("doc_a", "doc_b")
