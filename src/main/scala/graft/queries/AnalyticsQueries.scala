@@ -412,6 +412,26 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    /** agg_quantiles — exact interpolated quantiles per group (the
+      * general form of agg_median_group; both engines interpolate as
+      * lower + frac·(upper−lower)). The EXACT sort-based percentile is
+      * the correctness anchor; approx_percentile is the sketch path at
+      * scale (agg_approx). */
+    Q("agg_quantiles",
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.75) AS p75,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      table(s, dir, "events").groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.25)).as("p25"),
+          percentile(col("value"), lit(0.75)).as("p75"),
+          percentile(col("value"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     /** agg_time_window — tumbling daily windows in batch (the batch
       * twin of StreamingOps.windowedSummary); window start == the
       * day truncation DuckDB computes. */

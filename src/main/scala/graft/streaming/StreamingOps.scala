@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming forms of the pipeline's keyed operators (SURVEY.md §2.6).
   *
@@ -131,6 +131,74 @@ object StreamingOps {
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
           col(rightTs) < col(leftTs))
+
+  /** The same gap sessionization on Spark 4's transformWithState — the
+    * successor API to flatMapGroupsWithState: typed ValueState instead
+    * of one opaque state blob, explicit per-key TIMERS instead of a
+    * single timeout, and the RocksDB state store (required by the API;
+    * the disk-backed store is also what bounds executor memory when key
+    * cardinality is corpus-scale). Timers accumulate per registration,
+    * so an expired timer re-checks the session's real deadline against
+    * the watermark — a timer made stale by a later in-gap event no-ops.
+    */
+  private final class SessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, (Long, Timestamp), ClosedSession] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def deadlineMs(s: SessionState): Long = (s.last + gapSeconds) * 1000L
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Timestamp)],
+                                 timers: TimerValues): Iterator[ClosedSession] = {
+      val times = rows.map(_._2.getTime / 1000).toArray.sorted
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var st = if (session.exists()) Some(session.get()) else None
+      times.foreach { t =>
+        st match {
+          case Some(s) if t - s.last <= gapSeconds =>
+            st = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+          case Some(s) =>
+            closed += ClosedSession(user, s.start, s.n, s.last - s.start)
+            st = Some(SessionState(t, t, 1))
+          case None =>
+            st = Some(SessionState(t, t, 1))
+        }
+      }
+      st.foreach { s =>
+        session.update(s)
+        getHandle.registerTimer(
+          math.max(deadlineMs(s), timers.getCurrentWatermarkInMs + 1))
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (session.exists() &&
+          deadlineMs(session.get()) <= timers.getCurrentWatermarkInMs) {
+        val s = session.get()
+        session.clear()
+        Iterator.single(ClosedSession(user, s.start, s.n, s.last - s.start))
+      } else Iterator.empty // stale timer: the session was extended meanwhile
+  }
+
+  /** [[sessionizeStream]] on transformWithState (see SessionProcessor).
+    * Requires `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider`.
+    */
+  def sessionizeStreamTws(events: Dataset[(Long, Timestamp)],
+                          gapSeconds: Long,
+                          lateness: String = "30 minutes"): Dataset[ClosedSession] = {
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    events
+      .withWatermark("_2", lateness)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Per-micro-batch quality gate for foreachBatch sinks: compute the
     * batch's quality metrics and fail the STREAM when a threshold is

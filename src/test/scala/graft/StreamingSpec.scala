@@ -106,6 +106,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization closes by gap and evicts idle keys by timer") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp)]
+      val sessions = StreamingOps.sessionizeStreamTws(input.toDS(), gapSeconds = 1800)
+      val q = sessions.writeStream.format("memory")
+        .queryName("tws_session_out").outputMode("append").start()
+      try {
+        input.addData(
+          (1L, ts("2023-11-07 12:00:00")),
+          (1L, ts("2023-11-07 12:10:00")),
+          (2L, ts("2023-11-07 12:00:00")))
+        q.processAllAvailable()
+        input.addData((1L, ts("2023-11-07 14:00:00"))) // gap-closes user 1's s1
+        q.processAllAvailable()
+        val s1 = spark.table("tws_session_out").as[StreamingOps.ClosedSession]
+          .collect().filter(_.user_id == 1L)
+        assert(s1.length == 1 && s1.head.n_events == 2L && s1.head.duration_s == 600L)
+        // watermark (16:00 − 30 min) passes user 2's 12:30 deadline →
+        // its registered timer fires and evicts the idle session
+        input.addData((1L, ts("2023-11-07 16:00:00")))
+        q.processAllAvailable()
+        val out = spark.table("tws_session_out").as[StreamingOps.ClosedSession].collect()
+        val u2 = out.filter(_.user_id == 2L)
+        assert(u2.length == 1, "idle session must be flushed by its timer")
+        assert(u2.head.n_events == 1L && u2.head.duration_s == 0L)
+        assert(out.count(_.user_id == 1L) == 2)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("sessionization: late out-of-order event merges without moving frontier back") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
