@@ -333,6 +333,32 @@ object AnalyticsQueries {
         .orderBy("id_a", "id_b")
     },
 
+    /** join_interval_semi — funnel attribution as an interval SEMI
+      * join: purchases with at least one click by the same user in the
+      * preceding hour. EXISTS semantics (no row duplication when
+      * several clicks qualify); the batch twin of the streaming
+      * interval join (stream_join_attrib). */
+    Q("join_interval_semi",
+      """SELECT p.event_id, p.user_id FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts < p.ts)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("ts") - expr("INTERVAL 60 MINUTES") &&
+            col("c_ts") < col("ts"),
+          "left_semi")
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    },
+
     /** agg_pivot — long→wide reshape: one column per event_type with
       * decimal-exact sums (oracle states it as CASE aggregation, which
       * is exactly what Spark's pivot plans to). */

@@ -434,6 +434,43 @@ object ExtensionQueries {
         .orderBy("node")
     },
 
+    /** dedup_multi_signal — near-dup clustering over the UNION of two
+      * independent signals on the same id space: lexical (trigram
+      * Jaccard ≥ 0.6) OR semantic (embedding cosine ≥ 0.4). Components
+      * over the merged edge set catch paraphrase clusters that either
+      * signal alone splits — the production shape of corpus dedup. */
+    Q("dedup_multi_signal",
+      s"""WITH RECURSIVE $gramsCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM grams a JOIN grams b USING (g)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jac AS (SELECT da, db
+         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
+         |$embCte,
+         |cose AS (SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4::DOUBLE),
+         |allp AS (SELECT da, db FROM jac UNION SELECT da, db FROM cose),
+         |und AS (SELECT da AS u, db AS v FROM allp UNION SELECT db, da FROM allp),
+         |reach AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u)
+         |SELECT u AS node, least(u, min(v)) AS component
+         |FROM reach GROUP BY u ORDER BY node""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val lexical = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+        .select("doc_a", "doc_b")
+      val semantic = Similarity.cosinePairs(
+          table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      graft.ops.Components.connectedComponents(
+          lexical.unionByName(semantic), "doc_a", "doc_b")
+        .orderBy("node")
+    },
+
     /** dedup_near_corpus — the end product of the near-dup pipeline:
       * the corpus with every Jaccard ≥ 0.6 cluster collapsed to its
       * minimum-id representative (pairs → components → anti join). */
