@@ -89,6 +89,16 @@ class PlansSpec extends SparkSpec {
     assert(files.contains(1), s"expected 1 selected partition, got $files")
   }
 
+  test("vocab top-k avoids a global sort (TakeOrderedAndProject)") {
+    assert(plan("text_vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("hash sampling reads only the projected columns") {
+    val p = plan("sample_stratified")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "sampling must not scan the text column")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     import org.apache.spark.sql.execution.ExplainMode
     Seq("cat_temp", "quality_score", "round_precision").foreach { q =>
