@@ -73,6 +73,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(feats.head.checksum == 0L)
   }
 
+  test("corpus ops on empty input: sample, vocab, packing, representatives") {
+    import graft.ops.Corpus
+    assert(Corpus.hashSample(noDocs, "doc_id", lit(50)).count() == 0)
+    assert(Corpus.vocabTopK(noDocs, "text", 5).count() == 0)
+    val noLang = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(Corpus.packGreedy(noLang, "doc_id", "text", "lang", 2048).count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    // no near-dup edges → the whole corpus survives
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.keepRepresentatives(docs, "doc_id", noPairs,
+      "doc_a", "doc_b").count() == 2)
+  }
+
+  test("weather JSON parse tolerates missing optional fields") {
+    // wind/clouds/visibility absent → zero defaults, like the reference
+    val row = graft.io.weather.WeatherFetch.parse(
+      """{"coord":{"lon":1.0,"lat":2.0},
+        |"weather":[{"description":"clear"}],
+        |"main":{"temp":10.0,"feels_like":9.0,"pressure":1000,"humidity":50},
+        |"dt":1699358400,"sys":{"country":"GB"},"name":"X"}""".stripMargin)
+    assert(row.getDouble(8) == 0.0)  // wind_speed
+    assert(row.getInt(9) == 0)       // wind_direction
+    assert(row.getInt(10) == 0)      // cloudiness
+    assert(row.getDouble(11) == 0.0) // visibility
+    assert(row.getDouble(3) == 10.0) // temperature
+  }
+
   test("connected components of an empty edge set is empty") {
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(ops.Components.connectedComponents(edges, "doc_a", "doc_b").count() == 0)
