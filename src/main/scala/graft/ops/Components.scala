@@ -34,6 +34,24 @@ object Components {
     // upstream (e.g. a Jaccard pair join) would run twice
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .localCheckpoint(true)
+    // size the loop's shuffles to the GRAPH, not the session default:
+    // every round is a handful of stages, and on a small near-dup graph
+    // (thousands of edges) 32-partition stages are pure task-scheduling
+    // overhead × O(log diameter) rounds. The edge count is free — e0 is
+    // already materialized. Large graphs keep the session parallelism.
+    val spark = edges.sparkSession
+    val partsKey = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(partsKey).toInt
+    val loopParts = math.max(2L, math.min(sessionParts.toLong,
+      e0.count() / 50000L + 1L)).toInt
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, loopParts.toString)
+    try {
+      connectedLoop(e0, maxIters)
+    } finally spark.conf.set(partsKey, prevParts)
+  }
+
+  private def connectedLoop(e0: DataFrame, maxIters: Int): DataFrame = {
     val und = e0
       .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
@@ -64,6 +82,11 @@ object Components {
       // in `mid` (labels only ever hold reachable node ids), so the
       // inner join is total; jumped labels can only shrink further.
       val jumpMap = mid.select(col("node").as("__jn"), col("mid").as("__jl"))
+      // eager localCheckpoint EVERY round: measured against the
+      // cache-and-count-per-round alternative (checkpoint every 4th),
+      // which re-evaluated the cached round chain and ran 4-6× slower —
+      // constant plan depth per round is what keeps O(log d) rounds at
+      // O(log d) cost
       val next = mid.join(jumpMap, mid("mid") === jumpMap("__jn"))
         .select(mid("node").as("node"), col("old"), col("__jl").as("label"))
         .localCheckpoint(true)
@@ -74,6 +97,8 @@ object Components {
       i += 1
     }
     und.unpersist()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] rounds=$i converged=$converged")
     labels.withColumnRenamed("label", "component")
   }
 }
