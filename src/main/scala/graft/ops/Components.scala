@@ -86,11 +86,19 @@ object Components {
       // cache-and-count-per-round alternative (checkpoint every 4th),
       // which re-evaluated the cached round chain and ran 4-6× slower —
       // constant plan depth per round is what keeps O(log d) rounds at
-      // O(log d) cost
+      // O(log d) cost. The convergence signal rides the SAME job as an
+      // observed metric (CollectMetrics fires on the checkpoint's
+      // materializing action), so each round costs ONE driver action,
+      // not a checkpoint + a second count scan — at ~15 rounds on
+      // high-diameter graphs the per-action latency dominated local
+      // wall time.
+      val obs = new org.apache.spark.sql.Observation()
       val next = mid.join(jumpMap, mid("mid") === jumpMap("__jn"))
         .select(mid("node").as("node"), col("old"), col("__jl").as("label"))
+        .observe(obs, sum(when(col("label") < col("old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      val changed = next.filter(col("label") < col("old")).limit(1).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist()
       labels = next.drop("old")
       converged = changed == 0

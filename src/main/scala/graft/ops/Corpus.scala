@@ -47,18 +47,42 @@ object Corpus {
     * in a deterministic order (id) per group (language), and each doc
     * is assigned to the context-window bin its STARTING token offset
     * falls in (bin = start_offset div budget). This is the standard
-    * pretraining packing approximation; the whole layout is one
-    * running-sum window over (group, id) — a single shuffle, no
-    * sequential driver pass, reproducible at any parallelism.
+    * pretraining packing approximation, reproducible at any
+    * parallelism.
+    *
+    * Scale: a naive `Window.partitionBy(group).orderBy(id)` running
+    * sum sorts EVERY doc of a group in ONE task — the dominant
+    * language of a 100-TB corpus becomes a single-executor sort.
+    * Instead the prefix sum is distributed in two passes over
+    * bounded shards (shard = id div shardSize, monotone in the layout
+    * order so shard boundaries respect it):
+    *   1. per-(group, shard) token subtotals — a plain aggregate;
+    *   2. exclusive running offsets across the few subtotal rows
+    *      (a window over ~groups × shards/group rows, trivially small
+    *      relative to the corpus), joined back so each shard's local
+    *      running sum — a window whose partitions are capped at
+    *      shardSize rows — starts from its global offset.
+    * Same deterministic layout, no unbounded sort partition anywhere.
     */
   def packGreedy(docs: DataFrame, idCol: String, textCol: String,
-                 groupCol: String, budgetTokens: Int): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(idCol), col(groupCol),
+                 groupCol: String, budgetTokens: Int,
+                 shardSize: Long = 1 << 20): DataFrame = {
+    val toks = docs.select(col(idCol), col(groupCol),
         TextOps.tokenCount(col(textCol)).as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("__shard", expr(s"cast(`$idCol` as bigint) div ${shardSize}L"))
+    val subtotals = toks.groupBy(col(groupCol), col("__shard"))
+      .agg(sum(col("n_tok")).as("__sub"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals.withColumn("__off",
+      coalesce(sum(col("__sub")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("__shard"), col("__off"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .join(broadcast(offsets), Seq(groupCol, "__shard"))
+      .withColumn("cum", col("__off") + sum(col("n_tok")).over(wLocal))
       .withColumn("bin", expr(s"(cum - n_tok) div $budgetTokens"))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))

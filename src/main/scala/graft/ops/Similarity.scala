@@ -130,19 +130,33 @@ object Similarity {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val cs = graft.functions.GraftFunctions.cosineSim _
-    val all = prepared(emb, idCol, vecCol)
+    val all = prepared(emb, idCol, vecCol).select("vec_id", "v")
     val cent = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val asg = all.select("vec_id", "v").crossJoin(broadcast(cent))
-      .withColumn("ccos", cs(col("v"), col("cv")))
-      .withColumn("__rn", row_number().over(wAsg)).filter(col("__rn") === 1)
-      .select(col("vec_id"), col("cid").as("bucket"))
-    val members = asg.join(all.select("vec_id", "v"), "vec_id")
-    val probes = members.filter(probePred)
+    // assignment as an ids-only aggregate: score every (vector,
+    // centroid) pair map-side against the broadcast centroids, project
+    // down to (vec_id, cid, ccos) BEFORE aggregating, and pick the
+    // winner with max_by over (ccos, -cid) — highest cosine, ties to
+    // the lowest centroid id, identical to a (ccos DESC, cid ASC)
+    // row_number but with map-side partial aggregation and a narrow
+    // (long, long, double) exchange. The r2 window variant shuffled
+    // the full 64-double vector through the assignment Exchange + sort.
+    val asg = all.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cs(col("v"), col("cv")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
+        .as("bucket"))
+    // probes are tiny by predicate; restrict the corpus to members of
+    // PROBED buckets on ids alone, then attach vectors once by id —
+    // vectors cross exactly one join, and only for surviving members
+    val probeAsg = asg.filter(probePred)
+    val probes = probeAsg.join(all, "vec_id")
       .select(col("vec_id").as("q_id"), col("bucket"), col("v").as("qv"))
-    val scored = probes.join(members, "bucket")
+    val members = asg
+      .join(broadcast(probeAsg.select("bucket").distinct()), "bucket")
+      .join(all, "vec_id")
+    val scored = members.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cs(col("qv"), col("v")))
     val wTop = Window.partitionBy(col("q_id"))

@@ -404,7 +404,7 @@ object AnalyticsQueries {
       * lag, running count, running decimal-exact sum per key. */
     Q("window_running",
       """SELECT o_orderkey, o_orderpriority,
-        |  row_number() OVER w AS rn,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
         |  lag(o_totalprice) OVER w AS prev_price,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_orderpriority
@@ -462,7 +462,7 @@ object AnalyticsQueries {
       * twin of StreamingOps.windowedSummary); window start == the
       * day truncation DuckDB computes. */
     Q("agg_time_window",
-      s"""SELECT date_trunc('day', ts) AS ws, event_type, COUNT(*) AS n,
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type, COUNT(*) AS n,
          |  ${dsumSql("value", "sum_value")}
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
       table(s, dir, "events")

@@ -81,14 +81,22 @@ object ExtensionQueries {
     val lst = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     s"CASE WHEN list_reduce(list_transform(range(1,65), i -> v[i] * ($lst)[i]), (x,y) -> x+y) > 0 THEN 1 ELSE 0 END AS bit$j"
   }.mkString(",\n    ")
-  private val lshBandsSql: String = {
-    val perBand = NPLANES / NBANDS
-    (0 until NBANDS).map { bIdx =>
+  private def lshBandsSqlFor(nBands: Int): String = {
+    val perBand = NPLANES / nBands
+    (0 until nBands).map { bIdx =>
       val key = (0 until perBand).map(i =>
         s"bit${bIdx * perBand + i} * ${1L << i}").mkString(" + ")
       s"SELECT vec_id, $bIdx AS band_idx, $key AS band_key FROM bits"
     }.mkString("\n  UNION ALL ")
   }
+  private val lshBandsSql: String = lshBandsSqlFor(NBANDS)
+
+  /** Bands for the composed dedup's semantic edge: more, narrower
+    * bands (4×4 bits vs ann_lsh's 2×8) trade candidate volume for
+    * recall — the right default when the banding GATES which near-dups
+    * exist at all rather than merely pre-filtering an ANN re-rank.
+    */
+  private val NBANDS_MS = 4
 
   val all: Seq[Q] = Seq(
 
@@ -184,7 +192,7 @@ object ExtensionQueries {
         |c AS (SELECT doc_id, lang, n_tok, SUM(n_tok) OVER (
         |    PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-        |SELECT lang, (cum - n_tok) // 2048 AS bin, COUNT(*) AS n_docs,
+        |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin) { (s, dir) =>
       Corpus.packGreedy(table(s, dir, "documents"), "doc_id", "text",
@@ -436,9 +444,15 @@ object ExtensionQueries {
 
     /** dedup_multi_signal — near-dup clustering over the UNION of two
       * independent signals on the same id space: lexical (trigram
-      * Jaccard ≥ 0.6) OR semantic (embedding cosine ≥ 0.4). Components
-      * over the merged edge set catch paraphrase clusters that either
-      * signal alone splits — the production shape of corpus dedup. */
+      * Jaccard ≥ 0.6) OR semantic (sign-LSH banded candidates
+      * re-ranked by exact cosine ≥ 0.4). Components over the merged
+      * edge set catch paraphrase clusters that either signal alone
+      * splits — the production shape of corpus dedup. The semantic
+      * edge is sub-quadratic BY CONSTRUCTION: candidates come from
+      * equi-joins on (band, key), never an all-pairs cartesian, so the
+      * composition survives a 100-TB corpus. The banding is mirrored
+      * verbatim into the oracle SQL (same hyperplanes), so both
+      * engines gate the identical pair set. */
     Q("dedup_multi_signal",
       s"""WITH RECURSIVE $gramsCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
@@ -449,9 +463,18 @@ object ExtensionQueries {
          |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
          |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
          |$embCte,
-         |cose AS (SELECT a.vec_id AS da, b.vec_id AS db
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4::DOUBLE),
+         |bits AS (SELECT vec_id, v, nrm,
+         |    $lshBitsSql
+         |  FROM n),
+         |bands AS (
+         |  ${lshBandsSqlFor(NBANDS_MS)}),
+         |candc AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.vec_id < b.vec_id),
+         |cose AS (SELECT ia AS da, ib AS db
+         |  FROM candc JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib
+         |  WHERE ${dotSql("na.v", "nb.v")} / (na.nrm * nb.nrm) >= 0.4::DOUBLE),
          |allp AS (SELECT da, db FROM jac UNION SELECT da, db FROM cose),
          |und AS (SELECT da AS u, db AS v FROM allp UNION SELECT db, da FROM allp),
          |reach AS (
@@ -463,8 +486,9 @@ object ExtensionQueries {
       val docs = table(s, dir, "documents")
       val lexical = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
         .select("doc_a", "doc_b")
-      val semantic = Similarity.cosinePairs(
-          table(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      val semantic = Similarity.lshPairs(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          nPlanes = NPLANES, nBands = NBANDS_MS, threshold = 0.4)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       graft.ops.Components.connectedComponents(
           lexical.unionByName(semantic), "doc_a", "doc_b")
@@ -506,9 +530,9 @@ object ExtensionQueries {
       * kept (ASCII corpus → byte offsets == char offsets, so the
       * oracle can state it over text). */
     Q("mm_frame_sample",
-      """SELECT doc_id, frame_idx,
-        |  length(substring(text, frame_idx * 64 + 1, 64)) AS frame_bytes,
-        |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+      """SELECT doc_id, frame_idx::INTEGER AS frame_idx,
+        |  length(substring(text, frame_idx::INTEGER * 64 + 1, 64))::INTEGER AS frame_bytes,
+        |  md5(substring(text, frame_idx::INTEGER * 64 + 1, 64)) AS frame_md5
         |FROM documents,
         |  UNNEST(range(0, greatest(CAST(ceil(length(text) / 64.0::DOUBLE) AS INTEGER), 1))) AS r(frame_idx)
         |WHERE frame_idx % 4 = 0

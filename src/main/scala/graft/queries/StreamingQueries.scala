@@ -25,7 +25,7 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(
     Q("stream_windowed_counts",
-      """SELECT date_trunc('day', ts) AS ws, event_type, COUNT(*) AS n,
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
       // streaming file sources need a declared schema; the corpus

@@ -99,6 +99,34 @@ class PlansSpec extends SparkSpec {
       "sampling must not scan the text column")
   }
 
+  test("multi-signal dedup's semantic edge is banded: no cartesian, no BNLJ") {
+    // the composed dedup routes cosine candidates through sign-LSH
+    // banding (equi-joins on band keys) — an all-pairs cartesian here
+    // never finishes on a 100-TB corpus
+    val semantic = graft.ops.Similarity.lshPairs(
+      graft.io.Sources.table(spark, sf, "embeddings"), "vec_id", "embedding",
+      nPlanes = 16, nBands = 4, threshold = 0.4)
+    val p = semantic.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "semantic edge must not be all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "semantic edge must be an equi-join")
+  }
+
+  test("pack_greedy: prefix sum is sharded, no per-group single-partition sort") {
+    val p = plan("pack_greedy")
+    assert(p.contains("__shard"),
+      "running sum must window over (group, shard), not the whole group")
+  }
+
+  test("ann_ivf: ids-only centroid assignment, one (top-k) window") {
+    val p = plan("ann_ivf")
+    // the r2 regression shuffled 64-double vectors through a row_number
+    // window Exchange just to pick each vector's nearest centroid —
+    // assignment must be a max_by aggregate over (id, cid, cos) rows
+    assert(p.contains("max_by"), "assignment must aggregate, not window")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows <= 1, s"expected only the top-k window, got $windows")
+  }
+
   test("whole-stage codegen covers the scalar pipeline queries") {
     import org.apache.spark.sql.execution.ExplainMode
     Seq("cat_temp", "quality_score", "round_precision").foreach { q =>

@@ -37,7 +37,9 @@ for name in sorted(os.listdir(OUT_DIR)):
     if not os.path.isdir(d):
         continue
     try:
-        got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+        got = got_rel.df()
     except Exception as e:
         failed.append((name, f"result unreadable: {e}"))
         continue
@@ -45,12 +47,24 @@ for name in sorted(os.listdir(OUT_DIR)):
         skipped.append((name, f"no oracle ({len(got)} rows)"))
         continue
     try:
-        exp = con.sql(oracles[name]).df()
+        exp_rel = con.sql(oracles[name])
+        exp_types = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+        exp = exp_rel.df()
     except Exception as e:
         failed.append((name, f"oracle SQL error: {str(e).splitlines()[0]}"))
         continue
     if sorted(got.columns) != sorted(exp.columns):
         failed.append((name, f"schema: got {sorted(got.columns)} want {sorted(exp.columns)}"))
+        continue
+    # Type-strict: the driver hashes DuckDB-typed values, so a column
+    # whose oracle type differs from the Spark result type (e.g. window
+    # SUM(BIGINT) -> HUGEINT) hash-mismatches even when values print the
+    # same. pandas coerces both to the same dtype, so value compare
+    # alone cannot catch it — compare DuckDB types explicitly.
+    type_diff = [f"col {c}: got {got_types[c]} want {exp_types[c]}"
+                 for c in sorted(got.columns) if got_types[c] != exp_types[c]]
+    if type_diff:
+        failed.append((name, "types: " + "; ".join(type_diff)))
         continue
     if len(got) != len(exp):
         failed.append((name, f"rows: got {len(got)} want {len(exp)}"))
