@@ -36,6 +36,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector lengths differ: ${x.length} vs ${y.length}")
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < x.length) {
       dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
@@ -54,6 +57,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny"); val i = ctx.freshName("i")
       s"""
          |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector lengths differ: " + $n + " vs " + $b.numElements());
+         |}
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $a.getDouble($i);
@@ -97,6 +104,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"dot_product: vector lengths differ: ${x.length} vs ${y.length}")
     var dot = 0.0; var i = 0
     while (i < x.length) { dot += x(i) * y(i); i += 1 }
     dot
@@ -109,6 +119,10 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
       s"""
          |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: vector lengths differ: " + $n + " vs " + $b.numElements());
+         |}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += $a.getDouble($i) * $b.getDouble($i);

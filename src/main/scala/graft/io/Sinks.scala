@@ -159,20 +159,38 @@ object Sinks {
       case "insert"  => write(df, SaveMode.Append)
       case "replace" => write(df, SaveMode.Overwrite)
       case "upsert" =>
-        val spark = df.sparkSession
-        val existing =
-          try Some(spark.read.jdbc(url, table, props))
-          catch { case _: Exception => None } // table absent → plain create
-        existing match {
-          case None => write(df, SaveMode.Overwrite)
-          case Some(ex) =>
-            val merged =
-              upsert(ex.select(df.columns.map(col).toIndexedSeq: _*), df, keys)
-                .localCheckpoint(true)
-            write(merged, SaveMode.Overwrite)
+        // table existence is decided by JDBC METADATA, never by
+        // catching read failures: a transient read error (timeout,
+        // auth blip) against an existing table must propagate, not
+        // fall through to an Overwrite that drops every existing row
+        if (!jdbcTableExists(url, table, props)) write(df, SaveMode.Overwrite)
+        else {
+          val ex = df.sparkSession.read.jdbc(url, table, props)
+          val merged =
+            upsert(ex.select(df.columns.map(col).toIndexedSeq: _*), df, keys)
+              .localCheckpoint(true)
+          write(merged, SaveMode.Overwrite)
         }
       case other => throw new IllegalArgumentException(s"unknown strategy: $other")
     }
+  }
+
+  /** Table-existence probe via JDBC metadata. Unquoted identifiers are
+    * case-folded dialect-specifically (Derby/Oracle upper, Postgres
+    * lower), so all three spellings are checked. Connection failures
+    * propagate — the caller must not mistake "cannot reach the store"
+    * for "table absent".
+    */
+  private def jdbcTableExists(url: String, table: String,
+                              props: java.util.Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val meta = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+        val rs = meta.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
   }
 
   /** Partition-pruned upsert: the 100-TB form of the merge. The target
@@ -193,12 +211,45 @@ object Sinks {
     * two date directories, not the table — the reference's
     * touch-only-matched-keys semantics (reference: src/load.py:371-486)
     * at file-system granularity.
+    *
+    * CONTRACT: `partitionCol` must be functionally determined by
+    * `keys` (it usually IS one of the keys, e.g. the event date in a
+    * (city, date) key). Pruning reads only the touched partitions, so
+    * if a key could change its partition value between batches, the
+    * stale row in the now-untouched partition would silently survive
+    * as a duplicate. The in-batch side of the contract is always
+    * enforced (cheap — one aggregate over the batch); set
+    * `strictKeyPartition` to also detect cross-batch partition moves
+    * against the existing target (a column-pruned scan of the
+    * target's key columns — opt-in, since it reads key columns of
+    * every partition).
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
                         updates: DataFrame, path: String, keys: Seq[String],
                         partitionCol: String,
-                        updatePriority: Seq[String] = Nil): Unit = {
+                        updatePriority: Seq[String] = Nil,
+                        strictKeyPartition: Boolean = false): Unit = {
+    if (!keys.contains(partitionCol)) {
+      val inBatchMoves = updates.groupBy(keys.map(col): _*)
+        .agg(countDistinct(col(partitionCol)).as("__np"))
+        .filter(col("__np") > 1).limit(1).count()
+      require(inBatchMoves == 0,
+        s"upsertPartitioned: a key maps to multiple '$partitionCol' values " +
+          s"within this batch — '$partitionCol' must be functionally " +
+          s"determined by keys ${keys.mkString("(", ",", ")")}")
+    }
     val target = new java.io.File(path)
+    if (strictKeyPartition && !keys.contains(partitionCol) && target.exists()) {
+      val cols = (keys :+ partitionCol).map(col)
+      val moved = spark.read.parquet(path).select(cols: _*)
+        .withColumnRenamed(partitionCol, "__oldp")
+        .join(updates.select(cols: _*), keys)
+        .filter(col("__oldp") =!= col(partitionCol)).limit(1).count()
+      require(moved == 0,
+        s"upsertPartitioned: an update changes a key's '$partitionCol' " +
+          "value — merging would leave the stale row alive in its old " +
+          "partition; rewrite both partitions explicitly instead")
+    }
     if (!target.exists()) {
       // first batch dedups by key too (several rows per key must pick
       // the same winner a merge would)

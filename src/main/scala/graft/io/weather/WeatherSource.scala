@@ -258,28 +258,38 @@ object WeatherFetch {
   /** OpenWeatherMap JSON → 14-col InternalRow; identical field mapping
     * and defaults to [[graft.io.Sources.parseWeatherJson]]
     * (reference: src/ingest.py:152-169): absent wind/clouds/visibility
-    * default to 0 and visibility converts m → km.
+    * default to 0 and visibility converts m → km, while absent
+    * NON-defaulted fields (name, dt, temp, feels_like, humidity,
+    * pressure, lat, lon) are null — exactly as from_json yields null
+    * for missing struct fields, so a malformed API response parses the
+    * same through either path.
     */
   def parse(json: String): InternalRow = {
     val mapper = new ObjectMapper()
     val j = mapper.readTree(json)
     def str(n: JsonNode): Any =
       if (n.isMissingNode || n.isNull) null else UTF8String.fromString(n.asText())
+    def dbl(n: JsonNode): Any =
+      if (n.isMissingNode || n.isNull) null else n.asDouble()
+    def int(n: JsonNode): Any =
+      if (n.isMissingNode || n.isNull) null else n.asInt()
+    val dt = j.path("dt")
     val weather0 = j.path("weather").path(0)
     new GenericInternalRow(Array[Any](
       str(j.path("name")),
       str(j.path("sys").path("country")),
-      j.path("dt").asLong() * 1000000L, // epoch s → µs (TimestampType)
-      j.path("main").path("temp").asDouble(),
-      j.path("main").path("feels_like").asDouble(),
-      j.path("main").path("humidity").asInt(),
-      j.path("main").path("pressure").asInt(),
+      if (dt.isMissingNode || dt.isNull) null
+      else dt.asLong() * 1000000L, // epoch s → µs (TimestampType)
+      dbl(j.path("main").path("temp")),
+      dbl(j.path("main").path("feels_like")),
+      int(j.path("main").path("humidity")),
+      int(j.path("main").path("pressure")),
       str(weather0.path("description")),
       j.path("wind").path("speed").asDouble(0.0),
       j.path("wind").path("deg").asInt(0),
       j.path("clouds").path("all").asInt(0),
       j.path("visibility").asDouble(0.0) / 1000.0,
-      j.path("coord").path("lat").asDouble(),
-      j.path("coord").path("lon").asDouble()))
+      dbl(j.path("coord").path("lat")),
+      dbl(j.path("coord").path("lon"))))
   }
 }

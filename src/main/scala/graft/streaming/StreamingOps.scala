@@ -88,11 +88,21 @@ object StreamingOps {
             var st = state.getOption
             times.foreach { t =>
               st match {
-                case Some(s) if t - s.last <= gapSeconds =>
+                case Some(s) if t - s.last <= gapSeconds &&
+                    t >= s.start - gapSeconds =>
                   // late in-session event: extend membership but never
-                  // move start forward or last backward
+                  // move start forward or last backward. The lower
+                  // bound matters: an event far OLDER than the session
+                  // start also satisfies t - last <= gap (negative
+                  // delta) but belongs to an earlier, already-closed
+                  // session — merging it would drag `start` arbitrarily
+                  // backwards, diverging from the batch twin.
                   st = Some(SessionState(math.min(s.start, t),
                     math.max(s.last, t), s.n + 1))
+                case Some(s) if t < s.start - gapSeconds =>
+                  // too-old: its session already closed and emitted;
+                  // treat like a watermark-late event and drop it
+                  ()
                 case Some(s) =>
                   closed += ClosedSession(user, s.start, s.n, s.last - s.start)
                   st = Some(SessionState(t, t, 1))
@@ -158,8 +168,11 @@ object StreamingOps {
       var st = if (session.exists()) Some(session.get()) else None
       times.foreach { t =>
         st match {
-          case Some(s) if t - s.last <= gapSeconds =>
+          case Some(s) if t - s.last <= gapSeconds && t >= s.start - gapSeconds =>
             st = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+          case Some(s) if t < s.start - gapSeconds =>
+            () // too-old (pre-dates the open session by > gap): its
+               // session already closed — drop like a watermark-late row
           case Some(s) =>
             closed += ClosedSession(user, s.start, s.n, s.last - s.start)
             st = Some(SessionState(t, t, 1))

@@ -35,6 +35,25 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter($"native" =!= $"hof").count() == 0) // bit-identical
   }
 
+  test("mismatched vector lengths raise on every execution path") {
+    GraftFunctions.register(spark)
+    def chainHas(t: Throwable, msg: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(e => Option(e.getMessage).exists(_.contains(msg)))
+    // codegen path (non-foldable inputs) — the in-place element reads
+    // have no bounds check of their own, so the kernel must raise, not
+    // read out-of-bounds memory into a garbage cosine
+    val df = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+    val eCos = intercept[Throwable](df.selectExpr("cosine_sim(a, b)").collect())
+    assert(chainHas(eCos, "lengths differ"))
+    val eDot = intercept[Throwable](df.selectExpr("dot_product(a, b)").collect())
+    assert(chainHas(eDot, "lengths differ"))
+    // interpreted path (constant-folded literals evaluate via eval)
+    val eLit = intercept[Throwable](
+      spark.sql("SELECT cosine_sim(array(1.0d,2.0d), array(1.0d))").collect())
+    assert(chainHas(eLit, "lengths differ"))
+  }
+
   test("GraftExtensions registers its injections without error") {
     // a fresh session with extensions needs a fresh JVM (one context
     // per JVM); what is testable here is that the injection callback

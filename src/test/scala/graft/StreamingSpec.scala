@@ -106,6 +106,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a too-old event cannot merge into the open session and drag start back") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    // generous lateness so the too-old event is NOT watermark-dropped:
+    // it reaches the state function, which must still refuse to merge it
+    val sessions = StreamingOps.sessionizeStream(input.toDS(),
+      gapSeconds = 1800, lateness = "2 hours")
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_old_out").outputMode("append").start()
+    try {
+      input.addData((9L, ts("2023-11-07 13:00:00")), (9L, ts("2023-11-07 13:10:00")))
+      q.processAllAvailable()
+      // 12:15 satisfies t - last <= gap (negative delta) but pre-dates
+      // the session start by > gap — merging would move start to 12:15
+      input.addData((9L, ts("2023-11-07 12:15:00")))
+      q.processAllAvailable()
+      input.addData((9L, ts("2023-11-07 15:00:00"))) // gap-closes the session
+      q.processAllAvailable()
+      val closed = spark.table("session_old_out")
+        .as[StreamingOps.ClosedSession].collect().filter(_.user_id == 9L)
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2L, "too-old event must not join the session")
+      assert(closed.head.duration_s == 600L, "session start must not move backwards")
+    } finally q.stop()
+  }
+
   test("transformWithState sessionization closes by gap and evicts idle keys by timer") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

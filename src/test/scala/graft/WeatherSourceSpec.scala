@@ -118,6 +118,27 @@ class WeatherSourceSpec extends SparkSpec {
       .asInstanceOf[graft.io.weather.WeatherOffset].n == 8)
   }
 
+  test("parse yields null (not 0) for absent non-defaulted fields, matching parseWeatherJson") {
+    // a malformed/empty API response must read the same through the
+    // DSv2 row parser as through Sources.parseWeatherJson (from_json
+    // gives null for missing struct fields); only wind/clouds/
+    // visibility carry 0-defaults (reference: src/ingest.py:152-169)
+    val row = WeatherFetch.parse("""{"wind":{},"clouds":{}}""")
+    val nullIdx = Seq(0, 1, 2, 3, 4, 5, 6, 7, 12, 13) // city..pressure, desc, lat, lon
+    nullIdx.foreach(i => assert(row.isNullAt(i), s"field $i should be null"))
+    assert(row.getDouble(8) == 0.0)  // wind_speed default
+    assert(row.getInt(9) == 0)       // wind_direction default
+    assert(row.getInt(10) == 0)      // cloudiness default
+    assert(row.getDouble(11) == 0.0) // visibility default
+    // present fields still parse
+    val ok = WeatherFetch.parse(
+      """{"name":"London","dt":1699358400,"main":{"temp":15.5}}""")
+    assert(ok.getUTF8String(0).toString == "London")
+    assert(ok.getLong(2) == 1699358400L * 1000000L)
+    assert(ok.getDouble(3) == 15.5)
+    assert(ok.isNullAt(4) && ok.isNullAt(5))
+  }
+
   test("withRetry retries with backoff then succeeds / exhausts") {
     var calls = 0
     val out = WeatherFetch.withRetry(maxRetries = 3, backoffMs = 1) { () =>
