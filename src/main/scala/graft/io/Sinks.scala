@@ -180,16 +180,48 @@ object Sinks {
     * lower), so all three spellings are checked. Connection failures
     * propagate — the caller must not mistake "cannot reach the store"
     * for "table absent".
+    *
+    * getTables treats its name arguments as LIKE patterns, so '_'/'%'
+    * in the real table name over-match — "weather_data" would report
+    * present when only a sibling "weatherXdata" exists, and the first
+    * upsert batch would then try to read a missing table. Escaping via
+    * getSearchStringEscape is not portable (Derby returns the empty
+    * string), so instead the pattern is allowed to over-match and each
+    * returned row's TABLE_NAME / TABLE_SCHEM is compared for EXACT
+    * equality against the probed spellings. A 'schema.table' qualified
+    * name is split and the schema half passed as the schemaPattern
+    * argument — passed whole it would never match TABLE_NAME, the
+    * upsert would think the table absent, and SaveMode.Overwrite would
+    * drop every existing row.
     */
   private def jdbcTableExists(url: String, table: String,
                               props: java.util.Properties): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val meta = conn.getMetaData
-      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-        val rs = meta.getTables(null, null, t, null)
-        try rs.next() finally rs.close()
+      val (schemaOpt, bare) = table.lastIndexOf('.') match {
+        case -1 => (None, table)
+        case i  => (Some(table.substring(0, i)), table.substring(i + 1))
       }
+      def spellings(s: String) = Set(s, s.toUpperCase, s.toLowerCase)
+      val tableNames = spellings(bare)
+      val schemaNames = schemaOpt.map(spellings)
+      def anyExact(schemaPattern: String, tablePattern: String): Boolean = {
+        val rs = meta.getTables(null, schemaPattern, tablePattern, null)
+        try {
+          var found = false
+          while (!found && rs.next()) {
+            val n = rs.getString("TABLE_NAME")
+            val s = Option(rs.getString("TABLE_SCHEM"))
+            found = tableNames.contains(n) &&
+              schemaNames.forall(sn => s.exists(sn.contains))
+          }
+          found
+        } finally rs.close()
+      }
+      tableNames.exists(t =>
+        schemaNames.map(_.exists(sc => anyExact(sc, t)))
+          .getOrElse(anyExact(null, t)))
     } finally conn.close()
   }
 

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * Iterative minimum-label propagation with pointer jumping: each
   * round every node adopts the smallest label among itself and its
-  * neighbors, then follows its label one more hop
-  * (label ← label(label)). The jump halves the distance a minimum
-  * still has to travel, so rounds are O(log diameter) instead of
-  * O(diameter) — a 1000-node chain converges in ~10 rounds, not 999.
+  * neighbors, then follows its label two more hops
+  * (label ← m(m(m(node))) where m is the propagate map). Each jump
+  * multiplies the distance a minimum travels per round, so rounds are
+  * O(log diameter) instead of O(diameter) — and the extra hop is one
+  * more equi-join inside the SAME checkpointed job, so on local/driver-
+  * latency-bound runs it halves the dominant cost (rounds × job
+  * latency) rather than adding work.
   *
   * Each round is a fixed number of distributed joins + one aggregate;
   * the driver only ever sees a converged flag. Lineage is truncated
@@ -20,6 +23,12 @@ import org.apache.spark.sql.functions._
   * re-materialized anyway for the convergence check), so plan depth
   * and analysis time stay constant no matter how many rounds run —
   * without it, iteration 20's logical plan nests all 19 predecessors.
+  *
+  * The loop runs on a FORKED session (`spark.newSession()` — shared
+  * SparkContext and cache, isolated SQL conf): its shuffles are sized
+  * to the GRAPH, not the session default, and flipping
+  * `spark.sql.shuffle.partitions` on the caller's session would leak
+  * the tiny loop parallelism into any query planned concurrently.
   */
 object Components {
 
@@ -27,31 +36,43 @@ object Components {
     * where component = min node id reachable. Deterministic.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIters)._1
+
+  /** As [[connectedComponents]], additionally returning the number of
+    * propagate+jump rounds the loop ran (for convergence assertions).
+    */
+  def connectedComponentsWithRounds(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 20): (DataFrame, Int) = {
     // materialize the edge list ONCE before mirroring it: the union's
     // two branches are renamed copies of the same subplan, and Spark
     // does not reuse exchanges across renamed branches — an expensive
     // upstream (e.g. a Jaccard pair join) would run twice
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .localCheckpoint(true)
-    // size the loop's shuffles to the GRAPH, not the session default:
-    // every round is a handful of stages, and on a small near-dup graph
-    // (thousands of edges) 32-partition stages are pure task-scheduling
-    // overhead × O(log diameter) rounds. The edge count is free — e0 is
-    // already materialized. Large graphs keep the session parallelism.
+    // size the loop's shuffles to the graph: every round is a handful
+    // of stages, and on a small near-dup graph (thousands of edges)
+    // 32-partition stages are pure task-scheduling overhead ×
+    // O(log diameter) rounds. The edge count is free — e0 is already
+    // materialized. Large graphs keep the session parallelism.
     val spark = edges.sparkSession
     val partsKey = "spark.sql.shuffle.partitions"
     val sessionParts = spark.conf.get(partsKey).toInt
     val loopParts = math.max(2L, math.min(sessionParts.toLong,
       e0.count() / 50000L + 1L)).toInt
-    val prevParts = spark.conf.get(partsKey)
-    spark.conf.set(partsKey, loopParts.toString)
-    try {
-      connectedLoop(e0, maxIters)
-    } finally spark.conf.set(partsKey, prevParts)
+    val loopSpark = spark.newSession()
+    loopSpark.conf.set(partsKey, loopParts.toString)
+    // re-home the checkpointed edges onto the forked session (the RDD
+    // is context-level, so this is a zero-copy re-wrap), run the loop
+    // there, and re-home the materialized result back onto the caller's
+    // session so downstream plans compose with caller DataFrames
+    val eLoop = loopSpark.createDataFrame(e0.rdd, e0.schema)
+    val (labels, rounds) = connectedLoop(eLoop, maxIters)
+    (spark.createDataFrame(labels.rdd, labels.schema), rounds)
   }
 
-  private def connectedLoop(e0: DataFrame, maxIters: Int): DataFrame = {
+  private def connectedLoop(e0: DataFrame, maxIters: Int): (DataFrame, Int) = {
     val und = e0
       .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
@@ -64,7 +85,7 @@ object Components {
     var i = 0
     while (!converged && i < maxIters) {
       // 1) propagate: adopt the min label among self and neighbors.
-      // The jump self-joins `mid`, but its expensive part (the
+      // The jumps self-join `mid`, but its expensive part (the
       // neighbor-min aggregate) terminates in an exchange, which AQE's
       // ReuseExchange dedupes across the renamed branches (measured:
       // checkpointing `mid` here bought nothing) — only `next` is
@@ -78,10 +99,11 @@ object Components {
         .join(neighborMin, "node")
         .select(col("node"), col("old"),
           least(col("old"), col("nmin")).as("mid"))
-      // 2) jump: label ← label(label). Every label IS a node id present
-      // in `mid` (labels only ever hold reachable node ids), so the
-      // inner join is total; jumped labels can only shrink further.
-      val jumpMap = mid.select(col("node").as("__jn"), col("mid").as("__jl"))
+      // 2) jump twice: label ← m(m(m(node))). Every label IS a node id
+      // present in `mid` (labels only ever hold reachable node ids), so
+      // both inner joins are total; jumped labels can only shrink.
+      val jm1 = mid.select(col("node").as("__jn1"), col("mid").as("__jl1"))
+      val jm2 = mid.select(col("node").as("__jn2"), col("mid").as("__jl2"))
       // eager localCheckpoint EVERY round: measured against the
       // cache-and-count-per-round alternative (checkpoint every 4th),
       // which re-evaluated the cached round chain and ran 4-6× slower —
@@ -91,10 +113,14 @@ object Components {
       // materializing action), so each round costs ONE driver action,
       // not a checkpoint + a second count scan — at ~15 rounds on
       // high-diameter graphs the per-action latency dominated local
-      // wall time.
+      // wall time. Convergence (no label shrank through the full
+      // composition) implies mid == old AND old is idempotent — i.e.
+      // the true fixed point, where every label is its component's min.
       val obs = new org.apache.spark.sql.Observation()
-      val next = mid.join(jumpMap, mid("mid") === jumpMap("__jn"))
-        .select(mid("node").as("node"), col("old"), col("__jl").as("label"))
+      val next = mid
+        .join(jm1, mid("mid") === jm1("__jn1"))
+        .join(jm2, col("__jl1") === jm2("__jn2"))
+        .select(mid("node").as("node"), col("old"), col("__jl2").as("label"))
         .observe(obs, sum(when(col("label") < col("old"), 1L)
           .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
@@ -107,6 +133,6 @@ object Components {
     und.unpersist()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc] rounds=$i converged=$converged")
-    labels.withColumnRenamed("label", "component")
+    (labels.withColumnRenamed("label", "component"), i)
   }
 }

@@ -67,6 +67,18 @@ object Corpus {
   def packGreedy(docs: DataFrame, idCol: String, textCol: String,
                  groupCol: String, budgetTokens: Int,
                  shardSize: Long = 1 << 20): DataFrame = {
+    // the shard must be monotone in the (group, id) layout order, which
+    // `id div shardSize` only is for integral ids. A string id would
+    // cast to NULL (inner-joining every row away, silently returning
+    // empty) or — for string-numerics — shard by lexicographic order
+    // while the local window sorts numerically, producing wrong bins.
+    // Fail loudly instead.
+    import org.apache.spark.sql.types._
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"packGreedy: idCol '$idCol' must be an integral type (got $idType); " +
+        "the shard key `id div shardSize` is only layout-order-monotone " +
+        "for integral ids")
     val toks = docs.select(col(idCol), col(groupCol),
         TextOps.tokenCount(col(textCol)).as("n_tok"))
       .withColumn("__shard", expr(s"cast(`$idCol` as bigint) div ${shardSize}L"))

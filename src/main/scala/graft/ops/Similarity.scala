@@ -124,9 +124,19 @@ object Similarity {
     * corpus; at scale the assignment is one broadcast pass and buckets
     * become the partitioning key. Recall is approximate by design —
     * cosineTopK is the exact baseline.
+    *
+    * CONTRACT for `probePred`: it is evaluated against the ids-only
+    * assignment relation, so it may reference ONLY `vec_id` and
+    * `bucket` (not the vector column), and it must select a SMALL
+    * probe set — probes and the probed-bucket list are force-broadcast
+    * (that is what bounds per-probe work to one bucket), so a
+    * predicate matching a large fraction of the corpus belongs in
+    * [[cosineTopK]] instead. Enforced with a driver-side size check
+    * before the broadcast.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              nCentroids: Int, probePred: Column, k: Int): DataFrame = {
+              nCentroids: Int, probePred: Column, k: Int,
+              maxProbes: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val cs = graft.functions.GraftFunctions.cosineSim _
@@ -149,8 +159,18 @@ object Similarity {
         .as("bucket"))
     // probes are tiny by predicate; restrict the corpus to members of
     // PROBED buckets on ids alone, then attach vectors once by id —
-    // vectors cross exactly one join, and only for surviving members
-    val probeAsg = asg.filter(probePred)
+    // vectors cross exactly one join, and only for surviving members.
+    // probeAsg is materialized eagerly: it feeds TWO downstream joins
+    // (so the assignment aggregate would otherwise replan twice), and
+    // the materialized count is the size guard that keeps the broadcast
+    // hints honest — a probe set past maxProbes would OOM the driver
+    // instead of degrading, so refuse it loudly.
+    val probeAsg = asg.filter(probePred).localCheckpoint(true)
+    val nProbes = probeAsg.count()
+    require(nProbes <= maxProbes,
+      s"ivfTopK: probePred selected $nProbes probes (> $maxProbes); " +
+        "probes are broadcast, so the predicate must pick a small probe " +
+        "set — use cosineTopK for corpus-scale scoring")
     val probes = probeAsg.join(all, "vec_id")
       .select(col("vec_id").as("q_id"), col("bucket"), col("v").as("qv"))
     val members = asg

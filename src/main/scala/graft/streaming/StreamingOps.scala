@@ -67,6 +67,16 @@ object StreamingOps {
     * pin state forever). Out-of-order events within the gap merge into
     * the open session without moving its frontier backwards.
     * The streaming twin of graft.ops.Sessionize.
+    *
+    * DIVERGENCE from the batch twin: an event older than the open
+    * session's start by more than the gap is DISCARDED — its session
+    * already closed and emitted, so it is treated like a
+    * watermark-late row even when it arrives within the declared
+    * `lateness`. A batch run over the same data emits it as a separate
+    * earlier session. Streaming cannot do that without unbounded
+    * state (re-opening arbitrarily old sessions), and merging it into
+    * the open session (the previous behavior) silently dragged `start`
+    * backwards; dropping is the bounded-state choice.
     */
   def sessionizeStream(events: Dataset[(Long, Timestamp)],
                        gapSeconds: Long,

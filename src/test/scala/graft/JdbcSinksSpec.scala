@@ -69,6 +69,39 @@ class JdbcSinksSpec extends SparkSpec {
     assert(r.getAs[Double]("temp") == -3.25)
   }
 
+  test("upsert existence probe is wildcard-safe: sibling tables don't mask absence") {
+    // "wXupsert2" exists; probing "w_upsert2" must NOT match it via the
+    // LIKE '_' wildcard — a false positive here is harmless (extra read),
+    // but the symmetric bug (schema-qualified name never matching) sent
+    // upsert into Overwrite and dropped rows, so pin both directions
+    val sibling = Seq(("Oslo", "NO", 1L, 2.0)).toDF("city", "country", "ts", "temp")
+    Sinks.jdbc(sibling, url, "wXupsert2", "insert", keys, props, varchar)
+    val base = Seq(("London", "GB", 1L, 15.5)).toDF("city", "country", "ts", "temp")
+    // first upsert: "w_upsert2" does not exist (only wXupsert2 does), so
+    // this must take the create path, not try to read a missing table
+    Sinks.jdbc(base, url, "w_upsert2", "upsert", keys, props, varchar)
+    assert(readBack("w_upsert2").count() == 1)
+    // second upsert MUST see the now-existing table and merge, not overwrite
+    val more = Seq(("Paris", "FR", 1L, 18.0)).toDF("city", "country", "ts", "temp")
+    Sinks.jdbc(more, url, "w_upsert2", "upsert", keys, props, varchar)
+    assert(readBack("w_upsert2").count() == 2)
+  }
+
+  test("upsert existence probe resolves schema-qualified names") {
+    // Derby default schema for unauthenticated connections is APP;
+    // an existing APP.w_qual probed as "APP.w_qual" must be FOUND —
+    // before the fix the qualified string was passed whole as the
+    // table pattern, never matched, and the merge overwrote the table
+    val base = Seq(("London", "GB", 1L, 15.5), ("Tokyo", "JP", 1L, 22.3))
+      .toDF("city", "country", "ts", "temp")
+    Sinks.jdbc(base, url, "w_qual", "insert", keys, props, varchar)
+    val updates = Seq(("Paris", "FR", 1L, 18.0)).toDF("city", "country", "ts", "temp")
+    Sinks.jdbc(updates, url, "APP.w_qual", "upsert", keys, props, varchar)
+    // merge semantics: existing 2 rows survive + 1 new — an Overwrite
+    // (the bug) would leave only 1
+    assert(readBack("w_qual").count() == 3)
+  }
+
   test("unknown strategy rejected") {
     val df = Seq(("London", "GB", 1L, 15.5)).toDF("city", "country", "ts", "temp")
     intercept[IllegalArgumentException] {

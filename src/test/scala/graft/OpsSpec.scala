@@ -107,6 +107,18 @@ class OpsSpec extends SparkSpec {
     assert(bins(("b", 0L)) == ((1L, 2L)))
   }
 
+  test("packGreedy rejects non-integral id columns loudly") {
+    import graft.ops.Corpus
+    // a string id would cast its shard to NULL (inner join silently
+    // empties the result) or shard in lexicographic order while the
+    // window sorts numerically — must fail fast instead
+    val d = Seq(("a1", "g", "w w")).toDF("doc_id", "grp", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.packGreedy(d, "doc_id", "text", "grp", budgetTokens = 16)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("keepRepresentatives drops near-dup cluster members, keeps the min id") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
       .select("doc_a", "doc_b")
@@ -117,10 +129,13 @@ class OpsSpec extends SparkSpec {
 
   test("connected components: pointer jumping converges on a deep chain") {
     // a 1000-node path has diameter 999: plain min-propagation would
-    // need 999 rounds; propagate+jump doubles reach per round, so the
-    // default maxIters=20 (≥ log2) must fully converge it
+    // need 999 rounds; propagate + double jump multiplies reach per
+    // round, so convergence must land well under the log2 bound (~11
+    // rounds) the single-jump variant needed
     val chain = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comp = ops.Components.connectedComponents(chain, "doc_a", "doc_b")
+    val (comp, rounds) =
+      ops.Components.connectedComponentsWithRounds(chain, "doc_a", "doc_b")
+    assert(rounds <= 9, s"double pointer jump should converge in <=9 rounds, took $rounds")
     assert(comp.count() == 1000)
     assert(comp.select(countDistinct($"component")).as[Long].head() == 1L)
     assert(comp.select(min($"component"), max($"component"))
