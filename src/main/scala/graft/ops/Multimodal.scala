@@ -1,28 +1,34 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque binary payloads with
   * typed metadata, processed by a batched per-partition decode stage.
   *
-  * The Spark-side shape is the real thing — binary column + metadata
-  * struct, mapPartitions over a typed Dataset (the Scala analogue of
-  * mapInPandas: one iterator per partition, amortized per-batch setup,
-  * no driver involvement, no per-row task overhead). The decode itself
-  * is a STUB: this container has no image/audio codecs, so
-  * [[decodeStub]] derives deterministic fake features from the bytes.
-  * Swapping in a real codec changes only the function body — the
-  * schema, partitioning and batching contracts stay as tested.
+  * The shape is mapPartitions over a typed Dataset (the Scala analogue
+  * of mapInPandas: one iterator per partition, amortized per-batch
+  * setup, no driver involvement, no per-row task overhead), and the
+  * image path is REAL: payloads are actual PNG files encoded with
+  * javax.imageio on the executors, and [[decodeImages]] parses the PNG
+  * container and pixel data back out — swapping in JPEG/WebP or an
+  * audio codec changes only the per-record function, never the schema,
+  * partitioning, or batching contracts.
   */
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, first_byte: Int, checksum: Long)
+  final case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int, px_sum: Long)
 
   /** documents → media table: payload = utf-8 bytes standing in for an
-    * encoded image/audio blob; `kind` + byte length as typed metadata.
+    * encoded blob; `kind` + byte length as typed metadata. Used by the
+    * codec-free frame-sampling path where byte offsets are the frame
+    * grid.
     */
   def toMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
@@ -30,26 +36,71 @@ object Multimodal {
       lit("text").as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB decode — deterministic fake feature extraction (byte length,
-    * first byte, additive checksum). A real decoder (JPEG dims, audio
-    * duration, frame samples) drops in here unchanged.
+  /** Deterministic tiny image per doc: dimensions derived from
+    * (doc_id, `sizeCol`), every pixel the same gray level
+    * doc_id % 256. Encoded as a REAL PNG with ImageIO on the
+    * executors — the payload column carries genuine image files, and
+    * because the fill is constant the decoded pixel sum has the closed
+    * form w·h·3·gray that a SQL oracle can state without a codec.
     */
-  def decodeStub(rec: MediaRecord): MediaFeatures = {
-    val bytes = rec.payload
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    MediaFeatures(rec.doc_id, bytes.length,
-      if (bytes.isEmpty) -1 else bytes(0) & 0xff, sum)
+  def toImageTable(docs: DataFrame, idCol: String, sizeCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(sizeCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // one scratch buffer per (w, h) within the partition would be
+        // possible; PNG encode of <16x16 images is already trivial
+        ImageIO.setUseCache(false) // no temp-file cache per encode
+        it.map { case (id, size) =>
+          val w = 8 + (math.floorMod(id, 9L)).toInt
+          val h = 8 + (math.floorMod(size, 7L)).toInt
+          val g = math.floorMod(id, 256L).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          (id, "image/png", bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "kind", "payload")
   }
 
-  /** Batched decode over partitions: iterator-in/iterator-out, so a
-    * real implementation can hold one codec instance per partition.
+  /** Real image decode over partitions: parse each payload as an
+    * actual image file (PNG/JPEG/anything ImageIO handles), extract
+    * width, height, and the sum of all RGB channel values. Undecodable
+    * payloads fail loudly — silently dropping a corrupt image would
+    * skew any downstream feature statistics.
     */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.select("doc_id", "kind", "payload").as[MediaRecord]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { rec =>
+          val img = ImageIO.read(new ByteArrayInputStream(rec.payload))
+          require(img != null,
+            s"doc ${rec.doc_id}: payload is not a decodable image")
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(rec.doc_id, img.getWidth, img.getHeight, sum)
+        }
+      }
   }
 
   /** Frame sampling plumbing: chunk the binary payload into fixed

@@ -524,8 +524,6 @@ object ExtensionQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
 
-    /** Multimodal plumbing: binary payload column + batched decode
-      * stub via typed mapPartitions (deterministic fake features). */
     /** Frame sampling over binary payloads: 64-byte frames, every 4th
       * kept (ASCII corpus → byte offsets == char offsets, so the
       * oracle can state it over text). */
@@ -542,15 +540,22 @@ object ExtensionQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    /** REAL image decode: each doc renders to an actual PNG (executor-
+      * side ImageIO encode, dims + gray level deterministic in
+      * (doc_id, n_chars)), then decodeImages parses the PNG container
+      * and pixels back. The constant-gray fill gives the decoded pixel
+      * sum the closed form w*h*3*gray, which is what lets a SQL engine
+      * with no codec state the oracle — the Spark side still round-
+      * trips real image bytes. */
     Q("mm_decode",
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  ascii(substring(text, 1, 1)) AS first_byte,
-        |  list_reduce(list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT),
-        |              (a, b) -> a + b) AS checksum
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(8 + n_chars % 7 AS INTEGER) AS height,
+        |  CAST((8 + doc_id % 9) * (8 + n_chars % 7) * 3 * (doc_id % 256) AS BIGINT) AS px_sum
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val media = Multimodal.toMediaTable(table(s, dir, "documents"), "doc_id", "text")
-      Multimodal.decodeFeatures(s, media).toDF()
-        .select("doc_id", "n_bytes", "first_byte", "checksum")
+      val media = Multimodal.toImageTable(table(s, dir, "documents"), "doc_id", "n_chars")
+      Multimodal.decodeImages(s, media).toDF()
+        .select("doc_id", "width", "height", "px_sum")
         .orderBy("doc_id")
     })
 }

@@ -64,13 +64,18 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Similarity.lshPairs(noVecs, "vec_id", "embedding").count() == 0)
   }
 
-  test("multimodal decode of empty payload reports sentinel first byte") {
-    val empty = Seq((1L, "")).toDF("doc_id", "text")
-    val feats = Multimodal.decodeFeatures(
-      spark, Multimodal.toMediaTable(empty, "doc_id", "text")).collect()
-    assert(feats.head.n_bytes == 0)
-    assert(feats.head.first_byte == -1)
-    assert(feats.head.checksum == 0L)
+  test("multimodal decode of a non-image payload fails loudly") {
+    // corrupt/undecodable media must not silently vanish from the
+    // feature table — downstream stats would skew
+    val notAnImage = Seq((1L, "plain text")).toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(
+        spark, Multimodal.toMediaTable(notAnImage, "doc_id", "text")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains("not a decodable image"))))
   }
 
   test("corpus ops on empty input: sample, vocab, packing, representatives") {

@@ -151,14 +151,26 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("multimodal decode stub: deterministic features from bytes") {
-    val media = Multimodal.toMediaTable(docs, "doc_id", "text")
+  test("multimodal: payloads are real PNGs and decode round-trips pixels") {
+    val sized = docs.withColumn("n_chars", length($"text"))
+    val media = Multimodal.toImageTable(sized, "doc_id", "n_chars")
     assert(media.schema("payload").dataType.typeName == "binary")
-    val feats = Multimodal.decodeFeatures(spark, media)
+    // the payload really is a PNG file: magic bytes 89 50 4E 47
+    val payload = media.filter($"doc_id" === 1L)
+      .select("payload").as[Array[Byte]].head()
+    assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+      payload(2) == 'N'.toByte && payload(3) == 'G'.toByte)
+    // and an independent JVM-side decode agrees with the operator
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val feats = Multimodal.decodeImages(spark, media)
       .collect().map(f => f.doc_id -> f).toMap
-    assert(feats(1L).n_bytes == "the quick brown fox jumps over the lazy dog today".length)
-    assert(feats(1L).first_byte == 't'.toInt)
-    assert(feats(1L).checksum == feats(2L).checksum) // identical payloads
-    assert(feats(1L).checksum != feats(4L).checksum)
+    assert(feats(1L).width == img.getWidth)
+    assert(feats(1L).height == img.getHeight)
+    // constant-gray fill: decoded pixel sum has the closed form
+    val nChars = "the quick brown fox jumps over the lazy dog today".length
+    val (w, h, g) = (8 + (1 % 9), 8 + (nChars % 7), 1 % 256)
+    assert(feats(1L).width == w && feats(1L).height == h)
+    assert(feats(1L).px_sum == w.toLong * h * 3 * g)
   }
 }
