@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — prints ONE JSON line with per-query seconds.
+/** Benchmark main — prints ONE JSON line with per-query seconds and
+  * writes the SAME complete JSON to a file
+  * (`SPARK_GRAFT_BENCH_OUT`, default `bench_out.json` in the CWD), so
+  * a tail-clipped stdout capture can never lose the first queries.
   *
   * Methodology: one untimed warmup pass (JIT, codegen caches, parquet
   * footers, broadcast builds), then ≥2 timed steady-state iterations
@@ -11,6 +14,13 @@ import org.apache.spark.sql.SparkSession
   * whichever query runs first. A query that throws is reported as -1
   * and named in an "errors" array — a fast failure must not silently
   * improve the total.
+  *
+  * Self-diagnosis: the JSON carries the machine's load average at
+  * start/end, GC time/count over the timed phase, and available
+  * processors. A run polluted by machine contention (the r3 driver
+  * bench measured 70 s for a suite an idle box runs in 42 s) is
+  * identifiable from the artifact alone: high load ⇒ rerun, don't
+  * conclude a regression.
   */
 object Bench {
   private val Iters = 2
@@ -18,6 +28,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = os.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,6 +47,15 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    import scala.jdk.CollectionConverters._
+    // (time in ms, collection count); beans report -1 when unsupported
+    def gcTotals(): (Long, Long) = {
+      val beans =
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      (beans.map(b => math.max(0L, b.getCollectionTime)).sum,
+        beans.map(b => math.max(0L, b.getCollectionCount)).sum)
+    }
+    val (gcMs0, gcN0) = gcTotals()
     val results = queries.map { case (name, fn) =>
       val times = (1 to Iters).map { _ =>
         val t0 = System.nanoTime()
@@ -43,12 +65,20 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    val (gcMs1, gcN1) = gcTotals()
+    val loadEnd = os.getSystemLoadAverage
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, -1.0) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val env = s""""env":{"cpus":$cpus,"available_processors":${os.getAvailableProcessors},""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+      s""""gc_ms":${gcMs1 - gcMs0},"gc_count":${gcN1 - gcN0}}"""
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir",$env}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
   }
 }
