@@ -86,4 +86,45 @@ class EtlSpec extends SparkSpec {
     etl.Quality.gate(metrics, etl.Quality.Thresholds(
       minRetention = 0.5, minAvgQuality = 70, minRecords = 5))
   }
+
+  test("quality report artifact: per-run JSON with the reference's shape") {
+    // reference: airflow_dag/weather_etl_dag.py:301-346 — one JSON doc
+    // with run date + ingestion/transformation/loading sections and an
+    // overall status, written under a timestamped name
+    val events = io.Sources.table(spark, sf, "events")
+    val weather = Pipeline.transform(Pipeline.weatherFromEvents(events))
+    val inputCount = events.count()
+    val metrics = etl.Quality.qualityMetrics(weather, inputCount).first()
+    etl.Quality.gate(metrics, etl.Quality.Thresholds(
+      minRetention = 0.5, minAvgQuality = 70, minRecords = 5))
+    val outDir = java.nio.file.Files.createTempDirectory("qreport").toString
+    val runTime = java.time.ZonedDateTime.of(
+      2023, 11, 7, 12, 34, 56, 0, java.time.ZoneOffset.UTC)
+    val path = etl.Quality.report(
+      outDir,
+      ingestion = Seq(
+        "records_ingested" -> inputCount,
+        "cities_count" -> metrics.getAs[Long]("cities_count"),
+        "ingestion_timestamp" -> runTime.toOffsetDateTime.toString),
+      transformation = metrics,
+      loading = Seq(
+        "records_loaded" -> metrics.getAs[Long]("records_after_cleaning")),
+      runTime = runTime)
+    assert(path.getFileName.toString == "report_20231107_123456.json")
+    // parse the artifact back with Spark's JSON reader — a malformed
+    // doc would come back as _corrupt_record
+    val back = spark.read.option("multiLine", "true").json(path.toString)
+    assert(!back.columns.contains("_corrupt_record"))
+    val r = back.first()
+    assert(r.getAs[String]("overall_status") == "SUCCESS")
+    assert(r.getAs[String]("pipeline_run_date").startsWith("2023-11-07T12:34:56"))
+    import org.apache.spark.sql.Row
+    val tr = r.getAs[Row]("transformation")
+    assert(tr.getAs[Long]("records_after_cleaning") ==
+      metrics.getAs[Long]("records_after_cleaning"))
+    assert(tr.getAs[Double]("data_retention_rate") > 0.5)
+    assert(r.getAs[Row]("ingestion").getAs[Long]("records_ingested") == inputCount)
+    assert(r.getAs[Row]("loading").getAs[Long]("records_loaded") ==
+      metrics.getAs[Long]("records_after_cleaning"))
+  }
 }
