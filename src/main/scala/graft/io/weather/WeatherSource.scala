@@ -92,7 +92,35 @@ object WeatherScan {
       maxRetries = options.getOrElse("maxretries", "3").toInt,
       backoffMs = options.getOrElse("backoffms", "1000").toLong,
       timeoutMs = options.getOrElse("timeoutms", "10000").toInt,
-      failFast = options.getOrElse("failfast", "false").toBoolean)
+      failFast = options.getOrElse("failfast", "false").toBoolean,
+      skips = scala.util.Try(org.apache.spark.sql.SparkSession.active)
+        .toOption.map(s => WeatherMetrics.accumulator(s,
+          options.getOrElse("skipmetricname", WeatherMetrics.DefaultName))))
+}
+
+/** Executor→driver side channel for per-city fetch failures. A city
+  * that fails after retries is SKIPPED, not fatal — the reference logs
+  * each one (reference: src/ingest.py:142-145); silently dropping them
+  * would make a partial ingest indistinguishable from a complete one.
+  * Every skip bumps a named LongAccumulator, which (a) surfaces in the
+  * Spark UI per stage and (b) is queryable in code via [[skipCount]]
+  * after the scan's action completes. Accumulator semantics apply:
+  * at-least-once under task retries — a monitoring signal, not an
+  * exactly-once ledger. One accumulator per name, shared by every scan
+  * using that name (set `skipMetricName` per read to isolate counts);
+  * for a streaming read the count accumulates across micro-batches.
+  */
+object WeatherMetrics {
+  val DefaultName = "graft-weather.skipped_cities"
+  private val accs =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.LongAccumulator]
+  def accumulator(spark: org.apache.spark.sql.SparkSession,
+                  name: String = DefaultName): org.apache.spark.util.LongAccumulator =
+    accs.getOrElseUpdate(name, spark.sparkContext.longAccumulator(name))
+  def skipCount(name: String = DefaultName): Long =
+    accs.get(name).map(_.value.longValue).getOrElse(0L)
+  def reset(name: String = DefaultName): Unit =
+    accs.get(name).foreach(_.reset())
 }
 
 /** Offset = number of completed polls. */
@@ -155,7 +183,8 @@ final case class CityPartition(city: String, country: String) extends InputParti
 
 final case class WeatherReaderFactory(urlTemplate: String, maxRetries: Int,
                                       backoffMs: Long, timeoutMs: Int,
-                                      failFast: Boolean)
+                                      failFast: Boolean,
+                                      skips: Option[org.apache.spark.util.LongAccumulator] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CityPartition]
@@ -175,8 +204,11 @@ final case class WeatherReaderFactory(urlTemplate: String, maxRetries: Int,
             row = WeatherFetch.parse(new String(bytes, "UTF-8"))
           } catch {
             // after retries: skip the city, don't fail the job
-            // (reference: src/ingest.py:110-120 returns None)
-            case e: Exception => if (failFast) throw e
+            // (reference: src/ingest.py:110-120 returns None) — but
+            // COUNT it so a partial ingest is visible to the driver
+            case e: Exception =>
+              if (failFast) throw e
+              skips.foreach(_.add(1L))
           }
         }
         row != null

@@ -82,6 +82,30 @@ class WeatherSourceSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { strict.count() }
   }
 
+  test("skipped cities surface in the queryable skip-count channel") {
+    import graft.io.weather.WeatherMetrics
+    val dir = writeFixtures(("London", "GB", 15.5))
+    val metric = "graft-weather.skips.spec"
+    val df = spark.read.format("graft-weather")
+      .option("cities", "London:GB,Atlantis:XX,ElDorado:YY") // 2 missing fixtures
+      .option("urlTemplate", s"file://$dir/{city}.json")
+      .option("maxRetries", "0").option("backoffMs", "1")
+      .option("skipMetricName", metric)
+      .load()
+    WeatherMetrics.reset(metric)
+    assert(df.count() == 1)
+    assert(WeatherMetrics.skipCount(metric) == 2L)
+    // a fully successful pass adds nothing
+    WeatherMetrics.reset(metric)
+    val ok = spark.read.format("graft-weather")
+      .option("cities", "London:GB")
+      .option("urlTemplate", s"file://$dir/{city}.json")
+      .option("skipMetricName", metric)
+      .load()
+    assert(ok.count() == 1)
+    assert(WeatherMetrics.skipCount(metric) == 0L)
+  }
+
   test("streaming read polls every city once per trigger") {
     val dir = writeFixtures(("London", "GB", 15.5), ("Tokyo", "JP", 22.0))
     val stream = spark.readStream.format("graft-weather")
