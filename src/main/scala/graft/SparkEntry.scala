@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Views
 import graft.etl.Pipeline
 import graft.io.Sources
-import graft.queries.{AnalyticsQueries, EtlQueries, ExtensionQueries, PipelineQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, EtlQueries, ExtensionQueries, IoQueries, PipelineQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
 
   val registry: Seq[Q] =
     EtlQueries.all ++ AnalyticsQueries.all ++ ExtensionQueries.all ++
-      PipelineQueries.all ++ StreamingQueries.all
+      PipelineQueries.all ++ StreamingQueries.all ++ IoQueries.all
 
   /** Flagship: the reference's full 5-stage ETL pipeline (clean →
     * normalize → enrich → validate) over the corpus events table,

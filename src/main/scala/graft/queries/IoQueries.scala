@@ -1,0 +1,248 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.io.{Sinks, Sources}
+import graft.io.Sources.table
+
+/** Write-then-read-back registrations for the side-effecting §2
+  * source/sink operators, so the DuckDB oracle literally verifies
+  * every SURVEY key rather than delegating sinks to ScalaTest alone.
+  *
+  * Pattern per query: write DETERMINISTIC content (derived from the
+  * corpus tables) through the real sink to a fresh temp target, read
+  * it back through the matching source, ORDER BY a total order; the
+  * oracle states the same rows straight from the parquet tables (or
+  * as literals for fixture-driven sources). A lossy round trip —
+  * dropped rows, type drift, format truncation — breaks the hash.
+  *
+  * Each invocation gets a fresh temp dir / unique table name:
+  * re-running a query (Bench runs each 3×) must not see the previous
+  * run's appends.
+  */
+object IoQueries {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+  private def uniq(tag: String): String = s"${tag}_${ctr.incrementAndGet()}"
+
+  private val derbyUrl = "jdbc:derby:memory:graftio;create=true"
+  private def derbyProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** OpenWeatherMap-shaped fixture (reference: tests/conftest.py:122-145)
+    * served over file:// for the DSv2 source round trip.
+    */
+  private def weatherFixture(city: String, country: String, temp: Double,
+                             humidity: Int): String =
+    s"""{
+       |  "coord": {"lon": -0.1278, "lat": 51.5074},
+       |  "weather": [{"id": 801, "main": "Clouds", "description": "few clouds", "icon": "02d"}],
+       |  "main": {"temp": $temp, "feels_like": 14.25, "pressure": 1013, "humidity": $humidity},
+       |  "visibility": 10000,
+       |  "wind": {"speed": 3.25, "deg": 180},
+       |  "clouds": {"all": 40},
+       |  "dt": 1699358400,
+       |  "sys": {"country": "$country"},
+       |  "name": "$city", "cod": 200
+       |}""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    /** sink_csv (reference: src/transform.py:324-325): supplier →
+      * header CSV → declared-schema read-back. Doubles survive because
+      * both the writer and the parser use shortest-round-trip decimal
+      * text. */
+    Q("sink_csv",
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val sup = table(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val out = tmp("sink_csv")
+      Sinks.csv(sup, out)
+      Sources.csv(s, out, sup.schema).orderBy("s_suppkey")
+    },
+
+    /** sink_json (reference: src/transform.py:326-327): customer →
+      * JSON lines → declared-schema read-back. */
+    Q("sink_json",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val out = tmp("sink_json")
+      Sinks.json(c, out)
+      Sources.json(s, out, c.schema).orderBy("c_custkey")
+    },
+
+    /** sink_parquet (reference: src/transform.py:328-329): orders →
+      * parquet → read-back (lossless by construction; the round trip
+      * proves the writer wrote every row). */
+    Q("sink_parquet",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val out = tmp("sink_parquet")
+      Sinks.parquet(o, out)
+      s.read.parquet(out).orderBy("o_orderkey")
+    },
+
+    /** sink_jdbc_insert (reference: src/load.py:319-343): nation →
+      * batched INSERTs into embedded Derby → JDBC read-back. */
+    Q("sink_jdbc_insert",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val n = table(s, dir, "nation")
+      val t = uniq("io_jdbc_ins")
+      Sinks.jdbc(n, derbyUrl, t, "insert", Seq("n_nationkey"), derbyProps,
+        Some("n_name VARCHAR(64)"))
+      s.read.jdbc(derbyUrl, t, derbyProps).orderBy("n_nationkey")
+    },
+
+    /** sink_jdbc_replace (reference: src/load.py:345-369): seed the
+      * table with 25 nation-shaped rows, REPLACE with the 5 regions —
+      * the read-back seeing only regions proves the drop happened. */
+    Q("sink_jdbc_replace",
+      """SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      val seed = table(s, dir, "nation")
+        .select(col("n_nationkey").as("r_regionkey"), col("n_name").as("r_name"))
+      val r = table(s, dir, "region")
+      val t = uniq("io_jdbc_rep")
+      Sinks.jdbc(seed, derbyUrl, t, "insert", Seq("r_regionkey"), derbyProps,
+        Some("r_name VARCHAR(64)"))
+      Sinks.jdbc(r, derbyUrl, t, "replace", Seq("r_regionkey"), derbyProps,
+        Some("r_name VARCHAR(64)"))
+      s.read.jdbc(derbyUrl, t, derbyProps).orderBy("r_regionkey")
+    },
+
+    /** sink_metrics (reference: src/load.py:488-521): a one-row audit
+      * append whose full metrics map is also serialized to a
+      * metrics_json column; the oracle reconstructs the exact JSON
+      * text, so serialization drift breaks the hash. */
+    Q("sink_metrics",
+      """SELECT n_regions, n_nations,
+        |  '{"n_regions":' || n_regions || ',"n_nations":' || n_nations || '}'
+        |    AS metrics_json
+        |FROM (SELECT (SELECT count(*) FROM region) AS n_regions,
+        |             (SELECT count(*) FROM nation) AS n_nations)""".stripMargin) { (s, dir) =>
+      val m = table(s, dir, "region").agg(count(lit(1)).as("n_regions"))
+        .crossJoin(table(s, dir, "nation").agg(count(lit(1)).as("n_nations")))
+      val out = tmp("sink_metrics")
+      Sinks.appendMetrics(m, out)
+      s.read.parquet(out).select("n_regions", "n_nations", "metrics_json")
+    },
+
+    /** sink_history (reference: src/load.py:523-554): run-level audit
+      * rows APPEND across batches — two appends into the same target
+      * must both survive the read-back. */
+    Q("sink_history",
+      """SELECT batch_id, n_rows FROM (VALUES
+        |  (1, (SELECT count(*) FROM region)),
+        |  (2, (SELECT count(*) FROM nation))) AS t(batch_id, n_rows)
+        |ORDER BY batch_id""".stripMargin) { (s, dir) =>
+      val out = tmp("sink_history")
+      val b1 = table(s, dir, "region").agg(count(lit(1)).as("n_rows"))
+        .select(lit(1).as("batch_id"), col("n_rows"))
+      val b2 = table(s, dir, "nation").agg(count(lit(1)).as("n_rows"))
+        .select(lit(2).as("batch_id"), col("n_rows"))
+      Sinks.append(b1, out)
+      Sinks.append(b2, out)
+      s.read.parquet(out).orderBy("batch_id")
+    },
+
+    /** ddl_create (reference: src/load.py:80-263, sql/schema.sql:9-39):
+      * register a parquet-backed table in the session catalog and
+      * query it BY NAME — the catalog indirection is what's tested. */
+    Q("ddl_create",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val n = table(s, dir, "nation")
+      val path = tmp("ddl_create")
+      Sinks.parquet(n, path)
+      val name = uniq("graft_ddl")
+      Sinks.registerTable(s, name, path)
+      s.table(name).orderBy("n_nationkey")
+    },
+
+    /** src_csv (reference: airflow_dag/weather_etl_dag.py:182,251-255):
+      * declared-schema CSV read including a TIMESTAMP column — the
+      * round trip proves the schema-first parse (no inference). */
+    Q("src_csv",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 150 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders").filter(col("o_orderkey") % 150 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val out = tmp("src_csv")
+      Sinks.csv(o, out)
+      Sources.csv(s, out, o.schema).orderBy("o_orderkey")
+    },
+
+    /** src_config_json (reference: src/ingest.py:192-213, config/
+      * cities.json): the cities config reader over a real file; the
+      * oracle states the file's content as literals. */
+    Q("src_config_json",
+      """SELECT * FROM (VALUES
+        |  ('Lima', 'PE'), ('London', 'GB'), ('Oslo', 'NO'), ('Quito', 'EC'))
+        |  AS t(city, country_code)
+        |ORDER BY city""".stripMargin) { (s, _) =>
+      val cfg = Files.createTempDirectory("graft_cfg").resolve("cities.json")
+      Files.writeString(cfg,
+        """{"city": "Oslo", "country_code": "NO"}
+          |{"city": "Lima", "country_code": "PE"}
+          |{"city": "London", "country_code": "GB"}
+          |{"city": "Quito", "country_code": "EC"}
+          |""".stripMargin)
+      Sources.citiesConfig(s, cfg.toString).orderBy("city")
+    },
+
+    /** src_http_json (reference: src/ingest.py:63-120): the DSv2
+      * weather source against file:// fixture endpoints — one fetch
+      * per city partition, parsed into the 14-column schema; the
+      * oracle states the fixtures' parsed values as literals
+      * (fractionals cast ::DOUBLE — DuckDB literals are DECIMAL). */
+    Q("src_http_json",
+      """SELECT * FROM (VALUES
+        |  ('London', 'GB', TIMESTAMP '2023-11-07 12:00:00', 15.5::DOUBLE,
+        |   14.25::DOUBLE, 65, 1013, 'few clouds', 3.25::DOUBLE, 180, 40,
+        |   10.0::DOUBLE, 51.5074::DOUBLE, -0.1278::DOUBLE),
+        |  ('Tokyo', 'JP', TIMESTAMP '2023-11-07 12:00:00', 22.0::DOUBLE,
+        |   14.25::DOUBLE, 71, 1013, 'few clouds', 3.25::DOUBLE, 180, 40,
+        |   10.0::DOUBLE, 51.5074::DOUBLE, -0.1278::DOUBLE))
+        |  AS t(city, country, "timestamp", temperature, feels_like, humidity,
+        |       pressure, description, wind_speed, wind_direction, cloudiness,
+        |       visibility, lat, lon)
+        |ORDER BY city""".stripMargin) { (s, _) =>
+      val dir = Files.createTempDirectory("graft_api")
+      Files.writeString(dir.resolve("London.json"),
+        weatherFixture("London", "GB", 15.5, 65))
+      Files.writeString(dir.resolve("Tokyo.json"),
+        weatherFixture("Tokyo", "JP", 22.0, 71))
+      s.read.format("graft-weather")
+        .option("cities", "London:GB,Tokyo:JP")
+        .option("urlTemplate", s"file://$dir/{city}.json")
+        .load()
+        .orderBy("city")
+    },
+
+    /** sort_views (reference: sql/schema.sql:82-129 — every reference
+      * view carries a multi-key ORDER BY): mixed-direction sort with a
+      * deterministic tiebreak, planned as TakeOrderedAndProject. */
+    Q("sort_views",
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+        |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      table(s, dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc,
+          col("c_custkey").asc)
+        .limit(100)
+    })
+}
