@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-file compaction — the table-maintenance operator every
+  * long-lived 100-TB dataset needs: streaming sinks and per-batch
+  * appends accumulate thousands of small files, and scan cost is
+  * driven by file COUNT (footer reads, task scheduling, open/close)
+  * long before it is driven by bytes.
+  *
+  * Sizing comes from the file-system LISTING (driver metadata — one
+  * RPC per directory, never a data scan): target file count =
+  * ceil(total bytes / targetBytes). The rewrite uses coalesce, not
+  * repartition — compaction is a narrow merge of existing partitions
+  * and must not pay a full shuffle of the data it is merging;
+  * coalesce's partition imbalance is bounded by the input files'
+  * own size skew, which for append-accumulated small files is small.
+  */
+object Compaction {
+
+  /** Total bytes + file count of the parquet data files under `path`
+    * (driver-side listing; `_`-prefixed metadata files excluded).
+    */
+  def fileStats(spark: SparkSession, path: String): (Long, Int) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    (files.map(_.getLen).sum, files.length)
+  }
+
+  /** Rewrite `inPath` → `outPath` with files sized toward
+    * `targetBytes`. Returns the chosen output file count.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val (bytes, _) = fileStats(spark, inPath)
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    nOut
+  }
+
+  /** Compact and return the result relation (for registry queries that
+    * verify the rewrite preserved every row).
+    */
+  def compactAndRead(spark: SparkSession, inPath: String, outPath: String,
+                     targetBytes: Long): DataFrame = {
+    compact(spark, inPath, outPath, targetBytes)
+    spark.read.parquet(outPath)
+  }
+}

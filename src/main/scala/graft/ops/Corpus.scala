@@ -43,6 +43,20 @@ object Corpus {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Token-length histogram: docs bucketed by `n_tok div width`. The
+    * corpus-composition statistic every pretraining run wants
+    * (sequence-length planning, truncation-rate estimates): one narrow
+    * map + one shuffle on the bucket id, with map-side partial
+    * aggregation — at 100 TB the output is ~max_len/width rows
+    * regardless of corpus size.
+    */
+  def tokenLenHistogram(docs: DataFrame, textCol: String,
+                        bucketWidth: Int): DataFrame =
+    docs.select(TextOps.tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $bucketWidth"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+
   /** Greedy sequence packing — concatenate-and-chop: docs are laid out
     * in a deterministic order (id) per group (language), and each doc
     * is assigned to the context-window bin its STARTING token offset

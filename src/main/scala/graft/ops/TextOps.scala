@@ -76,4 +76,37 @@ object TextOps {
     * fixed 8-byte shuffle key instead of the full document text.
     */
   def fingerprint(text: Column): Column = Parity.md5_60(normalized(text))
+
+  /** PII patterns shared by [[redactPii]] and its counters. Kept to
+    * constructs with identical semantics in Java regex and RE2
+    * (character classes, bounded repeats, \d, \b) so the DuckDB oracle
+    * can run the very same patterns.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\d{9,}"
+
+  /** PII redaction — the scrub pass a training corpus runs before
+    * anything else sees the text: emails, IPv4 addresses, and long
+    * digit runs (card/SSN/phone-shaped) replaced with typed tokens.
+    * Order matters and is fixed: emails first (their local parts often
+    * contain digit runs), then IPs (octets are short, but a redacted
+    * long-number inside an IP would break the later pattern), then
+    * bare long numbers. Pure chained regexp_replace — codegen'd, one
+    * narrow map over the corpus, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Match counts per PII class on the RAW text (counted before any
+    * replacement so classes don't shadow each other).
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(LongNumRe), lit(0))).cast("long"))
 }

@@ -184,6 +184,74 @@ object ExtensionQueries {
       Corpus.vocabTopK(table(s, dir, "documents"), "text", 50)
     },
 
+    /** PII redaction: emails → <EMAIL>, IPv4 → <IP>, long digit runs →
+      * <NUM>, counted per class on the raw text. The corpus text
+      * carries no PII, so each doc is deterministically augmented with
+      * synthetic PII derived from its id — both engines build the same
+      * augmented string and must scrub it identically. */
+    Q("text_redact_pii",
+      """WITH a AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com or 10.0.'
+        |      || (doc_id % 256) || '.7 card 4111111111111111' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(aug, '\d{9,}'))::BIGINT AS n_longnums,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{9,}', '<NUM>', 'g') AS red
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or 10.0."), pmod(col("doc_id"), lit(256)),
+        lit(".7 card 4111111111111111"))
+      val base = table(s, dir, "documents").select(col("doc_id"), aug.as("aug"))
+      val (ne, ni, nn) = TextOps.piiCounts(col("aug"))
+      base.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"),
+          nn.as("n_longnums"), TextOps.redactPii(col("aug")).as("red"))
+        .orderBy("doc_id")
+    },
+
+    /** Token-length histogram: corpus composition by `n_tok div 16`
+      * bucket — output is bounded by max doc length, not corpus size. */
+    Q("text_len_hist",
+      """WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents)
+        |SELECT n_tok // 16 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Corpus.tokenLenHistogram(table(s, dir, "documents"), "text", 16)
+        .orderBy("bucket")
+    },
+
+    /** Symmetric int8 embedding quantization: per-vector scale =
+      * max|v|, q = floor(v/scale*127 + 0.5); verified through the
+      * quantized sum and L1 mass (any per-dim divergence shifts L1). */
+    Q("embed_quantize",
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+        |s AS (SELECT vec_id, vd,
+        |    list_reduce(list_transform(vd, x -> abs(x)),
+        |                (a, b) -> greatest(a, b)) AS scale FROM v),
+        |q AS (SELECT vec_id, scale,
+        |    CASE WHEN scale = 0.0 THEN list_transform(vd, x -> 0::BIGINT)
+        |         ELSE list_transform(vd,
+        |           x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT)) END AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  list_reduce(qv, (a, b) -> a + b) AS q_sum,
+        |  list_reduce(list_transform(qv, x -> abs(x)), (a, b) -> a + b) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val q = Similarity.quantizeInt8(table(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      q.select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(transform(col("q"), x => abs(x)), lit(0L),
+            (a, x) => a + x).as("q_l1"))
+        .orderBy("vec_id")
+    },
+
     /** Greedy sequence packing: per-language concatenate-and-chop into
       * 2048-token context bins via one running-sum window. */
     Q("pack_greedy",

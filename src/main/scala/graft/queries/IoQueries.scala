@@ -232,6 +232,23 @@ object IoQueries {
         .orderBy("city")
     },
 
+    /** compact_files: table maintenance for append-accumulated small
+      * files — fragment supplier into 32 tiny files, compact toward an
+      * 8 MB target (→ 1 file), and prove the rewrite kept every row.
+      * File-count mechanics are asserted in CompactionSpec; the oracle
+      * checks content preservation. */
+    Q("compact_files",
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val sup = table(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val frag = tmp("compact_in")
+      val out = tmp("compact_out")
+      sup.repartition(32).write.mode("overwrite").parquet(frag)
+      graft.ops.Compaction.compactAndRead(s, frag, out, targetBytes = 8L << 20)
+        .orderBy("s_suppkey")
+    },
+
     /** sort_views (reference: sql/schema.sql:82-129 — every reference
       * view carries a multi-key ORDER BY): mixed-direction sort with a
       * deterministic tiebreak, planned as TakeOrderedAndProject. */

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import graft.ops.Compaction
+
+/** Small-file compaction: sizing from the file listing, narrow
+  * (shuffle-free) rewrite, content preservation.
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction merges fragmented files toward the byte target, keeping rows") {
+    val in = Files.createTempDirectory("compact_in").toString
+    val out = Files.createTempDirectory("compact_out").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    val (bytes, nIn) = Compaction.fileStats(spark, in)
+    assert(nIn == 40 && bytes > 0)
+
+    val nOut = Compaction.compact(spark, in, out, targetBytes = 64L << 20)
+    assert(nOut == 1) // 40 tiny files fit one 64 MB target
+    val (_, nOutFiles) = Compaction.fileStats(spark, out)
+    assert(nOutFiles == 1)
+    // every row survived the rewrite
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 1000L))
+  }
+
+  test("target sizing: ceil(bytes/target) output files, floor of 1") {
+    val in = Files.createTempDirectory("compact_sz_in").toString
+    val out = Files.createTempDirectory("compact_sz_out").toString
+    (1 to 500).map(i => (i.toLong, "x" * 100)).toDF("id", "pad")
+      .repartition(10).write.mode("overwrite").parquet(in)
+    val (bytes, _) = Compaction.fileStats(spark, in)
+    // target = ~half the data → 2 files (narrow coalesce, no shuffle)
+    val nOut = Compaction.compact(spark, in, out, targetBytes = (bytes + 1) / 2)
+    assert(nOut == 2)
+    assert(Compaction.fileStats(spark, out)._2 == 2)
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, in, out, targetBytes = 0)
+    }
+  }
+}

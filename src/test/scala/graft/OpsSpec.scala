@@ -151,6 +151,53 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("redactPii scrubs emails, IPs and long digit runs; counts are per-class") {
+    val d = Seq(
+      (1L, "mail a.b+c@ex-1.org then 192.168.0.1 card 4111111111111111 ok"),
+      (2L, "no pii here, just 1234 and v2.0 and a.b")
+    ).toDF("doc_id", "text")
+    val (ne, ni, nn) = TextOps.piiCounts($"text")
+    val out = d.select($"doc_id", ne.as("ne"), ni.as("ni"), nn.as("nn"),
+      TextOps.redactPii($"text").as("red")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("red") ==
+      "mail <EMAIL> then <IP> card <NUM> ok")
+    assert(out(1L).getAs[Long]("ne") == 1 && out(1L).getAs[Long]("ni") == 1 &&
+      out(1L).getAs[Long]("nn") == 1)
+    assert(out(2L).getAs[String]("red") ==
+      "no pii here, just 1234 and v2.0 and a.b") // untouched
+    assert(out(2L).getAs[Long]("ne") == 0 && out(2L).getAs[Long]("ni") == 0 &&
+      out(2L).getAs[Long]("nn") == 0)
+  }
+
+  test("tokenLenHistogram buckets by n_tok div width") {
+    import graft.ops.Corpus
+    val d = Seq((1L, "a b c"), (2L, "a b c d"), (3L, ("w " * 17).trim))
+      .toDF("doc_id", "text") // 3, 4, 17 tokens; width 4 → buckets 0,1,4
+    val h = Corpus.tokenLenHistogram(d, "text", 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h == Map(0L -> ((1L, 3L)), 1L -> ((1L, 4L)), 4L -> ((1L, 17L))))
+  }
+
+  test("quantizeInt8: bounded reconstruction error, exact extremes, zero vector") {
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector → all-zero q
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2))).toMap
+    val (s0, q0) = rows(0L)
+    assert(s0 == 1.0)
+    assert(q0 == Seq(64L, -127L, 32L, 0L)) // floor(±x*127+0.5)
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    q0.zip(orig).foreach { case (q, v) =>
+      assert(math.abs(q * s0 / 127.0 - v) <= s0 / 254.0 + 1e-12)
+    }
+    val (s1, q1) = rows(1L)
+    assert(s1 == 0.0 && q1 == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("multimodal: payloads are real PNGs and decode round-trips pixels") {
     val sized = docs.withColumn("n_chars", length($"text"))
     val media = Multimodal.toImageTable(sized, "doc_id", "n_chars")
