@@ -565,7 +565,13 @@ object ExtensionQueries {
 
     /** dedup_near_corpus — the end product of the near-dup pipeline:
       * the corpus with every Jaccard ≥ 0.6 cluster collapsed to its
-      * minimum-id representative (pairs → components → anti join). */
+      * minimum-id representative (pairs → components → anti join).
+      * Local wall time (>3 s at sf0.1) is dominated by the gram-join
+      * pair generation plus the components loop's per-round driver
+      * actions, not data volume: every exchange carries ids or gram
+      * hashes, the anti join is ids-only, and the loop's shuffles are
+      * sized to the (tiny) pair graph — the plan scales with corpus
+      * bytes, the local floor is fixed job latency. */
     Q("dedup_near_corpus",
       s"""WITH RECURSIVE $gramsCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
