@@ -84,7 +84,9 @@ object Sources {
       if (df.limit(1).count() == 0) throw new RuntimeException("empty config")
       df
     } catch {
-      case _: Throwable =>
+      // NonFatal only: a corrupt/missing config falls back, but OOM or
+      // interrupts must still propagate
+      case scala.util.control.NonFatal(_) =>
         import spark.implicits._
         fallback.toDF("city", "country_code")
     }
