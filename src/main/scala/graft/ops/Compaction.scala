@@ -51,4 +51,42 @@ object Compaction {
     compact(spark, inPath, outPath, targetBytes)
     spark.read.parquet(outPath)
   }
+
+  /** Partitioned-table form — the shape a 100-TB table actually needs:
+    * each `col=value` partition directory is compacted INDEPENDENTLY
+    * and IN PLACE, so maintenance of a years-deep table is incremental
+    * and restartable (one small job per fragmented partition, never a
+    * single table-wide rewrite), and partitions already at or under
+    * `minFiles` files are not touched at all — their files stay
+    * byte-identical.
+    *
+    * The in-place rewrite reads a partition and overwrites the same
+    * directory, so the merged rows cross an EAGER localCheckpoint
+    * barrier first: the write must never hold a lineage dependency on
+    * the files it is about to delete (the same invariant as the upsert
+    * sinks — a cache is not a crash barrier).
+    *
+    * Returns (partition directory name, output file count) for each
+    * partition that was rewritten.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetBytes: Long,
+                         minFiles: Int = 2): Seq[(String, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    partDirs.toSeq.flatMap { d =>
+      val (bytes, nFiles) = fileStats(spark, d.getPath.toString)
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (nFiles <= math.max(minFiles - 1, nOut)) None
+      else {
+        val merged = spark.read.parquet(d.getPath.toString)
+          .coalesce(nOut).localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(d.getPath.toString)
+        Some(d.getPath.getName -> nOut)
+      }
+    }
+  }
 }

@@ -27,6 +27,30 @@ class CompactionSpec extends SparkSpec {
     assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 1000L))
   }
 
+  test("partitioned compaction rewrites only fragmented partitions, in place") {
+    val root = Files.createTempDirectory("compact_part").toString
+    // date=a: fragmented (20 files); date=b: already compact (1 file)
+    (1 to 400).map(i => (i.toLong, "a")).toDF("id", "date")
+      .repartition(20).write.partitionBy("date").mode("overwrite").parquet(root)
+    (401 to 500).map(i => (i.toLong, "b")).toDF("id", "date")
+      .coalesce(1).write.partitionBy("date").mode("append").parquet(root)
+    val bBefore = Compaction.fileStats(spark, s"$root/date=b")
+    val bNames = new java.io.File(s"$root/date=b").list().sorted.toSeq
+
+    val done = Compaction.compactPartitioned(spark, root, targetBytes = 64L << 20)
+    assert(done.map(_._1) == Seq("date=a")) // only the fragmented one
+    assert(done.head._2 == 1)
+    assert(Compaction.fileStats(spark, s"$root/date=a")._2 == 1)
+    // untouched partition: same files, same bytes
+    assert(Compaction.fileStats(spark, s"$root/date=b") == bBefore)
+    assert(new java.io.File(s"$root/date=b").list().sorted.toSeq == bNames)
+    // every row survived; the partition column still reads back
+    val back = spark.read.parquet(root)
+    assert(back.count() == 500)
+    assert(back.filter($"date" === "a").count() == 400)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 500L))
+  }
+
   test("target sizing: ceil(bytes/target) output files, floor of 1") {
     val in = Files.createTempDirectory("compact_sz_in").toString
     val out = Files.createTempDirectory("compact_sz_out").toString
