@@ -57,6 +57,40 @@ object Corpus {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
 
+  /** Domain-blocklist filtering — the C4/RefinedWeb-style source
+    * filter: drop any doc containing a URL whose host is blocklisted.
+    * For a config-sized blocklist the membership test is a pure
+    * codegen'd Column (arrays_overlap against a literal array): no
+    * join, no shuffle, one narrow map over the corpus. A
+    * million-domain blocklist would swap in explode → broadcast semi
+    * join → anti join by id under the same contract.
+    */
+  def filterByDomainBlocklist(docs: DataFrame, textCol: String,
+                              blocklist: Seq[String]): DataFrame =
+    docs.filter(!arrays_overlap(
+      TextOps.domains(col(textCol)), typedLit(blocklist)))
+
+  /** Bigram repetition ratio — the Gopher/MassiveText-style repetition
+    * signal: max bigram frequency over total bigrams per doc. High
+    * ratios mark boilerplate/spam (the failure mode length and
+    * stopword heuristics miss). Shape: explode bigrams → two hash
+    * aggregates keyed by doc — both shuffles carry (id, 8-byte-ish
+    * gram) pairs with map-side partial aggregation; docs under 2
+    * tokens have no bigrams and drop out (nothing to measure).
+    */
+  def repetitionRatio(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(Dedup.ngramsOfTokens(col("__toks"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"))
+      .withColumn("rep_ratio",
+        col("max_rep").cast("double") / col("n_bigrams").cast("double"))
+
   /** Greedy sequence packing — concatenate-and-chop: docs are laid out
     * in a deterministic order (id) per group (language), and each doc
     * is assigned to the context-window bin its STARTING token offset

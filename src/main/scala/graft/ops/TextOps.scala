@@ -109,4 +109,11 @@ object TextOps {
     size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"),
     size(regexp_extract_all(text, lit(LongNumRe), lit(0))).cast("long"))
+
+  /** URL host extraction (capture group 1) — the entity a
+    * source-quality filter keys on.
+    */
+  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+  def domains(text: Column): Column =
+    regexp_extract_all(text, lit(UrlHostRe), lit(1))
 }

@@ -225,6 +225,47 @@ object ExtensionQueries {
         .orderBy("bucket")
     },
 
+    /** Domain-blocklist source filter: docs are deterministically
+      * augmented with a URL whose host depends on doc_id, then docs
+      * whose host is blocklisted are dropped — survivors have
+      * doc_id % 7 outside {0, 3}. Membership is a pure codegen'd
+      * arrays_overlap, no join. */
+    Q("text_domain_filter",
+      """WITH a AS (SELECT doc_id, n_chars,
+        |    text || ' see https://site' || (doc_id % 7) || '.example.com/page ok' AS aug
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM a
+        |WHERE NOT list_has_any(
+        |  regexp_extract_all(aug, 'https?://([A-Za-z0-9.-]+)', 1),
+        |  ['site0.example.com', 'site3.example.com'])
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = concat(col("text"), lit(" see https://site"),
+        pmod(col("doc_id"), lit(7)), lit(".example.com/page ok"))
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), aug.as("aug"))
+      Corpus.filterByDomainBlocklist(d, "aug",
+          Seq("site0.example.com", "site3.example.com"))
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
+    /** Bigram repetition ratio: max bigram frequency / total bigrams
+      * per doc — the boilerplate/spam signal length and stopword
+      * heuristics miss. */
+    Q("text_repetition",
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(lower(trim(text)), ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, g FROM tok,
+        |  UNNEST(list_transform(range(1, greatest(len(t)-1,0)+1),
+        |                        i -> array_to_string(t[i:i+1], ' '))) AS u(g)),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(c) AS BIGINT) AS max_rep,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.repetitionRatio(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     /** Symmetric int8 embedding quantization: per-vector scale =
       * max|v|, q = floor(v/scale*127 + 0.5); verified through the
       * quantized sum and L1 mass (any per-dim divergence shifts L1). */

@@ -170,6 +170,37 @@ class OpsSpec extends SparkSpec {
       out(2L).getAs[Long]("nn") == 0)
   }
 
+  test("domain blocklist filter drops docs with blocked hosts only") {
+    import graft.ops.Corpus
+    val d = Seq(
+      (1L, "read https://bad.example.com/x and more"),
+      (2L, "read https://ok.example.org/y and http://also.fine.net z"),
+      (3L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val kept = Corpus.filterByDomainBlocklist(d, "text", Seq("bad.example.com"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+    assert(TextOps.domains($"text") != null) // host extraction is group 1
+    val hosts = d.filter($"doc_id" === 2L)
+      .select(TextOps.domains($"text")).as[Seq[String]].head()
+    assert(hosts == Seq("ok.example.org", "also.fine.net"))
+  }
+
+  test("repetitionRatio flags the boilerplate doc") {
+    import graft.ops.Corpus
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now"),  // "buy now"/"now buy" dominate
+      (2L, "all these words appear only once here"),
+      (3L, "x")                                 // <2 tokens → no row
+    ).toDF("doc_id", "text")
+    val r = Corpus.repetitionRatio(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(!r.contains(3L))
+    assert(r(1L)._1 == 7L && r(1L)._2 == 4L) // 7 bigrams, "buy now" ×4
+    assert(r(1L)._3 > 0.5 && r(2L)._3 < 0.2)
+    assert(r(2L)._2 == 1L)
+  }
+
   test("tokenLenHistogram buckets by n_tok div width") {
     import graft.ops.Corpus
     val d = Seq((1L, "a b c"), (2L, "a b c d"), (3L, ("w " * 17).trim))
