@@ -89,6 +89,48 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Benchmark-containment pairs — the DECONTAMINATION metric: how
+    * much of a benchmark doc's gram set appears in a corpus doc,
+    * containment = |grams(corpus) ∩ grams(bench)| / |grams(bench)|.
+    * Asymmetric by design (unlike Jaccard): a short eval question
+    * embedded verbatim in a long web page scores ~1.0 on containment
+    * but near 0 on Jaccard — exactly the leak a train/test split has
+    * to catch. Candidates come from the same gram-hash equi-join as
+    * Jaccard (never a cross join); the benchmark side is typically
+    * tiny (an eval set) and broadcasts.
+    */
+  def containmentPairs(corpus: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    val cg = gramTable(corpus, idCol, textCol, n)
+      .select(col("doc_id").as("corpus_id"),
+        Parity.md5_60(col("gram")).as("gram"))
+    val bg = gramTable(bench, idCol, textCol, n)
+      .select(col("doc_id").as("bench_id"),
+        Parity.md5_60(col("gram")).as("gram"))
+      .withColumn("nb",
+        count(lit(1)).over(Window.partitionBy(col("bench_id"))))
+    cg.join(bg, "gram")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_inter"), max(col("nb")).as("nb"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("nb").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("corpus_id", "bench_id", "containment")
+  }
+
+  /** The corpus with every doc that contains a benchmark doc (at
+    * `threshold` containment) removed — ids-only anti join, the
+    * pre-training decontamination pass.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int, threshold: Double): DataFrame = {
+    val hits = containmentPairs(corpus, bench, idCol, textCol, n, threshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** MinHash family: h_i(g) = (a_i · (md5_60(g) mod P) + b_i) mod P.
     * One md5 per gram, then cheap integer mixing per hash function —
     * coefficients are deterministic (and mirrored into the oracle SQL).

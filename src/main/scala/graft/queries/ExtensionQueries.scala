@@ -225,6 +225,31 @@ object ExtensionQueries {
         .orderBy("bucket")
     },
 
+    /** Decontamination: the corpus minus every doc CONTAINING a
+      * benchmark doc at >= 0.8 trigram containment (|∩|/|bench grams|
+      * — asymmetric, so a short eval question verbatim inside a long
+      * page is caught even though its Jaccard is ~0). Benchmark here =
+      * the doc_id % 97 == 0 subset standing in for an external eval
+      * set; candidates come from the gram-hash equi-join, removal is
+      * an ids-only anti join. */
+    Q("dedup_decontaminate",
+      s"""WITH RECURSIVE $gramsCte,
+         |bsz AS (SELECT doc_id AS bid, COUNT(*) AS nb FROM grams
+         |  WHERE doc_id % 97 = 0 GROUP BY 1),
+         |pairs AS (SELECT c.doc_id AS cid, b.doc_id AS bid, COUNT(*) AS ni
+         |  FROM grams c JOIN grams b ON c.g = b.g
+         |  WHERE b.doc_id % 97 = 0 GROUP BY 1, 2),
+         |hits AS (SELECT DISTINCT cid FROM pairs JOIN bsz USING (bid)
+         |  WHERE CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.8::DOUBLE)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT cid FROM hits)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      Dedup.decontaminate(docs, bench, "doc_id", "text", 3, 0.8)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
     /** Domain-blocklist source filter: docs are deterministically
       * augmented with a URL whose host depends on doc_id, then docs
       * whose host is blocklisted are dropped — survivors have

@@ -170,6 +170,25 @@ class OpsSpec extends SparkSpec {
       out(2L).getAs[Long]("nn") == 0)
   }
 
+  test("containment catches a short benchmark doc inside a long page; decontaminate removes it") {
+    val corpus = Seq(
+      (1L, "intro words here the capital of france is paris end of page extra"),
+      (2L, "totally unrelated content about spark shuffles and partitions"),
+      (3L, "the capital of france is paris")  // exact leak of the benchmark
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the capital of france is paris")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, bench, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 1 embeds the benchmark verbatim → containment 1.0 even though
+    // Jaccard vs the long page would be far below threshold
+    assert(pairs((1L, 100L)) == 1.0)
+    assert(pairs((3L, 100L)) == 1.0)
+    assert(!pairs.contains((2L, 100L)))
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", 3, 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L))
+  }
+
   test("domain blocklist filter drops docs with blocked hosts only") {
     import graft.ops.Corpus
     val d = Seq(
