@@ -78,6 +78,21 @@ class EdgeCasesSpec extends SparkSpec {
       chain(e).exists(c => Option(c.getMessage).exists(_.contains("not a decodable image"))))
   }
 
+  test("new corpus ops on degenerate input: empty blocklist, empty benchmark, empty corpus") {
+    import graft.ops.Corpus
+    val d = Seq((1L, "some text with https://a.example.com inside"))
+      .toDF("doc_id", "text")
+    // empty blocklist blocks nothing
+    assert(Corpus.filterByDomainBlocklist(d, "text", Nil).count() == 1)
+    // empty benchmark contaminates nothing
+    val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.decontaminate(d, noBench, "doc_id", "text", 3, 0.8).count() == 1)
+    // empty corpus flows through repetition/histogram/quantize
+    assert(Corpus.repetitionRatio(noDocs, "doc_id", "text").count() == 0)
+    assert(Corpus.tokenLenHistogram(noDocs, "text", 16).count() == 0)
+    assert(Similarity.quantizeInt8(noVecs, "vec_id", "embedding").count() == 0)
+  }
+
   test("corpus ops on empty input: sample, vocab, packing, representatives") {
     import graft.ops.Corpus
     assert(Corpus.hashSample(noDocs, "doc_id", lit(50)).count() == 0)

@@ -135,4 +135,42 @@ class PlansSpec extends SparkSpec {
       assert(codegen.contains("WholeStageCodegen"), s"$q fell out of codegen")
     }
   }
+
+  test("redact/quantize/domain-filter are narrow maps: no join, no aggregate exchange") {
+    // each must plan as scan → project/filter (+ the final ORDER BY
+    // sort exchange) — a join or hash-aggregate appearing here means
+    // the operator stopped being a per-row map
+    Seq("text_redact_pii", "embed_quantize", "text_domain_filter").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join")
+      assert(!p.contains("HashAggregate"), s"$q must not aggregate")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q: expected only the ORDER BY exchange, got $exchanges")
+    }
+  }
+
+  test("decontaminate candidates are an equi-join on gram hashes, no cartesian") {
+    val p = plan("dedup_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment candidates must come from the gram equi-join")
+    assert(p.contains("LeftAnti"), "removal must be an anti join")
+  }
+
+  test("repetition ratio aggregates with map-side partials") {
+    val p = plan("text_repetition")
+    assert(p.contains("partial_"), "expected partial aggregation before the shuffle")
+    assert(!p.contains("Join"), "per-doc stats need no join")
+  }
+
+  test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
+    import spark.implicits._
+    (1 to 100).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir).coalesce(2)
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("Coalesce"), "expected narrow coalesce")
+    assert(!p.contains("Exchange"), "compaction must not shuffle the data it merges")
+  }
 }
