@@ -112,15 +112,23 @@ object WeatherScan {
   */
 object WeatherMetrics {
   val DefaultName = "graft-weather.skipped_cities"
+  // keyed by (applicationId, name), not name alone: a name-only cache
+  // would hand back the accumulator of a STOPPED SparkContext after a
+  // session restart, and every skip count would silently vanish
   private val accs =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.LongAccumulator]
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.util.LongAccumulator]
   def accumulator(spark: org.apache.spark.sql.SparkSession,
                   name: String = DefaultName): org.apache.spark.util.LongAccumulator =
-    accs.getOrElseUpdate(name, spark.sparkContext.longAccumulator(name))
+    accs.getOrElseUpdate((spark.sparkContext.applicationId, name),
+      spark.sparkContext.longAccumulator(name))
+  private def activeAppId: Option[String] =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active)
+      .toOption.map(_.sparkContext.applicationId)
   def skipCount(name: String = DefaultName): Long =
-    accs.get(name).map(_.value.longValue).getOrElse(0L)
+    activeAppId.flatMap(id => accs.get((id, name)))
+      .map(_.value.longValue).getOrElse(0L)
   def reset(name: String = DefaultName): Unit =
-    accs.get(name).foreach(_.reset())
+    activeAppId.flatMap(id => accs.get((id, name))).foreach(_.reset())
 }
 
 /** Offset = number of completed polls. */

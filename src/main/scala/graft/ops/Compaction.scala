@@ -52,21 +52,42 @@ object Compaction {
     spark.read.parquet(outPath)
   }
 
+  /** Leaf partition directories under `root`: `col=value` directories
+    * that contain no further `col=value` subdirectories — the
+    * directories that hold data files in a (possibly multi-level,
+    * `date=…/hour=…`) Hive layout. Driver-side listing only.
+    */
+  private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                root: Path): Seq[Path] = {
+    def walk(dir: Path): Seq[Path] = {
+      val subParts = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subParts.isEmpty) Seq(dir)
+      else subParts.toSeq.flatMap(s => walk(s.getPath))
+    }
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .toSeq.flatMap(s => walk(s.getPath))
+  }
+
   /** Partitioned-table form — the shape a 100-TB table actually needs:
-    * each `col=value` partition directory is compacted INDEPENDENTLY
-    * and IN PLACE, so maintenance of a years-deep table is incremental
-    * and restartable (one small job per fragmented partition, never a
-    * single table-wide rewrite), and partitions already at or under
-    * `minFiles` files are not touched at all — their files stay
-    * byte-identical.
+    * each LEAF partition directory (multi-level `date=…/hour=…` layouts
+    * included) is compacted INDEPENDENTLY, so maintenance of a
+    * years-deep table is incremental and restartable (one small job per
+    * fragmented partition, never a single table-wide rewrite).
+    * Partitions with `minFiles` or fewer files are not touched at all —
+    * their files stay byte-identical.
     *
-    * The in-place rewrite reads a partition and overwrites the same
-    * directory, so the merged rows cross an EAGER localCheckpoint
-    * barrier first: the write must never hold a lineage dependency on
-    * the files it is about to delete (the same invariant as the upsert
-    * sinks — a cache is not a crash barrier).
+    * Durability: the merged output is fully written to a hidden TEMP
+    * sibling first, then swapped in with two metadata renames (old →
+    * trash, temp → partition) before the old files are deleted — the
+    * original files exist on disk until the replacement is completely
+    * committed. A localCheckpoint would not give this: checkpoint
+    * blocks live on executors, so an executor loss mid-overwrite would
+    * leave the partition partially deleted and unrecomputable —
+    * lineage truncation is not durability.
     *
-    * Returns (partition directory name, output file count) for each
+    * Returns (root-relative partition path, output file count) for each
     * partition that was rewritten.
     */
   def compactPartitioned(spark: SparkSession, path: String,
@@ -75,17 +96,26 @@ object Compaction {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partDirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    partDirs.toSeq.flatMap { d =>
-      val (bytes, nFiles) = fileStats(spark, d.getPath.toString)
+    val rootUri = fs.makeQualified(root).toUri
+    leafPartitionDirs(fs, root).flatMap { d =>
+      val (bytes, nFiles) = fileStats(spark, d.toString)
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (nFiles <= math.max(minFiles - 1, nOut)) None
+      if (nFiles <= math.max(minFiles, nOut)) None
       else {
-        val merged = spark.read.parquet(d.getPath.toString)
-          .coalesce(nOut).localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(d.getPath.toString)
-        Some(d.getPath.getName -> nOut)
+        // dot-prefixed siblings are invisible to Spark's file listing,
+        // so concurrent readers of the table never see the temp or the
+        // trashed originals as data
+        val tmp = new Path(d.getParent, s".${d.getName}.graft-compact-tmp")
+        val trash = new Path(d.getParent, s".${d.getName}.graft-compact-old")
+        fs.delete(tmp, true); fs.delete(trash, true)
+        spark.read.parquet(d.toString).coalesce(nOut)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(d, trash), s"compactPartitioned: rename $d -> $trash failed")
+        require(fs.rename(tmp, d), s"compactPartitioned: rename $tmp -> $d failed")
+        fs.delete(trash, true)
+        val rel = rootUri.relativize(fs.makeQualified(d).toUri).getPath
+          .stripSuffix("/")
+        Some(rel -> nOut)
       }
     }
   }

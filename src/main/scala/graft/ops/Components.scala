@@ -62,9 +62,18 @@ object Components {
     val loopParts = math.max(2L, math.min(sessionParts.toLong,
       e0.count() / 50000L + 1L)).toInt
     val loopSpark = spark.newSession()
+    // newSession() starts from the BASE conf, not the caller's runtime
+    // conf — AQE/ANSI/timezone settings the caller set at runtime (the
+    // loop's exchange-reuse note depends on AQE) would silently not
+    // apply inside the loop. Copy the caller's modifiable runtime conf
+    // over, THEN override the loop's shuffle parallelism.
+    spark.conf.getAll.foreach { case (key, v) =>
+      if (loopSpark.conf.isModifiable(key)) loopSpark.conf.set(key, v)
+    }
     loopSpark.conf.set(partsKey, loopParts.toString)
-    // re-home the checkpointed edges onto the forked session (the RDD
-    // is context-level, so this is a zero-copy re-wrap), run the loop
+    // re-home the checkpointed edges onto the forked session (the RDD is
+    // context-level and already materialized; createDataFrame re-wraps
+    // it with a row-conversion step, not a data copy), run the loop
     // there, and re-home the materialized result back onto the caller's
     // session so downstream plans compose with caller DataFrames
     val eLoop = loopSpark.createDataFrame(e0.rdd, e0.schema)

@@ -64,11 +64,17 @@ object Corpus {
     * join, no shuffle, one narrow map over the corpus. A
     * million-domain blocklist would swap in explode → broadcast semi
     * join → anti join by id under the same contract.
+    *
+    * NULL text extracts NULL (not empty) domains, and
+    * `!arrays_overlap(NULL, …)` is NULL — which a filter drops. A
+    * scrub filter must never delete rows it did not match, so the
+    * domain array is coalesced to empty: NULL-text docs pass through.
     */
   def filterByDomainBlocklist(docs: DataFrame, textCol: String,
                               blocklist: Seq[String]): DataFrame =
     docs.filter(!arrays_overlap(
-      TextOps.domains(col(textCol)), typedLit(blocklist)))
+      coalesce(TextOps.domains(col(textCol)), array()),
+      typedLit(blocklist)))
 
   /** Bigram repetition ratio — the Gopher/MassiveText-style repetition
     * signal: max bigram frequency over total bigrams per doc. High

@@ -23,7 +23,7 @@ object Multimodal {
 
   final case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
   final case class ImageFeatures(
-      doc_id: Long, width: Int, height: Int, px_sum: Long)
+      doc_id: Long, kind: String, width: Int, height: Int, px_sum: Long)
 
   /** documents → media table: payload = utf-8 bytes standing in for an
     * encoded blob; `kind` + byte length as typed metadata. Used by the
@@ -43,6 +43,26 @@ object Multimodal {
     * because the fill is constant the decoded pixel sum has the closed
     * form w·h·3·gray that a SQL oracle can state without a codec.
     */
+  /** Encode one constant-gray w×h image through ImageIO in `fmt`
+    * ("png", "jpg", …) — the shared executor-side encode kernel.
+    */
+  private def encodeConstantImage(id: Long, size: Long, fmt: String): Array[Byte] = {
+    val w = 8 + (math.floorMod(id, 9L)).toInt
+    val h = 8 + (math.floorMod(size, 7L)).toInt
+    val g = math.floorMod(id, 256L).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
   def toImageTable(docs: DataFrame, idCol: String, sizeCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -53,20 +73,32 @@ object Multimodal {
         // possible; PNG encode of <16x16 images is already trivial
         ImageIO.setUseCache(false) // no temp-file cache per encode
         it.map { case (id, size) =>
-          val w = 8 + (math.floorMod(id, 9L)).toInt
-          val h = 8 + (math.floorMod(size, 7L)).toInt
-          val g = math.floorMod(id, 256L).toInt
-          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-          val rgb = (g << 16) | (g << 8) | g
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(img, "png", bos)
-          (id, "image/png", bos.toByteArray)
+          (id, "image/png", encodeConstantImage(id, size, "png"))
+        }
+      }
+      .toDF("doc_id", "kind", "payload")
+  }
+
+  /** Mixed-codec variant: even doc_ids encode as PNG, odd as JPEG —
+    * two real container formats through the same write path, decoded
+    * by the SAME [[decodeImages]]. This is what proves the decode
+    * stage is format-agnostic (ImageIO container sniffing), not a
+    * PNG-only parser. JPEG is lossy, so only dimensions and kind are
+    * exact for the oracle; the near-exact pixel sum (constant-fill
+    * images are DC-only for JPEG) is tolerance-checked in the spec.
+    */
+  def toImageTableMixed(docs: DataFrame, idCol: String, sizeCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(sizeCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, size) =>
+          if (id % 2 == 0)
+            (id, "image/png", encodeConstantImage(id, size, "png"))
+          else
+            (id, "image/jpeg", encodeConstantImage(id, size, "jpg"))
         }
       }
       .toDF("doc_id", "kind", "payload")
@@ -98,7 +130,7 @@ object Multimodal {
             }
             y += 1
           }
-          ImageFeatures(rec.doc_id, img.getWidth, img.getHeight, sum)
+          ImageFeatures(rec.doc_id, rec.kind, img.getWidth, img.getHeight, sum)
         }
       }
   }

@@ -56,18 +56,30 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k: the probe set is collected and
-    * broadcast (the build side of a broadcast nested-loop join — tiny
-    * by construction); the corpus streams through a compiled scoring
-    * kernel without shuffling; only (probes × corpus) score rows reach
-    * the top-k window.
+    * broadcast (the build side of a broadcast nested-loop join); the
+    * corpus streams through a compiled scoring kernel without
+    * shuffling; only (probes × corpus) score rows reach the top-k
+    * window.
+    *
+    * The probe set must be SMALL — it is collected to the driver and
+    * broadcast — so an over-broad `probePred` is refused loudly
+    * (counted before the collect, same contract as [[ivfTopK]]): a
+    * corpus-sized predicate here would OOM the driver instead of
+    * degrading.
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
-                 probePred: Column, k: Int): DataFrame = {
+                 probePred: Column, k: Int,
+                 maxProbes: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val all = typed(emb, idCol, vecCol)
-    val probes = typed(emb.filter(probePred), idCol, vecCol)
-      .collect().map { case (id, v) => (id, v, normK(v)) }
+    val probeDs = typed(emb.filter(probePred), idCol, vecCol)
+    val nProbes = probeDs.count()
+    require(nProbes <= maxProbes,
+      s"cosineTopK: probePred selected $nProbes probes (> $maxProbes); " +
+        "probes are collected and broadcast, so the predicate must pick " +
+        "a small probe set")
+    val probes = probeDs.collect().map { case (id, v) => (id, v, normK(v)) }
     val bc = spark.sparkContext.broadcast(probes)
     val scored = all.mapPartitions { rows =>
       val qs = bc.value

@@ -502,6 +502,29 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    /** join_salted — skew-safe JOIN on the hot event_type key
+      * (graft.ops.Skew.saltedJoin): events (fact) join a per-type
+      * dimension with the fact side salted and the dim replicated per
+      * salt. Exact, so the oracle is the plain join; the no-monster-
+      * task property is pinned in OpsSpec (partition row-count spread
+      * with broadcast disabled). */
+    Q("join_salted",
+      s"""WITH dim AS (SELECT event_type, COUNT(*) AS type_n
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, COUNT(*) AS n, MAX(d.type_n) AS type_n,
+         |  ${dsumSql("e.value", "sum_value")}
+         |FROM events e JOIN dim d USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val events = table(s, dir, "events")
+      val dim = events.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"))
+      graft.ops.Skew.saltedJoin(events, dim, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("type_n")).as("type_n"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     /** agg_approx — sketch aggregates (HLL distinct count, quantile
       * sketch). No DuckDB oracle: sketch implementations differ by
       * design; the driver records a rows-present check and AggSpec

@@ -697,5 +697,23 @@ object ExtensionQueries {
       Multimodal.decodeImages(s, media).toDF()
         .select("doc_id", "width", "height", "px_sum")
         .orderBy("doc_id")
+    },
+
+    /** Format-agnostic decode: even doc_ids render as PNG, odd as
+      * JPEG, and ONE decodeImages call handles both — proving the
+      * decode stage is container sniffing, not a PNG-only parser.
+      * JPEG is lossy, so the oracle pins the codec-exact outputs
+      * (kind, dimensions); the near-exact JPEG pixel sums are
+      * tolerance-checked in OpsSpec. */
+    Q("mm_decode_mixed",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS kind,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(8 + n_chars % 7 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.toImageTableMixed(table(s, dir, "documents"), "doc_id", "n_chars")
+      Multimodal.decodeImages(s, media).toDF()
+        .select("doc_id", "kind", "width", "height")
+        .orderBy("doc_id")
     })
 }

@@ -36,6 +36,22 @@ object IoQueries {
     p
   }
 
+  /** Drop a Derby table if present. Every invocation creates a fresh
+    * uniquely-named table in the SHARED in-memory `graftio` database,
+    * so without teardown a soak-looped bench (warmup + N timed passes
+    * per query) grows the JVM-resident database without bound. The
+    * read-back is materialized (eager localCheckpoint) before the drop
+    * runs, so the returned relation never holds a lineage dependency
+    * on the dropped table. 42Y55 = "table does not exist" — tolerated
+    * so teardown after a failed write does not mask the real error.
+    */
+  private def dropDerby(table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(derbyUrl, derbyProps)
+    try conn.createStatement().executeUpdate(s"DROP TABLE $table")
+    catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+    finally conn.close()
+  }
+
   /** OpenWeatherMap-shaped fixture (reference: tests/conftest.py:122-145)
     * served over file:// for the DSv2 source round trip.
     */
@@ -100,9 +116,12 @@ object IoQueries {
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
       val n = table(s, dir, "nation")
       val t = uniq("io_jdbc_ins")
-      Sinks.jdbc(n, derbyUrl, t, "insert", Seq("n_nationkey"), derbyProps,
-        Some("n_name VARCHAR(64)"))
-      s.read.jdbc(derbyUrl, t, derbyProps).orderBy("n_nationkey")
+      try {
+        Sinks.jdbc(n, derbyUrl, t, "insert", Seq("n_nationkey"), derbyProps,
+          Some("n_name VARCHAR(64)"))
+        s.read.jdbc(derbyUrl, t, derbyProps).orderBy("n_nationkey")
+          .localCheckpoint(true)
+      } finally dropDerby(t)
     },
 
     /** sink_jdbc_replace (reference: src/load.py:345-369): seed the
@@ -115,11 +134,14 @@ object IoQueries {
         .select(col("n_nationkey").as("r_regionkey"), col("n_name").as("r_name"))
       val r = table(s, dir, "region")
       val t = uniq("io_jdbc_rep")
-      Sinks.jdbc(seed, derbyUrl, t, "insert", Seq("r_regionkey"), derbyProps,
-        Some("r_name VARCHAR(64)"))
-      Sinks.jdbc(r, derbyUrl, t, "replace", Seq("r_regionkey"), derbyProps,
-        Some("r_name VARCHAR(64)"))
-      s.read.jdbc(derbyUrl, t, derbyProps).orderBy("r_regionkey")
+      try {
+        Sinks.jdbc(seed, derbyUrl, t, "insert", Seq("r_regionkey"), derbyProps,
+          Some("r_name VARCHAR(64)"))
+        Sinks.jdbc(r, derbyUrl, t, "replace", Seq("r_regionkey"), derbyProps,
+          Some("r_name VARCHAR(64)"))
+        s.read.jdbc(derbyUrl, t, derbyProps).orderBy("r_regionkey")
+          .localCheckpoint(true)
+      } finally dropDerby(t)
     },
 
     /** sink_metrics (reference: src/load.py:488-521): a one-row audit

@@ -123,5 +123,75 @@ object StreamingQueries {
       s.read.parquet(out)
         .select("user_id", "event_type", "event_id", "value")
         .orderBy("user_id", "event_type")
+    },
+
+    /** Gap sessionization through the REAL streaming engine on Spark
+      * 4's transformWithState + the RocksDB state store
+      * (StreamingOps.sessionizeStreamTws) — the last operator family
+      * that was verified only in ScalaTest. Append mode emits CLOSED
+      * sessions only, so the prepared input adds one far-future
+      * sentinel event per user (> gap past every real event): the
+      * sentinel gap-closes each user's final session inside the
+      * engine, while the sentinel's own session stays open in state
+      * and never emits — the emitted set is exactly the batch
+      * sessionization of the real events, which is what the oracle
+      * states (same formulation as the batch `sessionize` oracle,
+      * rolled up to (start_s, n_events, duration_s)). All input lands
+      * in one AvailableNow batch (no rate limit), where the processor
+      * sorts per key, so the documented late-drop divergence cannot
+      * fire; multi-batch state carry, timer eviction, and the too-old
+      * drop are pinned in StreamingSpec. Shuffle partitions are sized
+      * to the state stores (8), same as stream_join_attrib.
+      */
+    Q("stream_sessionize",
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS t,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s2 AS (SELECT user_id, t, SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM s)
+        |SELECT user_id, MIN(t) AS start_s, COUNT(*) AS n_events,
+        |  MAX(t) - MIN(t) AS duration_s
+        |FROM s2 GROUP BY user_id, seq
+        |ORDER BY user_id, start_s""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = graft.io.Sources.table(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+      val maxSec = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+      val sentinels = ev.select("user_id").distinct()
+        .withColumn("ts", timestamp_seconds(lit(maxSec + 1800 + 3600)))
+      val in = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+        .toString + s"/in${runId.incrementAndGet()}"
+      ev.unionByName(sentinels).coalesce(1).write.parquet(in)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = s.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType),
+            StructField("ts", TimestampType))))
+          .parquet(in)
+          .toDF("_1", "_2").as[(Long, java.sql.Timestamp)]
+        val sessions = graft.streaming.StreamingOps.sessionizeStreamTws(
+          stream, gapSeconds = 1800, lateness = "30 days")
+        val name = s"graft_stream_sess_${runId.incrementAndGet()}"
+        val q = sessions.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).orderBy("user_id", "start_s")
+      } finally {
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     })
 }

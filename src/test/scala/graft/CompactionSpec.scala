@@ -51,6 +51,39 @@ class CompactionSpec extends SparkSpec {
     assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 500L))
   }
 
+  test("nested date=/hour= partitions compact per leaf; minFiles boundary holds") {
+    val root = Files.createTempDirectory("compact_nested").toString
+    // date=a/hour=1: fragmented (8 files) → compacted
+    // date=a/hour=2: exactly minFiles (2 files)  → untouched
+    // date=b/hour=1: single file                 → untouched
+    (1 to 200).map(i => (i.toLong, "a", 1)).toDF("id", "date", "hour")
+      .repartition(8).write.partitionBy("date", "hour").mode("overwrite").parquet(root)
+    (201 to 240).map(i => (i.toLong, "a", 2)).toDF("id", "date", "hour")
+      .repartition(2).write.partitionBy("date", "hour").mode("append").parquet(root)
+    (241 to 260).map(i => (i.toLong, "b", 1)).toDF("id", "date", "hour")
+      .coalesce(1).write.partitionBy("date", "hour").mode("append").parquet(root)
+    val a2Before = Compaction.fileStats(spark, s"$root/date=a/hour=2")
+    val a2Names = new java.io.File(s"$root/date=a/hour=2").list().sorted.toSeq
+    assert(a2Before._2 == 2)
+
+    val done = Compaction.compactPartitioned(spark, root, targetBytes = 64L << 20)
+    // the multi-level leaf was found and rewritten; pre-fix the walk
+    // stopped at date=a, saw only directories, and compacted nothing
+    assert(done == Seq("date=a/hour=1" -> 1))
+    assert(Compaction.fileStats(spark, s"$root/date=a/hour=1")._2 == 1)
+    // exactly-minFiles partition untouched, byte-identical
+    assert(Compaction.fileStats(spark, s"$root/date=a/hour=2") == a2Before)
+    assert(new java.io.File(s"$root/date=a/hour=2").list().sorted.toSeq == a2Names)
+    // the temp/trash siblings of the swap were cleaned up
+    assert(!new java.io.File(s"$root/date=a").list()
+      .exists(_.contains("graft-compact")))
+    // every row survived, both partition columns still read back
+    val back = spark.read.parquet(root)
+    assert(back.count() == 260)
+    assert(back.filter($"date" === "a" && $"hour" === 1).count() == 200)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 260L))
+  }
+
   test("target sizing: ceil(bytes/target) output files, floor of 1") {
     val in = Files.createTempDirectory("compact_sz_in").toString
     val out = Files.createTempDirectory("compact_sz_out").toString

@@ -78,6 +78,19 @@ class EdgeCasesSpec extends SparkSpec {
       chain(e).exists(c => Option(c.getMessage).exists(_.contains("not a decodable image"))))
   }
 
+  test("domain blocklist never drops NULL-text docs") {
+    import graft.ops.Corpus
+    // regexp over NULL text yields NULL domains; before the coalesce
+    // fix the NULL filter verdict dropped the row even with an EMPTY
+    // blocklist — a scrub filter deleting rows it never matched
+    val d = Seq((1L, Some("see https://bad.example.com x")),
+      (2L, None), (3L, Some("clean text"))).toDF("doc_id", "text")
+    val kept = Corpus.filterByDomainBlocklist(d, "text", Seq("bad.example.com"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    assert(Corpus.filterByDomainBlocklist(d, "text", Nil).count() == 3)
+  }
+
   test("new corpus ops on degenerate input: empty blocklist, empty benchmark, empty corpus") {
     import graft.ops.Corpus
     val d = Seq((1L, "some text with https://a.example.com inside"))

@@ -108,4 +108,28 @@ class JdbcSinksSpec extends SparkSpec {
       Sinks.jdbc(df, url, "w_bogus", "merge-ish", keys, props, varchar)
     }
   }
+
+  test("registry JDBC queries drop their Derby tables (soak-safe)") {
+    // each invocation creates a uniquely-named table in the shared
+    // in-memory graftio database; without teardown a soak-looped bench
+    // (warmup + timed passes per query) grows the DB without bound
+    def graftioTables(): Int = {
+      val conn = java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:graftio;create=true")
+      try {
+        val rs = conn.getMetaData.getTables(null, "APP", "%", Array("TABLE"))
+        var n = 0
+        while (rs.next()) n += 1
+        n
+      } finally conn.close()
+    }
+    val qs = SparkEntry.queries
+    val before = graftioTables()
+    (1 to 3).foreach { _ =>
+      assert(qs("sink_jdbc_insert")(spark, sf).count() == 25)
+      assert(qs("sink_jdbc_replace")(spark, sf).count() == 5)
+    }
+    assert(graftioTables() == before,
+      "repeated registry invocations must not accumulate Derby tables")
+  }
 }

@@ -54,6 +54,21 @@ class OpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 3L)
   }
 
+  test("cosineTopK refuses an over-broad probe predicate before collecting") {
+    val emb = (0L until 50L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // probes are collected to the driver: a corpus-sized predicate must
+    // fail loudly (same contract as ivfTopK), not OOM-degrade
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(emb, "vec_id", "embedding", lit(true), 2,
+        maxProbes = 10L)
+    }
+    assert(e.getMessage.contains("50 probes"))
+    // at or under the bound it runs
+    assert(Similarity.cosineTopK(emb, "vec_id", "embedding",
+      $"vec_id" < 10, 2, maxProbes = 10L).count() == 20)
+  }
+
   test("cosine pairs: parallel pair found, orthogonal filtered") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(3.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
@@ -269,5 +284,71 @@ class OpsSpec extends SparkSpec {
     val (w, h, g) = (8 + (1 % 9), 8 + (nChars % 7), 1 % 256)
     assert(feats(1L).width == w && feats(1L).height == h)
     assert(feats(1L).px_sum == w.toLong * h * 3 * g)
+  }
+
+  test("multimodal: one decode handles mixed PNG/JPEG payloads") {
+    val sized = docs.withColumn("n_chars", length($"text"))
+    val media = Multimodal.toImageTableMixed(sized, "doc_id", "n_chars")
+    // odd ids really are JPEG containers (SOI marker FF D8), even PNG
+    val byId = media.select("doc_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])].collect().map(t => t._1 -> t).toMap
+    assert(byId(2L)._2 == "image/png" && (byId(2L)._3(0) & 0xff) == 0x89)
+    assert(byId(1L)._2 == "image/jpeg" && (byId(1L)._3(0) & 0xff) == 0xff &&
+      (byId(1L)._3(1) & 0xff) == 0xd8)
+    val feats = Multimodal.decodeImages(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    sized.select($"doc_id", $"n_chars").as[(Long, Int)].collect().foreach {
+      case (id, n) =>
+        val (w, h, g) = (8 + (id % 9).toInt, 8 + (n % 7), (id % 256).toInt)
+        val f = feats(id)
+        // dimensions are codec-exact for any format
+        assert(f.width == w && f.height == h)
+        assert(f.kind == (if (id % 2 == 0) "image/png" else "image/jpeg"))
+        val exact = w.toLong * h * 3 * g
+        if (id % 2 == 0) assert(f.px_sum == exact) // PNG: lossless
+        else // JPEG of a constant image is DC-only: off by ≤3/channel
+          assert(math.abs(f.px_sum - exact) <= w.toLong * h * 3 * 3,
+            s"doc $id: jpeg px_sum ${f.px_sum} too far from $exact")
+    }
+  }
+
+  test("saltedJoin equals the plain join and spreads the hot key across partitions") {
+    import graft.ops.Skew
+    // 10k fact rows, ~90% on one hot key; dim has one row per key
+    val left = (1 to 10000)
+      .map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong))
+      .toDF("k", "v")
+    val right = (Seq("hot") ++ (0 to 6).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "w")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // force a shuffle join and disable AQE's skew splitting — the spec
+    // pins the operator's OWN spread, not AQE's rescue of the bad plan.
+    // Reducer count ≥ bucket count, else hash collisions re-collapse
+    // several salts into one reducer and hide the spread being pinned
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val salted = Skew.saltedJoin(left.repartition(8), right, Seq("k"), buckets = 8)
+      val plain = left.join(right, Seq("k"))
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "v", "w").as[(String, Long, Long)].collect().sorted.toSeq
+      val plainRows = norm(plain)
+      assert(norm(salted) == plainRows) // exact: same multiset of rows
+      val hot = plainRows.count(_._1 == "hot")
+      def partSizes(df: org.apache.spark.sql.DataFrame) =
+        df.select("k").rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+      // unsalted: every hot row lands in ONE reducer partition
+      assert(partSizes(plain).max >= hot)
+      // salted: no partition holds even half of the hot key's rows
+      assert(partSizes(salted).max < hot / 2,
+        s"salted max partition ${partSizes(salted).max} vs hot-key volume $hot")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 }

@@ -120,4 +120,53 @@ class PropertySpec extends SparkSpec {
       assert(rowsOf(once) == rowsOf(twice))
     }
   }
+
+  test("PII redaction order email→IP→num is load-bearing") {
+    import graft.ops.TextOps
+    def redactVia(texts: Seq[String],
+                  order: Seq[(String, String)]): Seq[String] =
+      texts.toDF("t").select(order.foldLeft($"t": org.apache.spark.sql.Column) { case (c, (re, tok)) =>
+        regexp_replace(c, re, tok)
+      }).as[String].collect().toSeq
+    val canonical = Seq(TextOps.EmailRe -> "<EMAIL>",
+      TextOps.Ipv4Re -> "<IP>", TextOps.LongNumRe -> "<NUM>")
+    // (a) digit-run local parts: a 9+-digit run INSIDE an email. The
+    // canonical order redacts the whole address; num-first would chew
+    // the local part into "<NUM>" whose remnant re-matches EmailRe,
+    // leaving a mangled "x<<EMAIL>" — reordering changes output.
+    val digitLocalEmail = for {
+      a <- Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+      d <- Gen.chooseNum(100000000L, 999999999999L)
+      dom <- Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+    } yield s"reach me at $a$d@$dom.com ok"
+    // (b) IP-shaped fragments inside an email domain: "u@1.2.3.4.org"
+    // is a valid EmailRe match; ip-first would stamp "<IP>" into the
+    // middle and the email no longer matches.
+    val ipDomainEmail = for {
+      u <- Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+      o <- Gen.listOfN(4, Gen.chooseNum(1, 255))
+    } yield s"ping $u@${o.mkString(".")}.org thanks"
+    seeds.foreach { s =>
+      val xs = sample(Gen.listOfN(20, digitLocalEmail), s) ++
+        sample(Gen.listOfN(20, ipDomainEmail), s)
+      val viaOp = xs.toDF("t")
+        .select(TextOps.redactPii($"t")).as[String].collect().toSeq
+      val viaCanonical = redactVia(xs, canonical)
+      assert(viaOp == viaCanonical) // the operator IS the canonical chain
+      // every PII fragment is gone and exactly one token was stamped
+      assert(viaOp.forall(t => t.contains("<EMAIL>") &&
+        !t.contains("<NUM>") && !t.contains("<IP>") && !t.contains("@1") &&
+        !"\\d{9,}".r.findFirstIn(t).isDefined))
+      // reordering the chain produces a DIFFERENT result on these
+      // inputs — the fixed order is semantics, not style
+      val numFirst = redactVia(xs, Seq(canonical(2), canonical(0), canonical(1)))
+      val ipFirst = redactVia(xs, Seq(canonical(1), canonical(0), canonical(2)))
+      val numDiffers = xs.indices.exists(i =>
+        xs(i).contains("reach me") && numFirst(i) != viaOp(i))
+      val ipDiffers = xs.indices.exists(i =>
+        xs(i).contains("ping") && ipFirst(i) != viaOp(i))
+      assert(numDiffers, s"seed $s: num-first order was indistinguishable")
+      assert(ipDiffers, s"seed $s: ip-first order was indistinguishable")
+    }
+  }
 }
