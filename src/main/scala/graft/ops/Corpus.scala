@@ -97,6 +97,38 @@ object Corpus {
       .withColumn("rep_ratio",
         col("max_rep").cast("double") / col("n_bigrams").cast("double"))
 
+  /** Per-document top-k TF-IDF terms — the corpus-wide lexical
+    * relevance signal retrieval and quality pipelines compute.
+    * Log-free idf (N/df instead of ln(N/df)) keeps every arithmetic
+    * step a single IEEE op on integer-derived doubles — bit-identical
+    * across engines (ln() is libm-dependent in its last ulp) — and
+    * ranking is (score DESC, token ASC), fully deterministic.
+    * Shape: two hash aggregates (tf keyed by (doc, token), df keyed by
+    * token), a window for doc length over the already-aggregated tf
+    * relation, and one broadcast 1-row N — every shuffle carries
+    * (id, token, count) rows, never documents.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok",
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val dfx = toks.distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dfx, "token").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("cnt").cast("double") / col("n_tok").cast("double")) *
+          (col("nd").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "token", "tfidf")
+  }
+
   /** Greedy sequence packing — concatenate-and-chop: docs are laid out
     * in a deterministic order (id) per group (language), and each doc
     * is assigned to the context-window bin its STARTING token offset

@@ -131,6 +131,64 @@ object Dedup {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Two-sided n-gram Jaccard: near-dup pairs BETWEEN two relations
+    * (no self-join on either side). Same gram-hash equi-join shape as
+    * [[ngramJaccardPairs]]; the asymmetry is the scale story — a daily
+    * ingest batch's gram relation is tiny next to the corpus, so the
+    * join probes corpus grams without the corpus ever pairing with
+    * itself. Returns (left_id, right_id, jaccard).
+    */
+  def jaccardPairsBetween(left: DataFrame, right: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, threshold: Double): DataFrame = {
+    val lg = gramTable(left, idCol, textCol, n)
+      .select(col("doc_id").as("left_id"), Parity.md5_60(col("gram")).as("gram"))
+      .withColumn("nl",
+        count(lit(1)).over(Window.partitionBy(col("left_id"))))
+    val rg = gramTable(right, idCol, textCol, n)
+      .select(col("doc_id").as("right_id"), Parity.md5_60(col("gram")).as("gram"))
+      .withColumn("nr",
+        count(lit(1)).over(Window.partitionBy(col("right_id"))))
+    lg.join(rg, "gram")
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("n_inter"),
+        max(col("nl")).as("nl"), max(col("nr")).as("nr"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("nl") + col("nr") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /** Incremental corpus dedup — the production shape of daily ingest
+    * into a standing 100-TB corpus: from the NEW batch drop
+    *   (1) in-batch exact dups (row_number winner, min id),
+    *   (2) rows whose normalized text already exists in the corpus
+    *       (anti join on the 60-bit fingerprint — 8-byte keys, the
+    *       corpus text never moves),
+    *   (3) near-dups of any corpus doc (two-sided Jaccard ≥
+    *       `threshold`, ids-only anti join).
+    * The corpus is never self-joined: per-day cost scales with
+    * |batch| × gram overlap, not |corpus|² — re-running full-corpus
+    * dedup per day is the anti-pattern this replaces.
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame,
+                  idCol: String, textCol: String,
+                  n: Int, threshold: Double): DataFrame = {
+    val b1 = exact(batch, idCol, textCol)
+    val corpusFps = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    val b2 = b1.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
+    // near-dup hits are computed from the RAW batch, not b2: the
+    // result is identical (the anti join below can only remove rows
+    // still in b2), and gramming the raw scan keeps the exact-dedup
+    // window + fingerprint anti join out of the gram pipeline's
+    // subplan — Spark would re-execute them inside it otherwise
+    val hits = jaccardPairsBetween(batch, corpus, idCol, textCol, n, threshold)
+      .select(col("left_id").as(idCol)).distinct()
+    b2.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** MinHash family: h_i(g) = (a_i · (md5_60(g) mod P) + b_i) mod P.
     * One md5 per gram, then cheap integer mixing per hash function —
     * coefficients are deterministic (and mirrored into the oracle SQL).

@@ -146,6 +146,33 @@ object Similarity {
     * [[cosineTopK]] instead. Enforced with a driver-side size check
     * before the broadcast.
     */
+  /** Deterministic IVF seed assignment: every vector → the nearest
+    * (by cosine, ties to the lowest id) of the `nCentroids` lowest-id
+    * vectors. An ids-only aggregate: every (vector, centroid) pair is
+    * scored map-side against the broadcast centroids, projected down
+    * to (vec_id, cid, ccos) BEFORE aggregating, and the winner picked
+    * with max_by over (ccos, -cid) — identical to a (ccos DESC, cid
+    * ASC) row_number but with map-side partial aggregation and a
+    * narrow (long, long, double) exchange. (The r2 window variant
+    * shuffled the full 64-double vector through the Exchange + sort.)
+    * Returns (vec_id, bucket).
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cs = graft.functions.GraftFunctions.cosineSim _
+    val all = prepared(emb, idCol, vecCol).select("vec_id", "v")
+    val cent = all.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    all.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cs(col("v"), col("cv")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
+        .as("bucket"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nCentroids: Int, probePred: Column, k: Int,
               maxProbes: Long = 100000L): DataFrame = {
@@ -153,22 +180,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val cs = graft.functions.GraftFunctions.cosineSim _
     val all = prepared(emb, idCol, vecCol).select("vec_id", "v")
-    val cent = all.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // assignment as an ids-only aggregate: score every (vector,
-    // centroid) pair map-side against the broadcast centroids, project
-    // down to (vec_id, cid, ccos) BEFORE aggregating, and pick the
-    // winner with max_by over (ccos, -cid) — highest cosine, ties to
-    // the lowest centroid id, identical to a (ccos DESC, cid ASC)
-    // row_number but with map-side partial aggregation and a narrow
-    // (long, long, double) exchange. The r2 window variant shuffled
-    // the full 64-double vector through the assignment Exchange + sort.
-    val asg = all.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        cs(col("v"), col("cv")).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
-        .as("bucket"))
+    val asg = ivfAssign(emb, idCol, vecCol, nCentroids)
     // probes are tiny by predicate; restrict the corpus to members of
     // PROBED buckets on ids alone, then attach vectors once by id —
     // vectors cross exactly one join, and only for surviving members.
@@ -284,4 +296,27 @@ object Similarity {
   /** max|v_i| of a double-array column (0.0 for empty). */
   private def scale_of(v: Column): Column =
     aggregate(transform(v, x => abs(x)), lit(0.0), (acc, x) => greatest(acc, x))
+
+  /** One Lloyd (k-means) centroid-update step in int8-quantized space —
+    * the periodic centroid refresh an IVF index runs as its corpus
+    * grows. Assignment is [[ivfAssign]] (deterministic); the new
+    * centroid coordinate per (bucket, dimension) is the MEAN OF THE
+    * QUANTIZED values: per-dimension sums are exact BIGINTs (no
+    * float accumulation-order drift between engines or partitionings),
+    * and the final mean is a single exact IEEE division. The shuffle
+    * carries (bucket, dim, partial count/sum) with map-side combine;
+    * output is nCentroids × dims rows regardless of corpus size.
+    * Returns (bucket, dim, n, s, centroid_q).
+    */
+  def centroidUpdate(emb: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int): DataFrame = {
+    val asg = ivfAssign(emb, idCol, vecCol, nCentroids)
+    val q = quantizeInt8(emb, idCol, vecCol).select("vec_id", "q")
+    q.join(asg, "vec_id")
+      .select(col("bucket"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("bucket", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .withColumn("centroid_q",
+        col("s").cast("double") / col("n").cast("double"))
+  }
 }

@@ -715,5 +715,97 @@ object ExtensionQueries {
       Multimodal.decodeImages(s, media).toDF()
         .select("doc_id", "kind", "width", "height")
         .orderBy("doc_id")
+    },
+
+    /** dedup_incremental — daily-ingest dedup against a standing
+      * corpus (batch = doc_id % 5 == 0, corpus = the rest): in-batch
+      * exact winners, fingerprint anti join vs corpus text, two-sided
+      * Jaccard ≥ 0.5 near-dup anti join. The corpus never self-joins —
+      * per-day cost scales with the batch, which is what makes daily
+      * dedup of a 100-TB corpus affordable at all. */
+    Q("dedup_incremental",
+      s"""WITH $gramsCte,
+         |bg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 = 0),
+         |cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
+         |b1 AS (SELECT doc_id, n_chars, text FROM (
+         |    SELECT doc_id, n_chars, text, row_number() OVER (
+         |      PARTITION BY ${md5_60Sql("lower(trim(text))")} ORDER BY doc_id) AS rn
+         |    FROM documents WHERE doc_id % 5 = 0) WHERE rn = 1),
+         |b2 AS (SELECT doc_id, n_chars FROM b1
+         |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
+         |    SELECT ${md5_60Sql("lower(trim(text))")}
+         |    FROM documents WHERE doc_id % 5 <> 0)),
+         |szb AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY 1),
+         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cg GROUP BY 1),
+         |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
+         |  FROM bg b JOIN cg c USING (g) GROUP BY 1, 2),
+         |hits AS (SELECT DISTINCT bid FROM inter
+         |  JOIN szb ON szb.doc_id = bid JOIN szc ON szc.doc_id = cid
+         |  WHERE CAST(ni AS DOUBLE) / CAST(szb.n + szc.n - ni AS DOUBLE) >= 0.5::DOUBLE)
+         |SELECT doc_id, n_chars FROM b2
+         |WHERE doc_id NOT IN (SELECT bid FROM hits)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      Dedup.incremental(batch, corpus, "doc_id", "text", 3, 0.5)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
+    /** text_tfidf — per-doc top-3 TF-IDF terms with a log-free idf
+      * (N/df): every arithmetic step is one IEEE op on integer-derived
+      * doubles, so scores are bit-identical across engines (ln() can
+      * differ in the last ulp between libms). */
+    Q("text_tfidf",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM tf GROUP BY 1),
+        |dfx AS (SELECT token, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token,
+        |    (CAST(cnt AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+        |    (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (token) CROSS JOIN nd)
+        |SELECT doc_id, token, tfidf FROM (
+        |  SELECT doc_id, token, tfidf, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin) { (s, dir) =>
+      Corpus.tfidfTopK(table(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "token")
+    },
+
+    /** embed_centroid_update — one k-means (Lloyd) centroid refresh in
+      * int8-quantized space: per-(bucket, dim) sums are exact BIGINTs,
+      * so no float accumulation-order drift anywhere; the mean is one
+      * exact IEEE division. Output bounded by nCentroids × dims. */
+    Q("embed_centroid_update",
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, bucket FROM (
+         |  SELECT a.vec_id, c.cid AS bucket, row_number() OVER (
+         |    PARTITION BY a.vec_id
+         |    ORDER BY ${dotSql("a.v", "c.cv")} / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+         |sc AS (SELECT vec_id, v,
+         |    list_reduce(list_transform(v, x -> abs(x)), (a,b) -> greatest(a,b)) AS scale
+         |  FROM e),
+         |qd AS (SELECT vec_id,
+         |    CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0::BIGINT)
+         |         ELSE list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT))
+         |    END AS qv
+         |  FROM sc),
+         |expl AS (SELECT a.bucket, CAST(r.i - 1 AS INTEGER) AS dim,
+         |    qd.qv[CAST(r.i AS INTEGER)] AS x
+         |  FROM qd JOIN asg a USING (vec_id),
+         |    UNNEST(range(1, len(qd.qv) + 1)) AS r(i))
+         |SELECT bucket, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS s,
+         |  CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid_q
+         |FROM expl GROUP BY 1, 2 ORDER BY bucket, dim""".stripMargin) { (s, dir) =>
+      Similarity.centroidUpdate(table(s, dir, "embeddings"), "vec_id", "embedding",
+          nCentroids = 8)
+        .orderBy("bucket", "dim")
     })
 }

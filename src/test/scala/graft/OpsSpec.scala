@@ -312,6 +312,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: in-batch dups, exact corpus hits and near-dups all drop") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words about spark and shuffles here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),  // exact corpus dup
+      (11L, "the quick brown fox jumps over the lazy cat today"),  // near-dup of corpus 1
+      (12L, "an entirely novel document with fresh unseen content"),
+      (13L, "an entirely novel document with fresh unseen content"), // in-batch dup of 12
+      (14L, "short unrelated text")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incremental(batch, corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 14L))
+    // the between-pairs relation itself is asymmetric and directional
+    val pairs = Dedup.jaccardPairsBetween(batch, corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)) && pairs.contains((11L, 1L)))
+    assert(pairs.forall { case (l, _) => l >= 10L })
+  }
+
+  test("tfidf: rare term outranks common term; stopword-like terms sink") {
+    val docs = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma gamma"),
+      (3L, "alpha delta")
+    ).toDF("doc_id", "text")
+    val top = graft.ops.Corpus.tfidfTopK(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // per doc the doc-unique term (df=1) wins over alpha (df=3)
+    assert(top(1L)._1 == "beta" && top(2L)._1 == "gamma" && top(3L)._1 == "delta")
+    // exact value: tf 2/3 · idf 3/1 = 2.0 for beta in doc 1
+    assert(top(1L)._2 == (2.0 / 3.0) * 3.0)
+  }
+
+  test("centroid update: quantized per-bucket means are exact") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid 0
+      (1L, Array(0.0f, 1.0f)),   // centroid 1
+      (2L, Array(2.0f, 0.0f)),   // → bucket 0, q = (127, 0)
+      (3L, Array(0.0f, 3.0f))    // → bucket 1, q = (0, 127)
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.centroidUpdate(emb, "vec_id", "embedding", nCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // bucket 0 holds vecs 0 and 2, both quantizing to (127, 0)
+    assert(rows((0L, 0)) == ((2L, 254L, 127.0)))
+    assert(rows((0L, 1)) == ((2L, 0L, 0.0)))
+    // bucket 1 holds vecs 1 and 3, both quantizing to (0, 127)
+    assert(rows((1L, 0)) == ((2L, 0L, 0.0)))
+    assert(rows((1L, 1)) == ((2L, 254L, 127.0)))
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key across partitions") {
     import graft.ops.Skew
     // 10k fact rows, ~90% on one hot key; dim has one row per key
