@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators — the write-side half of scan pruning.
+  *
+  * At 100 TB the fastest scan is the one that never happens: a table
+  * laid out so each file covers a DISJOINT key range (repartitionByRange)
+  * with rows sorted inside each file (sortWithinPartitions) lets a
+  * point or range predicate skip whole files and, within the one file
+  * that matches, whole parquet row groups via min/max statistics. This
+  * is the single-key special case of Z-ordering, and the layout pass a
+  * corpus runs once so every later query prunes for free.
+  */
+object Layout {
+
+  /** Rewrite `df` to `path` as `nFiles` range-partitioned files sorted
+    * by `keyCol` within each file. One range shuffle — the same cost
+    * class as any repartition — paid once at layout time.
+    *
+    * repartitionByRange samples the key distribution for boundaries,
+    * so file SIZES are approximately balanced even under key skew;
+    * boundaries are data-dependent, which is fine because consumers
+    * rely only on the disjointness invariant, never on where the cuts
+    * land.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, nFiles: Int,
+                       keyCol: String): Unit =
+    df.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file (min, max, rows) of `keyCol` under `path` — the
+    * verification relation for the disjointness invariant (computed
+    * distributed, grouped by input_file_name).
+    */
+  def fileRanges(spark: SparkSession, path: String,
+                 keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"),
+        count(lit(1)).as("n_rows"))
+}

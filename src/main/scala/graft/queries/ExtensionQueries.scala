@@ -549,6 +549,37 @@ object ExtensionQueries {
         .orderBy("user_id", "session_seq")
     },
 
+    /** sessionize_window — the same gap sessions through Spark's
+      * NATIVE session_window aggregate (the built-in the hand-rolled
+      * lag/running-sum form predates): one aggregation, engine-managed
+      * window merging, and the same operator works under Structured
+      * Streaming with watermark-driven state eviction. Semantics pin:
+      * an event exactly `gap` after the session's last event starts a
+      * NEW session (window end is exclusive), hence the >= in the
+      * oracle's lag condition. */
+    Q("sessionize_window",
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s2 AS (SELECT user_id, ts, CAST(SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+        |  FROM s)
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM s2 GROUP BY user_id, seq
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     /** dedup_cluster — connected components over the Jaccard ≥ 0.6
       * near-dup graph (iterative min-label propagation; DuckDB
       * verifies with a recursive CTE transitive closure). Turns pair

@@ -271,6 +271,23 @@ object IoQueries {
         .orderBy("s_suppkey")
     },
 
+    /** layout_range_sort: range-partitioned, sorted-within-file
+      * parquet layout (ops/Layout.scala) — the write-side half of scan
+      * pruning: disjoint per-file key ranges + tight row-group min/max
+      * stats, so later point/range predicates skip whole files. The
+      * oracle proves the layout rewrite is content-lossless; the
+      * disjointness invariant and the actual file-skip are pinned in
+      * LayoutSpec. */
+    Q("layout_range_sort",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val out = tmp("layout_range")
+      graft.ops.Layout.writeRangeSorted(o, out, nFiles = 8, keyCol = "o_orderkey")
+      s.read.parquet(out).orderBy("o_orderkey")
+    },
+
     /** sort_views (reference: sql/schema.sql:82-129 — every reference
       * view carries a multi-key ORDER BY): mixed-direction sort with a
       * deterministic tiebreak, planned as TakeOrderedAndProject. */

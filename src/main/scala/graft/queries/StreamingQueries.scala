@@ -125,6 +125,34 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     },
 
+    /** Keyed streaming dedup through the engine
+      * (StreamingOps.dedupHourlyStream → watermark + dropDuplicates on
+      * (user, hour)): the streaming form of the reference's
+      * hour-granularity dedup. Only the KEY columns are emitted — the
+      * streaming winner row is first-arrival (a partition race), so a
+      * deterministic oracle exists exactly for the key set, which is
+      * what hour-dedup keeps anyway. Single AvailableNow batch ⇒ the
+      * watermark never drops rows here; multi-batch state eviction is
+      * pinned in StreamingSpec.
+      */
+    Q("stream_dedup",
+      """SELECT DISTINCT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour
+        |FROM events ORDER BY user_id, ts_hour""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val stream = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "ts")
+      val dd = graft.streaming.StreamingOps.dedupHourlyStream(
+        stream, keys = Seq("user_id"), tsCol = "ts")
+      val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+      val q = dd.select("user_id", "ts_hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "ts_hour")
+    },
+
     /** Gap sessionization through the REAL streaming engine on Spark
       * 4's transformWithState + the RocksDB state store
       * (StreamingOps.sessionizeStreamTws) — the last operator family

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Range-sorted layout: disjoint per-file key ranges, and a selective
+  * predicate actually reads rows from one file only.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeRangeSorted yields disjoint per-file ranges and prunes reads") {
+    val out = Files.createTempDirectory("layout_range").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      // scramble the input so the range shuffle has real work to do
+      .repartition(7)
+    Layout.writeRangeSorted(df, out, nFiles = 8, keyCol = "k")
+
+    val ranges = Layout.fileRanges(spark, out, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ranges.length == 8)
+    assert(ranges.map(_._4).sum == 10000)
+    // disjointness: sorted by min, each file's max < the next file's min
+    val sorted = ranges.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, _, maxA, _), (_, minB, _, _)) =>
+        assert(maxA < minB, s"overlapping file ranges: $maxA >= $minB")
+      case _ =>
+    }
+    // a point lookup touches exactly ONE file's rows; a short range at
+    // most two (a sampled boundary may fall inside it)
+    val point = spark.read.parquet(out).filter($"k" === 4000)
+      .select(input_file_name()).distinct().count()
+    assert(point == 1L, s"expected 1 file to serve the point lookup, got $point")
+    val short = spark.read.parquet(out)
+      .filter($"k" >= 4000 && $"k" <= 4050)
+      .select(input_file_name()).distinct().count()
+    assert(short <= 2L, s"expected <=2 files to serve a 50-key range, got $short")
+    // and the rewrite is content-lossless
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
+      == (1L to 10000L))
+  }
+}
