@@ -116,4 +116,23 @@ object TextOps {
   val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
   def domains(text: Column): Column =
     regexp_extract_all(text, lit(UrlHostRe), lit(1))
+
+  /** URL canonicalization — the key for URL-level dedup, the FIRST
+    * (and cheapest) dedup stage of a web corpus: most exact dups are
+    * the same page crawled under trivially different URLs. Lowercase,
+    * strip scheme, fragment, query string, a leading "www.", and a
+    * trailing slash — five chained anchored regexp_replace steps, all
+    * single-match so Java's replace-all and DuckDB's replace-first
+    * semantics agree; codegen'd, no UDF.
+    */
+  def normalizeUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "^https?://", ""),
+            "#.*$", ""),
+          "\\?.*$", ""),
+        "^www\\.", ""),
+      "/$", "")
 }

@@ -273,6 +273,39 @@ object ExtensionQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
 
+    /** dedup_url — URL-level dedup, the first (cheapest) dedup stage
+      * of a web corpus: docs get a deterministic messy URL (scheme,
+      * mixed case, www, query, fragment all varying with doc_id), the
+      * canonical form (TextOps.normalizeUrl) becomes the dedup key,
+      * min doc_id wins. The shuffle carries the canonical URL string —
+      * tiny next to documents — and the winner is row_number-pinned. */
+    Q("dedup_url",
+      """WITH a AS (SELECT doc_id, n_chars,
+        |    'https://WWW.Site' || (doc_id % 50) || '.Example.COM/path' ||
+        |      (doc_id % 10) || '/?utm=x#frag' AS raw
+        |  FROM documents),
+        |u AS (SELECT doc_id, n_chars,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(raw), '^https?://', ''),
+        |      '#.*$', ''), '\?.*$', ''), '^www\.', ''), '/$', '') AS url
+        |  FROM a)
+        |SELECT doc_id, n_chars, url FROM (
+        |  SELECT doc_id, n_chars, url, row_number() OVER (
+        |    PARTITION BY url ORDER BY doc_id) AS rn FROM u)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val raw = concat(lit("https://WWW.Site"), pmod(col("doc_id"), lit(50)),
+        lit(".Example.COM/path"), pmod(col("doc_id"), lit(10)),
+        lit("/?utm=x#frag"))
+      val w = Window.partitionBy(col("url")).orderBy(col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextOps.normalizeUrl(raw).as("url"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .orderBy("doc_id")
+    },
+
     /** Bigram repetition ratio: max bigram frequency / total bigrams
       * per doc — the boilerplate/spam signal length and stopword
       * heuristics miss. */

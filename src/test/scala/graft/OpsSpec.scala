@@ -312,6 +312,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("normalizeUrl canonicalizes scheme/case/www/query/fragment/slash variants") {
+    val urls = Seq(
+      "https://WWW.Example.COM/Path/",
+      "http://example.com/path?utm=x",
+      "example.com/path#section",
+      "https://example.com/path",
+      "https://other.org/") // distinct target
+    val out = urls.toDF("u")
+      .select(TextOps.normalizeUrl($"u")).as[String].collect().toSeq
+    assert(out.take(4).toSet == Set("example.com/path"))
+    assert(out(4) == "other.org")
+  }
+
   test("incremental dedup: in-batch dups, exact corpus hits and near-dups all drop") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
