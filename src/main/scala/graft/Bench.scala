@@ -34,16 +34,35 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Iters = 2
 
+  /** Pure decision rules for the contention guard — factored out so the
+    * spec can pin them (the r4 driver artifact: load 3.0→15.5, 162.6 s
+    * for a suite an idle box runs in 44 s, would flag `contaminated`).
+    */
+  object Guards {
+    /** Busy at start: external load before the bench even ran. */
+    def busyStart(loadStart: Double, cpus: Int): Boolean =
+      loadStart > cpus / 8.0
+    /** Contaminated run: busy start, or load climbing during the run —
+      * the end threshold is looser (cpus/4) because the bench's own
+      * work contributes to the trailing 1-minute load average.
+      */
+    def contaminated(loadStart: Double, loadEnd: Double, cpus: Int): Boolean =
+      busyStart(loadStart, cpus) || loadEnd > cpus / 4.0
+    /** A >3× spread between a query's timed iterations is a scheduling
+      * stall, not a property of the query — re-run it.
+      */
+    def needsRetry(times: Seq[Double]): Boolean =
+      !times.contains(-1.0) && times.max > 3 * times.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val busyAtStart = cpus.toDouble / 8
-    val busyAtEnd = cpus.toDouble / 4
     var loadStart = os.getSystemLoadAverage
     var sleptForLoad = false
-    if (loadStart > busyAtStart) {
+    if (Guards.busyStart(loadStart, cpus.toInt)) {
       Thread.sleep(30000)
       sleptForLoad = true
       loadStart = os.getSystemLoadAverage
@@ -83,7 +102,7 @@ object Bench {
       }
       val first = (1 to Iters).map(_ => timeOnce())
       val times =
-        if (!first.contains(-1.0) && first.max > 3 * first.min) {
+        if (Guards.needsRetry(first)) {
           retried += name
           first ++ (1 to Iters).map(_ => timeOnce())
         } else first
@@ -91,7 +110,7 @@ object Bench {
     }
     val (gcMs1, gcN1) = gcTotals()
     val loadEnd = os.getSystemLoadAverage
-    val contaminated = loadStart > busyAtStart || loadEnd > busyAtEnd
+    val contaminated = Guards.contaminated(loadStart, loadEnd, cpus.toInt)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, -1.0) => "\"" + k + "\"" }
