@@ -162,6 +162,45 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("Join"), "per-doc stats need no join")
   }
 
+  test("sessionize_window runs on the engine's native session operator") {
+    val p = plan("sessionize_window")
+    assert(p.contains("MergingSessions"),
+      "expected the built-in session-window aggregate, not a hand-rolled window")
+  }
+
+  test("join_salted: salted equi-join, no cartesian, map-side partials") {
+    val p = plan("join_salted")
+    assert(p.contains("__salt"), "the join key must carry the salt")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "salting must stay an equi-join")
+    assert(p.contains("partial_"), "expected partial aggregation after the join")
+  }
+
+  test("dedup_incremental: removals are anti joins, candidates an equi-join") {
+    val p = plan("dedup_incremental")
+    val antis = "LeftAnti".r.findAllIn(p).size
+    assert(antis >= 2, s"expected fingerprint + near-dup anti joins, got $antis")
+    assert(!p.contains("CartesianProduct"),
+      "batch-vs-corpus candidates must come from the gram equi-join")
+  }
+
+  test("embed_centroid_update: max_by assignment, no unbounded pair join") {
+    val p = plan("embed_centroid_update")
+    assert(p.contains("max_by"), "assignment must aggregate, not window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("range-sorted layout: one range exchange + non-global in-file sort") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val shaped = df.repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    val p = shaped.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange rangepartitioning"), "expected the range shuffle")
+    assert(p.contains("Sort [k"), "expected a sort on the key")
+    assert(!p.contains("], true, 0"), "the sort must be per-partition, never global")
+  }
+
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
