@@ -56,4 +56,33 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Skew-AWARE variant of [[saltedJoin]]: only keys whose left-side
+    * row count exceeds `hotThreshold` get salted; cold keys join with
+    * salt 0 on both sides, and the right side is replicated ONLY for
+    * the hot keys — replication overhead is |hot ∩ right| × buckets
+    * rows instead of |right| × buckets, which is what makes salting
+    * affordable when the right side is itself large. Detection is one
+    * ids-only count aggregate over the left (map-side combined, output
+    * = distinct keys), broadcast to tag both sides. Exact: a hot left
+    * row meets each matching right row exactly once (the replica with
+    * its salt); a cold row meets the single salt-0 copy.
+    */
+  def saltedJoinSkewed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       hotThreshold: Long, buckets: Int = 16): DataFrame = {
+    val kcols = keys.map(col)
+    val hot = left.groupBy(kcols: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(kcols: _*).withColumn("__hot", lit(true))
+    val l = left.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull, spark_partition_id() % buckets)
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val rCold = right.join(broadcast(hot), keys, "left_anti")
+      .withColumn("__salt", lit(0))
+    val rHot = right.join(broadcast(hot), keys, "left_semi")
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(rCold.unionByName(rHot), keys :+ "__salt").drop("__salt")
+  }
 }

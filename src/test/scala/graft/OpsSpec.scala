@@ -418,4 +418,27 @@ class OpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
+
+  test("saltedJoinSkewed equals the plain join and replicates only hot keys") {
+    import graft.ops.Skew
+    // 1000 rows on "hot", ≤20 on each cold key; dim has 8 rows
+    val left = (1 to 1140)
+      .map(i => (if (i <= 1000) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("k", "v")
+    val right = (Seq("hot") ++ (0 to 6).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "w")
+    val out = Skew.saltedJoinSkewed(left.repartition(8), right, Seq("k"),
+      hotThreshold = 100L, buckets = 8)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").as[(String, Long, Long)].collect().sorted.toSeq
+    assert(norm(out) == norm(left.join(right, Seq("k"))))
+    // degenerate thresholds stay exact: nothing hot (pure salt-0 path)
+    // and everything hot (pure salted path)
+    val none = Skew.saltedJoinSkewed(left, right, Seq("k"),
+      hotThreshold = Long.MaxValue, buckets = 8)
+    assert(norm(none) == norm(left.join(right, Seq("k"))))
+    val all = Skew.saltedJoinSkewed(left.repartition(4), right, Seq("k"),
+      hotThreshold = 0L, buckets = 4)
+    assert(norm(all) == norm(left.join(right, Seq("k"))))
+  }
 }
