@@ -91,6 +91,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Corpus.filterByDomainBlocklist(d, "text", Nil).count() == 3)
   }
 
+  test("round-5 ops on degenerate input: empty batch/corpus, null URL, empty embeddings") {
+    import graft.ops.Corpus
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // incremental dedup: empty batch → empty out; empty corpus → pure
+    // in-batch exact dedup (min id wins)
+    assert(Dedup.incremental(empty, docs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.incremental(docs, empty, "doc_id", "text", 3, 0.5)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // tfidf and centroid update flow through empty inputs
+    assert(Corpus.tfidfTopK(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(Similarity.centroidUpdate(noVecs, "vec_id", "embedding", 4).count() == 0)
+    // normalizeUrl propagates NULL (it must not fabricate a dedup key)
+    val n = Seq((1L, Option.empty[String])).toDF("id", "u")
+      .select(graft.ops.TextOps.normalizeUrl($"u")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("new corpus ops on degenerate input: empty blocklist, empty benchmark, empty corpus") {
     import graft.ops.Corpus
     val d = Seq((1L, "some text with https://a.example.com inside"))

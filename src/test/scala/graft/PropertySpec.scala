@@ -121,6 +121,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted joins equal the plain join over random skewed data") {
+    import graft.ops.Skew
+    val right = Seq(("hot", 1L), ("a", 2L), ("b", 3L), ("d", 4L)).toDF("k", "w")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").as[(String, Long, Long)].collect().sorted.toSeq
+    seeds.foreach { s =>
+      // ~2/3 of rows land on "hot"; key "c" never matches, "d" only right
+      val rows = sample(Gen.listOfN(300, Gen.zip(
+        Gen.oneOf("hot", "hot", "hot", "hot", "a", "b", "c"),
+        Gen.chooseNum(0L, 1000L))), s)
+      val left = rows.toDF("k", "v").repartition(5)
+      val plain = norm(left.join(right, Seq("k")))
+      assert(norm(Skew.saltedJoin(left, right, Seq("k"), buckets = 4)) == plain,
+        s"seed $s: blanket salting diverged")
+      assert(norm(Skew.saltedJoinSkewed(left, right, Seq("k"),
+        hotThreshold = 50L, buckets = 4)) == plain,
+        s"seed $s: detect-then-salt diverged")
+    }
+  }
+
   test("PII redaction order email→IP→num is load-bearing") {
     import graft.ops.TextOps
     def redactVia(texts: Seq[String],
