@@ -135,6 +135,81 @@ object Multimodal {
       }
   }
 
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Long, amp_sum: Long)
+
+  private val AudioRate = 8000f
+
+  /** Deterministic PCM per doc: n = 100 + `sizeCol` % 200 samples of
+    * 16-bit mono at 8 kHz, sample i = ((doc_id·31 + i·7) mod 2001) −
+    * 1000 — a closed form a SQL oracle can state. Encoded as a REAL
+    * WAV container with javax.sound on the executors (the JDK's audio
+    * codec — no external library), so the payload column carries
+    * genuine audio files.
+    */
+  def toAudioTable(docs: DataFrame, idCol: String, sizeCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(sizeCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, size) =>
+          val n = (100 + math.floorMod(size, 200L)).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (math.floorMod(id * 31 + i * 7L, 2001L) - 1000L).toShort
+            pcm(2 * i) = (s & 0xff).toByte          // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(AudioRate, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, "audio/wav", bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "kind", "payload")
+  }
+
+  /** Real audio decode over partitions: parse each payload as a WAV
+    * file through the JDK codec (container header → format, frames →
+    * samples) and extract sample rate, frame count, and the signed
+    * amplitude sum. Undecodable payloads fail loudly, same contract
+    * as [[decodeImages]].
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "kind", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(rec.payload))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"doc ${rec.doc_id}: payload is not a decodable audio file", e)
+          }
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"doc ${rec.doc_id}: expected 16-bit mono, got $fmt")
+          val bytes = ais.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            // little-endian signed 16-bit
+            sum += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+            i += 2
+          }
+          AudioFeatures(rec.doc_id, fmt.getSampleRate.toInt,
+            bytes.length / 2, sum)
+        }
+      }
+  }
+
   /** Frame sampling plumbing: chunk the binary payload into fixed
     * `frameBytes` frames and keep every `stride`-th one — the shape of
     * video frame extraction (the codec-free stand-in samples byte

@@ -781,6 +781,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    /** mm_audio_decode — REAL audio container round trip through the
+      * JDK codec (javax.sound): each doc renders to deterministic
+      * 16-bit mono PCM in a genuine WAV file, decodeAudio parses the
+      * container back (format, frame count, signed amplitude sum).
+      * The closed-form sample pattern is what lets a SQL engine with
+      * no codec state the oracle — the Spark side still round-trips
+      * real audio bytes, same contract as mm_decode for images. */
+    Q("mm_audio_decode",
+      """WITH d AS (SELECT doc_id, 100 + n_chars % 200 AS n FROM documents),
+        |s AS (SELECT d.doc_id, ((d.doc_id * 31 + r.i * 7) % 2001 - 1000) AS amp
+        |  FROM d, UNNEST(range(0, d.n)) AS r(i))
+        |SELECT doc_id, 8000 AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(amp) AS BIGINT) AS amp_sum
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.toAudioTable(table(s, dir, "documents"), "doc_id", "n_chars")
+      Multimodal.decodeAudio(s, media).toDF().orderBy("doc_id")
+    },
+
     /** dedup_incremental — daily-ingest dedup against a standing
       * corpus (batch = doc_id % 5 == 0, corpus = the rest): in-batch
       * exact winners, fingerprint anti join vs corpus text, two-sided

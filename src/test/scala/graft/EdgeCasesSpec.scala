@@ -91,6 +91,18 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Corpus.filterByDomainBlocklist(d, "text", Nil).count() == 3)
   }
 
+  test("audio decode of a non-audio payload fails loudly") {
+    val notAudio = Seq((1L, "plain text")).toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(
+        spark, Multimodal.toMediaTable(notAudio, "doc_id", "text")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("not a decodable audio file"))))
+  }
+
   test("round-5 ops on degenerate input: empty batch/corpus, null URL, empty embeddings") {
     import graft.ops.Corpus
     val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")

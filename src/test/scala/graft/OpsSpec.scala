@@ -379,6 +379,27 @@ class OpsSpec extends SparkSpec {
     assert(rows((1L, 1)) == ((2L, 254L, 127.0)))
   }
 
+  test("multimodal: payloads are real WAV files and decode round-trips samples") {
+    val sized = docs.withColumn("n_chars", length($"text"))
+    val media = Multimodal.toAudioTable(sized, "doc_id", "n_chars")
+    // the payload really is a WAV container: RIFF....WAVE magic
+    val payload = media.filter($"doc_id" === 1L)
+      .select("payload").as[Array[Byte]].head()
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val feats = Multimodal.decodeAudio(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    sized.select($"doc_id", $"n_chars").as[(Long, Int)].collect().foreach {
+      case (id, nc) =>
+        val n = 100 + (nc % 200)
+        val expSum = (0 until n).map(i =>
+          math.floorMod(id * 31 + i * 7L, 2001L) - 1000L).sum
+        val f = feats(id)
+        assert(f.sample_rate == 8000 && f.n_samples == n.toLong)
+        assert(f.amp_sum == expSum, s"doc $id: decoded amplitude sum drifted")
+    }
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key across partitions") {
     import graft.ops.Skew
     // 10k fact rows, ~90% on one hot key; dim has one row per key
