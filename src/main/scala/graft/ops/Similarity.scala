@@ -224,21 +224,20 @@ object Similarity {
     }
   }
 
-  /** Sign-LSH signature bits and banded candidate pairs re-ranked by
-    * exact cosine. nPlanes bits split into nBands bands.
+  /** Sign-LSH banded candidate id pairs (vec_a < vec_b, distinct) —
+    * the shared candidate generator for the exact and quantized
+    * re-rank paths. Signature bits via the compiled kernel (same fold
+    * order as the Column dot, so the sign decisions match the oracle
+    * bit-for-bit); candidates carry only ids through the band join +
+    * distinct — vectors are re-attached by the caller (don't shuffle
+    * arrays twice).
     */
-  def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
-               nPlanes: Int = 16, nBands: Int = 4,
-               threshold: Double = 0.35, dims: Int = 64): DataFrame = {
+  private def lshCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                            nPlanes: Int, nBands: Int, dims: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val planes = hyperplanes(nPlanes, dims).map(_.toArray).toArray
     val perBand = nPlanes / nBands
-    val all = prepared(emb, idCol, vecCol)
-    // signature bits via the compiled kernel (same fold order as the
-    // Column dot, so the sign decisions match the oracle bit-for-bit);
-    // candidate pairs carry only ids through the band join + distinct —
-    // vectors are re-attached afterwards (don't shuffle arrays twice)
     val bcPlanes = spark.sparkContext.broadcast(planes)
     val bands = typed(emb, idCol, vecCol).mapPartitions { rows =>
       val ws = bcPlanes.value
@@ -252,10 +251,21 @@ object Similarity {
         }
       }
     }.toDF("vec_id", "band_idx", "band_key")
-    val cand = bands.toDF("vec_a", "band_idx", "band_key")
+    bands.toDF("vec_a", "band_idx", "band_key")
       .join(bands.toDF("vec_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
+  }
+
+  /** Sign-LSH signature bits and banded candidate pairs re-ranked by
+    * exact cosine. nPlanes bits split into nBands bands.
+    */
+  def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
+               nPlanes: Int = 16, nBands: Int = 4,
+               threshold: Double = 0.35, dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val all = prepared(emb, idCol, vecCol)
+    val cand = lshCandidates(emb, idCol, vecCol, nPlanes, nBands, dims)
     // exact re-rank through the native codegen'd cosine expression
     // (same sequential accumulation → same bits as dot/nrm would give)
     graft.functions.GraftFunctions.register(spark)
@@ -266,6 +276,31 @@ object Similarity {
         graft.functions.GraftFunctions.cosineSim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
+  }
+
+  /** [[lshPairs]] with the re-rank in int8-QUANTIZED space: the same
+    * banded candidates, scored by the codegen'd quantized_cosine over
+    * exact integer sums — scale factors cancel in cosine, so no
+    * dequantization, and the vectors crossing the candidate joins are
+    * 8× smaller than the double working form. At corpus scale the
+    * re-rank is memory-bandwidth-bound, which makes this the
+    * production scoring path; the double-space [[lshPairs]] is the
+    * precision baseline (quantized cosines differ from exact ones by
+    * O(1/127) per component, bounded in the spec).
+    */
+  def lshPairsQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                        nPlanes: Int = 16, nBands: Int = 4,
+                        threshold: Double = 0.35, dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cand = lshCandidates(emb, idCol, vecCol, nPlanes, nBands, dims)
+    val q = quantizeInt8(emb, idCol, vecCol).select("vec_id", "q")
+    cand.join(q.toDF("vec_a", "qa"), "vec_a")
+      .join(q.toDF("vec_b", "qb"), "vec_b")
+      .withColumn("qcos",
+        graft.functions.GraftFunctions.quantizedCosine(col("qa"), col("qb")))
+      .filter(col("qcos") >= threshold)
+      .select("vec_a", "vec_b", "qcos")
   }
 
   /** Symmetric int8 quantization per vector — the storage/compute

@@ -781,6 +781,45 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    /** ann_lsh_quantized — the LSH re-rank in int8-quantized space:
+      * same banded candidates as ann_lsh, scored by the codegen'd
+      * quantized_cosine (exact BIGINT sums; scale factors cancel in
+      * cosine so there is no dequantization). The production scoring
+      * path at corpus scale — vectors crossing the candidate joins are
+      * 8× smaller than the double working form. */
+    Q("ann_lsh_quantized",
+      s"""WITH $embCte,
+         |bits AS (SELECT vec_id, v, nrm,
+         |    $lshBitsSql
+         |  FROM n),
+         |bands AS (
+         |  $lshBandsSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_id, v,
+         |    list_reduce(list_transform(v, x -> abs(x)), (a,b) -> greatest(a,b)) AS scale
+         |  FROM e),
+         |qd AS (SELECT vec_id,
+         |    CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0::BIGINT)
+         |         ELSE list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT))
+         |    END AS qv
+         |  FROM sc),
+         |scored AS (SELECT ia AS vec_a, ib AS vec_b,
+         |    CAST(list_reduce(list_transform(range(1, 65),
+         |        i -> qa.qv[i] * qb.qv[i]), (x,y) -> x+y) AS DOUBLE) /
+         |    (sqrt(CAST(list_reduce(list_transform(qa.qv, x -> x*x), (x,y) -> x+y) AS DOUBLE)) *
+         |     sqrt(CAST(list_reduce(list_transform(qb.qv, x -> x*x), (x,y) -> x+y) AS DOUBLE))) AS qcos
+         |  FROM cand JOIN qd qa ON qa.vec_id = ia JOIN qd qb ON qb.vec_id = ib)
+         |SELECT vec_a, vec_b, qcos FROM scored
+         |WHERE qcos >= 0.35::DOUBLE
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      Similarity.lshPairsQuantized(table(s, dir, "embeddings"), "vec_id", "embedding",
+          nPlanes = NPLANES, nBands = NBANDS, threshold = 0.35)
+        .orderBy("vec_a", "vec_b")
+    },
+
     /** mm_audio_decode — REAL audio container round trip through the
       * JDK codec (javax.sound): each doc renders to deterministic
       * 16-bit mono PCM in a genuine WAV file, decodeAudio parses the

@@ -361,6 +361,33 @@ class OpsSpec extends SparkSpec {
     assert(top(1L)._2 == (2.0 / 3.0) * 3.0)
   }
 
+  test("quantized cosine tracks exact cosine and is 1.0 for parallel vectors") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val emb = Seq(
+      (0L, Array(0.5f, 0.25f, -0.75f)),
+      (1L, Array(1.0f, 0.5f, -1.5f)),   // parallel to 0 → cos 1
+      (2L, Array(0.3f, -0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select($"vec_id".as("k"), $"q")
+    val pairs = q.toDF("a", "qa").crossJoin(q.toDF("b", "qb")).filter($"a" < $"b")
+      .select($"a", $"b", GraftFunctions.quantizedCosine($"qa", $"qb").as("qcos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // parallel vectors quantize identically (scale cancels) → cos 1
+    // up to the last ulp of sqrt(n)·sqrt(n)
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-12)
+    // quantized cosine within O(1/127)-ish of the exact double cosine
+    def exact(x: Array[Float], y: Array[Float]): Double = {
+      val (xd, yd) = (x.map(_.toDouble), y.map(_.toDouble))
+      val dot = xd.zip(yd).map { case (p, r) => p * r }.sum
+      dot / (math.sqrt(xd.map(v => v * v).sum) * math.sqrt(yd.map(v => v * v).sum))
+    }
+    val e02 = exact(Array(0.5f, 0.25f, -0.75f), Array(0.3f, -0.9f, 0.1f))
+    assert(math.abs(pairs((0L, 2L)) - e02) < 0.02,
+      s"quantized ${pairs((0L, 2L))} vs exact $e02")
+  }
+
   test("centroid update: quantized per-bucket means are exact") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),   // centroid 0
