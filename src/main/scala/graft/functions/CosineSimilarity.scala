@@ -171,7 +171,12 @@ case class QuantizedCosine(left: Expression, right: Expression)
     while (i < x.length) {
       dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
     }
-    dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+    // an all-zero quantized vector (scale 0 in quantizeInt8) has no
+    // direction: define its similarity as 0.0 rather than NaN (0/0),
+    // so threshold filters drop it identically in both engines instead
+    // of riding on NaN-comparison semantics
+    if (nx == 0L || ny == 0L) 0.0
+    else dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -195,7 +200,7 @@ case class QuantizedCosine(left: Expression, right: Expression)
          |  $nx += $xi * $xi;
          |  $ny += $yi * $yi;
          |}
-         |${ev.value} = ((double) $dot) /
+         |${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0 : ((double) $dot) /
          |  (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
        """.stripMargin
     })

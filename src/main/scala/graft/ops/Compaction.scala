@@ -59,15 +59,58 @@ object Compaction {
     */
   private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
                                 root: Path): Seq[Path] = {
+    def isPart(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith(".") // hidden ≠ partition (e.g. compact temp/trash)
     def walk(dir: Path): Seq[Path] = {
-      val subParts = fs.listStatus(dir)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      val subParts = fs.listStatus(dir).filter(isPart)
       if (subParts.isEmpty) Seq(dir)
       else subParts.toSeq.flatMap(s => walk(s.getPath))
     }
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .toSeq.flatMap(s => walk(s.getPath))
+    fs.listStatus(root).filter(isPart).toSeq.flatMap(s => walk(s.getPath))
+  }
+
+  private val TmpSuffix = ".graft-compact-tmp"
+  private val TrashSuffix = ".graft-compact-old"
+
+  /** Crash recovery for [[compactPartitioned]]: a crash between
+    * rename(partition → trash) and rename(tmp → partition) leaves the
+    * partition directory ABSENT with its data stranded in the hidden
+    * trash sibling — and since leafPartitionDirs only walks existing
+    * `col=value` dirs, no later run would ever revisit it. So every
+    * run starts by walking ALL directories for orphaned
+    * `.<name>.graft-compact-{old,tmp}` siblings: a trash dir whose
+    * partition is missing is renamed back into place (the originals
+    * are always complete — they were never touched until fully
+    * replaced); any remaining tmp/trash leftovers are deleted (tmp is
+    * either a partial write with the partition intact, or a completed
+    * swap's pre-delete leftover — both safe to drop once the
+    * partition dir exists again). Returns the restored partitions.
+    */
+  private def recoverOrphans(fs: org.apache.hadoop.fs.FileSystem,
+                             root: Path): Seq[Path] = {
+    def walk(dir: Path): Seq[Path] = {
+      val entries = fs.listStatus(dir).filter(_.isDirectory).toSeq
+      val restored = entries
+        .filter(_.getPath.getName.endsWith(TrashSuffix))
+        .flatMap { s =>
+          val name = s.getPath.getName
+            .stripPrefix(".").stripSuffix(TrashSuffix)
+          val part = new Path(dir, name)
+          if (!fs.exists(part)) {
+            require(fs.rename(s.getPath, part),
+              s"compactPartitioned: orphan recovery ${s.getPath} -> $part failed")
+            Some(part)
+          } else { fs.delete(s.getPath, true); None }
+        }
+      entries.filter(_.getPath.getName.endsWith(TmpSuffix))
+        .foreach(s => fs.delete(s.getPath, true))
+      restored ++ entries
+        .filter(s => s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(s => walk(s.getPath))
+    }
+    walk(root)
   }
 
   /** Partitioned-table form — the shape a 100-TB table actually needs:
@@ -81,11 +124,15 @@ object Compaction {
     * Durability: the merged output is fully written to a hidden TEMP
     * sibling first, then swapped in with two metadata renames (old →
     * trash, temp → partition) before the old files are deleted — the
-    * original files exist on disk until the replacement is completely
-    * committed. A localCheckpoint would not give this: checkpoint
-    * blocks live on executors, so an executor loss mid-overwrite would
-    * leave the partition partially deleted and unrecomputable —
-    * lineage truncation is not durability.
+    * original bytes exist on disk at every instant, and a crash at any
+    * point is repaired by [[recoverOrphans]] on the next run. A
+    * localCheckpoint would not give this: checkpoint blocks live on
+    * executors, so an executor loss mid-overwrite would leave the
+    * partition partially deleted and unrecomputable — lineage
+    * truncation is not durability. (Readers racing the swap itself can
+    * observe the partition briefly absent between the two renames —
+    * run maintenance when the partition is not being queried, as with
+    * any non-transactional table format.)
     *
     * Returns (root-relative partition path, output file count) for each
     * partition that was rewritten.
@@ -97,16 +144,18 @@ object Compaction {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toUri
+    recoverOrphans(fs, root)
     leafPartitionDirs(fs, root).flatMap { d =>
       val (bytes, nFiles) = fileStats(spark, d.toString)
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (nFiles <= math.max(minFiles, nOut)) None
       else {
         // dot-prefixed siblings are invisible to Spark's file listing,
-        // so concurrent readers of the table never see the temp or the
-        // trashed originals as data
-        val tmp = new Path(d.getParent, s".${d.getName}.graft-compact-tmp")
-        val trash = new Path(d.getParent, s".${d.getName}.graft-compact-old")
+        // so readers never see the temp or the trashed originals as
+        // DATA (the swap window itself is not reader-atomic — see the
+        // scaladoc)
+        val tmp = new Path(d.getParent, s".${d.getName}$TmpSuffix")
+        val trash = new Path(d.getParent, s".${d.getName}$TrashSuffix")
         fs.delete(tmp, true); fs.delete(trash, true)
         spark.read.parquet(d.toString).coalesce(nOut)
           .write.mode("overwrite").parquet(tmp.toString)

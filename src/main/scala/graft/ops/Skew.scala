@@ -21,6 +21,7 @@ object Skew {
 
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
                      buckets: Int = 16, scale: Int = 2): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
     val salted = df.withColumn("__salt", spark_partition_id() % buckets)
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
@@ -51,6 +52,9 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  buckets: Int = 16): DataFrame = {
+    // buckets = 0 would be a runtime `% 0` error and sequence(0, -1)
+    // replicas; negative buckets silently under-replicate — refuse both
+    require(buckets > 0, s"buckets must be positive: $buckets")
     val salted = left.withColumn("__salt", spark_partition_id() % buckets)
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
@@ -70,6 +74,7 @@ object Skew {
     */
   def saltedJoinSkewed(left: DataFrame, right: DataFrame, keys: Seq[String],
                        hotThreshold: Long, buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
     val kcols = keys.map(col)
     val hot = left.groupBy(kcols: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)

@@ -807,10 +807,14 @@ object ExtensionQueries {
          |    END AS qv
          |  FROM sc),
          |scored AS (SELECT ia AS vec_a, ib AS vec_b,
-         |    CAST(list_reduce(list_transform(range(1, 65),
+         |    CASE WHEN list_reduce(list_transform(qa.qv, x -> x*x), (x,y) -> x+y) = 0
+         |           OR list_reduce(list_transform(qb.qv, x -> x*x), (x,y) -> x+y) = 0
+         |         THEN 0.0
+         |         ELSE CAST(list_reduce(list_transform(range(1, 65),
          |        i -> qa.qv[i] * qb.qv[i]), (x,y) -> x+y) AS DOUBLE) /
          |    (sqrt(CAST(list_reduce(list_transform(qa.qv, x -> x*x), (x,y) -> x+y) AS DOUBLE)) *
-         |     sqrt(CAST(list_reduce(list_transform(qb.qv, x -> x*x), (x,y) -> x+y) AS DOUBLE))) AS qcos
+         |     sqrt(CAST(list_reduce(list_transform(qb.qv, x -> x*x), (x,y) -> x+y) AS DOUBLE)))
+         |    END AS qcos
          |  FROM cand JOIN qd qa ON qa.vec_id = ia JOIN qd qb ON qb.vec_id = ib)
          |SELECT vec_a, vec_b, qcos FROM scored
          |WHERE qcos >= 0.35::DOUBLE

@@ -197,8 +197,15 @@ object StreamingQueries {
       val maxSec = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
       val sentinels = ev.select("user_id").distinct()
         .withColumn("ts", timestamp_seconds(lit(maxSec + 1800 + 3600)))
-      val in = java.nio.file.Files.createTempDirectory("graft_stream_sess")
-        .toString + s"/in${runId.incrementAndGet()}"
+      // the prepared input is a throwaway copy — delete the whole temp
+      // root once the run finishes (bench warmup + retries invoke this
+      // repeatedly; leaking a parquet copy of events per invocation is
+      // the same unbounded soak-loop growth the Derby sinks fixed with
+      // their finally-teardown). The memory sink holds the RESULT in
+      // driver memory, so deleting the input after awaitTermination is
+      // safe even though the returned DataFrame evaluates later.
+      val inRoot = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      val in = inRoot.toString + s"/in${runId.incrementAndGet()}"
       ev.unionByName(sentinels).coalesce(1).write.parquet(in)
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val prevProv = s.conf.getOption(provKey)
@@ -218,13 +225,17 @@ object StreamingQueries {
         val q = sessions.toDF().writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(name).orderBy("user_id", "start_s")
+        // materialize out of the memory sink before the input is
+        // deleted in the finally (localCheckpoint = driver/executor
+        // memory, no file dependency)
+        s.table(name).orderBy("user_id", "start_s").localCheckpoint(true)
       } finally {
         prevProv match {
           case Some(v) => s.conf.set(provKey, v)
           case None => s.conf.unset(provKey)
         }
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        org.apache.commons.io.FileUtils.deleteDirectory(inRoot.toFile)
       }
     })
 }

@@ -84,6 +84,49 @@ class CompactionSpec extends SparkSpec {
     assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 260L))
   }
 
+  test("orphan recovery: a crash between the two swap renames is repaired on the next run") {
+    val root = Files.createTempDirectory("compact_crash").toString
+    (1 to 400).map(i => (i.toLong, "a")).toDF("id", "date")
+      .repartition(20).write.partitionBy("date").mode("overwrite").parquet(root)
+    (401 to 500).map(i => (i.toLong, "b")).toDF("id", "date")
+      .repartition(10).write.partitionBy("date").mode("append").parquet(root)
+    // simulate the worst crash point for date=a: the partition was
+    // renamed to trash but the temp was never promoted — the partition
+    // directory is ABSENT and all its data sits in the hidden trash
+    val dir = new java.io.File(s"$root/date=a")
+    assert(dir.renameTo(new java.io.File(s"$root/.date=a.graft-compact-old")))
+    // plus a stale partial temp for the same partition
+    val tmp = new java.io.File(s"$root/.date=a.graft-compact-tmp")
+    assert(tmp.mkdir())
+    Files.writeString(tmp.toPath.resolve("part-garbage.parquet"), "partial")
+    assert(!dir.exists())
+
+    val done = Compaction.compactPartitioned(spark, root, targetBytes = 64L << 20)
+    // recovery restored date=a BEFORE the walk, so the run then saw its
+    // 20 fragments and compacted both partitions normally
+    assert(done.map(_._1).sorted == Seq("date=a", "date=b"))
+    assert(!new java.io.File(root).list().exists(_.contains("graft-compact")))
+    val back = spark.read.parquet(root)
+    assert(back.count() == 500)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 500L))
+  }
+
+  test("orphan recovery: post-swap trash leftovers are swept without touching the live partition") {
+    val root = Files.createTempDirectory("compact_sweep").toString
+    (1 to 100).map(i => (i.toLong, "a")).toDF("id", "date")
+      .coalesce(1).write.partitionBy("date").mode("overwrite").parquet(root)
+    // a completed swap that crashed before deleting its trash: the
+    // partition EXISTS, so the trash must be dropped, not restored
+    val trash = new java.io.File(s"$root/.date=a.graft-compact-old")
+    assert(trash.mkdir())
+    Files.writeString(trash.toPath.resolve("part-old.parquet"), "stale")
+
+    val done = Compaction.compactPartitioned(spark, root, targetBytes = 64L << 20)
+    assert(done.isEmpty) // single-file partition: nothing to compact
+    assert(!new java.io.File(root).list().exists(_.contains("graft-compact")))
+    assert(spark.read.parquet(root).count() == 100)
+  }
+
   test("target sizing: ceil(bytes/target) output files, floor of 1") {
     val in = Files.createTempDirectory("compact_sz_in").toString
     val out = Files.createTempDirectory("compact_sz_out").toString

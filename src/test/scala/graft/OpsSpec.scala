@@ -489,4 +489,38 @@ class OpsSpec extends SparkSpec {
       hotThreshold = 0L, buckets = 4)
     assert(norm(all) == norm(left.join(right, Seq("k"))))
   }
+
+  test("salted operators refuse non-positive bucket counts loudly") {
+    import graft.ops.Skew
+    val left = Seq(("a", 1L)).toDF("k", "v")
+    val right = Seq(("a", 2L)).toDF("k", "w")
+    // buckets = 0 would be `% 0` at runtime and sequence(0, -1)
+    // replicas; negative buckets silently under-replicate — both are
+    // plan-construction errors, caught before any job runs
+    intercept[IllegalArgumentException](Skew.saltedJoin(left, right, Seq("k"), buckets = 0))
+    intercept[IllegalArgumentException](Skew.saltedJoinSkewed(left, right, Seq("k"), 1L, buckets = -4))
+    intercept[IllegalArgumentException](Skew.saltedCountSum(left, Seq("k"), "v", buckets = 0))
+  }
+
+  test("quantized cosine of an all-zero vector is 0.0, not NaN (eval and codegen)") {
+    import graft.functions.{GraftFunctions, QuantizedCosine}
+    GraftFunctions.register(spark)
+    val q = Seq(
+      (0L, Array(0L, 0L, 0L)),     // zero vector — no direction
+      (1L, Array(5L, -3L, 127L))
+    ).toDF("vec_id", "q")
+    val rows = q.toDF("a", "qa").crossJoin(q.toDF("b", "qb"))
+      .select($"a", $"b", GraftFunctions.quantizedCosine($"qa", $"qb").as("qcos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows((0L, 1L)) == 0.0 && rows((1L, 0L)) == 0.0)
+    assert(rows((0L, 0L)) == 0.0) // even zero-vs-zero is pinned
+    assert(math.abs(rows((1L, 1L)) - 1.0) < 1e-12) // sqrt(n)·sqrt(n) last ulp
+    // interpreted eval path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val zero = Literal.create(ArrayData.toArrayData(Array(0L, 0L)), ArrayType(LongType))
+    val some = Literal.create(ArrayData.toArrayData(Array(3L, 4L)), ArrayType(LongType))
+    assert(QuantizedCosine(zero, some).eval(null) == 0.0)
+  }
 }
