@@ -189,6 +189,51 @@ object Dedup {
     b2.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Line-level (sub-document) dedup — the OTHER dedup granularity a
+    * web corpus runs (C4/Gopher-style): a line occurring in ≥ k
+    * DISTINCT documents is boilerplate (headers, footers, cookie
+    * banners) and is removed from every document; each document is
+    * rebuilt from its surviving lines in original order. Documents
+    * here have no newlines, so a "line" is a fixed `chunk`-token
+    * window — the deterministic stand-in; the relational shape
+    * (explode → distinct-doc count → threshold → rebuild) is exactly
+    * the production operator's.
+    *
+    * Scale: the global line-frequency table groups on the 60-bit line
+    * hash (8-byte shuffle keys, line text never moves through the
+    * count exchange), the same discipline as the gram relation; the
+    * rebuild is one groupBy(doc) over (pos, line, keep) with the
+    * order restored by array_sort on the unique position — no window,
+    * no self-join. Returns (doc_id, n_lines, n_kept, text_clean);
+    * a fully-boilerplate document keeps its row with text_clean = ''.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 chunk: Int = 3, k: Int = 5): DataFrame = {
+    require(chunk > 0, s"chunk must be positive: $chunk")
+    require(k > 1, s"boilerplate threshold must exceed 1: $k")
+    // tokens bound as a real column: Catalyst does no CSE inside
+    // lambda bodies, an inline split() would re-tokenize per element
+    val nL = ceil(size(col("__toks")).cast("double") / chunk).cast("int")
+    val lineArr = when(size(col("__toks")) < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nL - 1),
+        i => concat_ws(" ", slice(col("__toks"), i * chunk + 1, lit(chunk)))))
+    val lines = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
+      .withColumn("lh", Parity.md5_60(col("line")))
+    val counts = lines.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    lines.join(counts, "lh")
+      .withColumn("keep", col("nd") < k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("line")))),
+            s => s.getField("keep")),
+          s => s.getField("line"))).as("text_clean"))
+  }
+
   /** MinHash family: h_i(g) = (a_i · (md5_60(g) mod P) + b_i) mod P.
     * One md5 per gram, then cheap integer mixing per hash function —
     * coefficients are deterministic (and mirrored into the oracle SQL).

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators — the write-side half of scan pruning.
@@ -29,6 +29,34 @@ object Layout {
                        keyCol: String): Unit =
     df.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Deterministic seeded key for a reproducible global shuffle:
+    * the 60-bit digest of `seed:id`. Changing the seed re-deals the
+    * whole order; the same seed replays it bit-identically on any
+    * cluster size or partitioning (the digest depends on values only).
+    */
+  def shuffleKey(seed: String, id: Column): Column =
+    graft.functions.Parity.md5_60(concat_ws(":", lit(seed), id.cast("string")))
+
+  /** Deterministic corpus shuffle — the write-side twin of
+    * [[writeRangeSorted]], keyed by [[shuffleKey]] instead of a data
+    * column: every training run needs a reproducible global document
+    * order (shuffled data, fixed seed), and materializing it as
+    * range-partitioned-by-key, sorted-within-file parquet gives
+    * sequential readers the exact global order `ORDER BY shuffle_key`
+    * states, with files holding disjoint key ranges (file N's rows all
+    * precede file N+1's). One range exchange, same cost class as any
+    * repartition, paid once per epoch order.
+    *
+    * The key column is kept in the output: consumers verify/resume by
+    * it, and the oracle can state the order it induces.
+    */
+  def writeShuffled(df: DataFrame, path: String, nFiles: Int,
+                    seed: String, idCol: String): Unit =
+    df.withColumn("shuffle_key", shuffleKey(seed, col(idCol)))
+      .repartitionByRange(nFiles, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
       .write.mode("overwrite").parquet(path)
 
   /** Per-file (min, max, rows) of `keyCol` under `path` — the

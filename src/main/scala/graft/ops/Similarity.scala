@@ -303,6 +303,55 @@ object Similarity {
       .select("vec_a", "vec_b", "qcos")
   }
 
+  /** Recall@k of the approximate ANN paths against the exact
+    * brute-force baseline — the TUNING SIGNAL that justifies (or
+    * indicts) the banding/centroid parameters: nPlanes/nBands and
+    * nCentroids are otherwise asserted correct without ever being
+    * measured. For each probe, the exact top-k ([[cosineTopK]]) is the
+    * ground truth; IVF's top-k and LSH's threshold-filtered candidate
+    * ranking are scored by how many of those they recover. Returns one
+    * row per method: (method, n_hits, n_exact, recall) with recall an
+    * exact IEEE division of two integer counts — hash-stable across
+    * engines.
+    *
+    * Scale: the metric costs one brute-force pass over the PROBE SET
+    * (small by the cosineTopK contract), never the corpus — the same
+    * way production ANN recall is measured on a sampled query log.
+    */
+  def recallAtK(emb: DataFrame, idCol: String, vecCol: String,
+                probePred: Column, k: Int, nCentroids: Int,
+                nPlanes: Int, nBands: Int, threshold: Double,
+                dims: Int = 64): DataFrame = {
+    val exact = cosineTopK(emb, idCol, vecCol, probePred, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val ivf = ivfTopK(emb, idCol, vecCol, nCentroids, probePred, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val pairs = lshPairs(emb, idCol, vecCol, nPlanes, nBands, threshold, dims)
+    // LSH emits undirected prefiltered pairs — direct them both ways,
+    // keep the probe side, rank within each probe by the exact cosine
+    // the re-rank already computed. Exact neighbors whose cosine is
+    // below the LSH threshold are unreachable by construction: that
+    // loss is precisely what the metric must include.
+    val directed = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos"))
+      .unionByName(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("cos")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val lsh = directed.filter(probePred)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("vec_id").as("q_id"), col("neighbor_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    def row(method: String, approx: DataFrame): DataFrame =
+      approx.join(exact, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(nExact)
+        .select(lit(method).as("method"), col("n_hits"), col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    row("ivf", ivf).unionByName(row("lsh", lsh))
+  }
+
   /** Symmetric int8 quantization per vector — the storage/compute
     * compression step before shipping embeddings to an ANN index
     * (4× smaller than float32, 8× smaller than the double working

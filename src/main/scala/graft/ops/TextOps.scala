@@ -117,6 +117,45 @@ object TextOps {
   def domains(text: Column): Column =
     regexp_extract_all(text, lit(UrlHostRe), lit(1))
 
+  /** HTML extraction patterns + entity table, shared with the
+    * generated oracle SQL so both engines run the identical pipeline.
+    * Patterns stay inside the RE2 ∩ Java-regex common subset
+    * (non-greedy ranges, `(?s)` inline flag, plain classes — no
+    * backreferences, no lookaround) and every replacement string is
+    * free of Java's `$`/`\` and DuckDB's `\` replacement
+    * metacharacters.
+    */
+  val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  val StyleRe = "(?s)<style[^>]*>.*?</style>"
+  val TagRe = "<[^>]*>"
+  /** Decode order matters and is fixed: `&lt;`/`&gt;` AFTER tag strip
+    * (so escaped markup stays text, never becoming strippable tags)
+    * and `&amp;` LAST (so `&amp;lt;` decodes to the literal `&lt;`,
+    * not to `<`).
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Raw HTML → text: script/style block removal, tag strip, entity
+    * decode, whitespace collapse — the step UPSTREAM of every text
+    * operator in a web-corpus pipeline (language ID, quality scores,
+    * dedup all assume markup-free text). A chained regexp_replace
+    * pipeline: codegen'd, one narrow map over the corpus, no UDF, no
+    * parser state — the scale-safe 99% of boilerplate extraction
+    * (DOM-aware readability scoring would need a real parser and is
+    * out of engine scope).
+    */
+  def extractHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, ScriptRe, " "), StyleRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (c, (entity, repl)) => regexp_replace(c, entity, repl)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** URL canonicalization — the key for URL-level dedup, the FIRST
     * (and cheapest) dedup stage of a web corpus: most exact dups are
     * the same page crawled under trivially different URLs. Lowercase,

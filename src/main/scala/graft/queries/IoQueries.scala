@@ -288,6 +288,26 @@ object IoQueries {
       s.read.parquet(out).orderBy("o_orderkey")
     },
 
+    /** corpus_shuffle: deterministic seeded GLOBAL shuffle — the
+      * reproducible training order every run needs (ops/Layout
+      * .writeShuffled): rows keyed by md5(seed:doc_id), materialized
+      * range-partitioned + sorted-within-file so sequential readers
+      * see exactly the order the oracle states; same seed → identical
+      * order on any partitioning, new seed → fresh re-deal. The
+      * file-range disjointness is pinned in LayoutSpec; the oracle
+      * proves the induced order and content. */
+    Q("corpus_shuffle",
+      """SELECT ('0x' || substring(md5('graft-epoch-0:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |    AS shuffle_key, doc_id, n_chars
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "n_chars")
+      val out = tmp("corpus_shuffle")
+      graft.ops.Layout.writeShuffled(docs, out, nFiles = 8,
+        seed = "graft-epoch-0", idCol = "doc_id")
+      s.read.parquet(out).select("shuffle_key", "doc_id", "n_chars")
+        .orderBy("shuffle_key", "doc_id")
+    },
+
     /** sort_views (reference: sql/schema.sql:82-129 — every reference
       * view carries a multi-key ORDER BY): mixed-direction sort with a
       * deterministic tiebreak, planned as TakeOrderedAndProject. */

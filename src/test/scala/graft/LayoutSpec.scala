@@ -41,4 +41,35 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
       == (1L to 10000L))
   }
+
+  test("writeShuffled: reproducible global order, disjoint files, seed re-deals") {
+    val df = (1L to 5000L).map(i => (i, s"doc_$i")).toDF("id", "payload")
+      .repartition(7)
+    def ordered(out: String): Seq[Long] =
+      spark.read.parquet(out).orderBy("shuffle_key", "id")
+        .select("id").as[Long].collect().toSeq
+    val out1 = Files.createTempDirectory("shuffle1").toString
+    val out2 = Files.createTempDirectory("shuffle2").toString
+    val out3 = Files.createTempDirectory("shuffle3").toString
+    Layout.writeShuffled(df, out1, nFiles = 8, seed = "epoch-0", idCol = "id")
+    // a differently-partitioned input, same seed → the SAME global order
+    Layout.writeShuffled(df.repartition(3), out2, nFiles = 8, seed = "epoch-0", idCol = "id")
+    Layout.writeShuffled(df, out3, nFiles = 8, seed = "epoch-1", idCol = "id")
+    val o1 = ordered(out1)
+    assert(o1 == ordered(out2), "same seed must replay the identical order")
+    assert(o1 != ordered(out3), "a new seed must re-deal the order")
+    assert(o1.sorted == (1L to 5000L), "the shuffle is a permutation, lossless")
+    assert(o1 != (1L to 5000L), "and it actually shuffles")
+    // files hold DISJOINT shuffle-key ranges: sequential file reads see
+    // the global order
+    val ranges = Layout.fileRanges(spark, out1, "shuffle_key")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ranges.length == 8 && ranges.map(_._3).sum == 5000)
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, maxA, _), (minB, _, _)) =>
+        assert(maxA < minB, s"overlapping shuffle-key ranges: $maxA >= $minB")
+      case _ =>
+    }
+  }
 }

@@ -490,6 +490,103 @@ class OpsSpec extends SparkSpec {
     assert(norm(all) == norm(left.join(right, Seq("k"))))
   }
 
+  test("HTML extraction strips blocks and tags, decodes entities in the pinned order") {
+    import graft.ops.TextOps
+    val rows = Seq(
+      // script/style bodies vanish wholly; tags become spaces; entities decode
+      (1L, """<html><head><style>p{x:1}</style><script src="a">if (1 < 2) {}</script></head>
+             |<body><h1>Title</h1><p>alpha &amp; beta</p></body></html>""".stripMargin.replace("\n", "")),
+      // escaped markup stays TEXT: &lt;b&gt; decodes after tag strip
+      (2L, "<p>use &lt;b&gt; for bold</p>"),
+      // &amp;lt; decodes to the literal string "&lt;", never to "<"
+      (3L, "<p>write &amp;lt; to escape</p>"),
+      // whitespace collapse + trim
+      (4L, "  <div>  a   b  </div>  ")
+    ).toDF("doc_id", "html")
+    val out = rows.select($"doc_id", TextOps.extractHtml($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Title alpha & beta")
+    assert(out(2L) == "use <b> for bold")
+    assert(out(3L) == "write &lt; to escape")
+    assert(out(4L) == "a b")
+  }
+
+  test("line dedup removes ≥k-doc boilerplate and rebuilds docs in order") {
+    import graft.ops.Dedup
+    // chunk=2 lines; "cookie banner" appears in 3 docs → boilerplate at k=3
+    val docs = Seq(
+      (1L, "cookie banner alpha beta gamma delta"),
+      (2L, "cookie banner epsilon zeta"),
+      (3L, "pad unique start cookie banner"),
+      (4L, "cookie banner") // fully boilerplate → survives as empty text
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", chunk = 2, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "alpha beta gamma delta")))
+    assert(out(2L) == ((2L, 1L, "epsilon zeta")))
+    // doc 3's "cookie banner" words straddle a chunk boundary → its
+    // lines are ("pad unique", "start cookie", "banner"), none of them
+    // boilerplate: the operator is exact-line dedup, not substring
+    // search, so everything is kept
+    assert(out(3L) == ((3L, 3L, "pad unique start cookie banner")))
+    assert(out(4L) == ((1L, 0L, ""))) // row kept, text emptied
+    assert(out.size == 4)
+  }
+
+  test("indexed incremental dedup is byte-identical to the direct form") {
+    import graft.ops.{Dedup, DedupIndex}
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "lorem ipsum dolor sit amet consectetur"),
+      (12L, "completely different corpus text about spark engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "The Quick Brown Fox jumps over the lazy dog"), // exact dup of 10 (normalized)
+      (2L, "the quick brown fox jumps over the lazy cat"), // near dup of 10 (J = 0.75)
+      (3L, "a wholly new document about training data pipelines"),
+      (4L, "a wholly new document about training data pipelines"), // in-batch exact dup of 3
+      (5L, "short text") // < 3 tokens: no grams, survives
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx").toString
+    DedupIndex.build(corpus, "doc_id", "text", 3, dir, nFiles = 4)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val direct = Dedup.incremental(batch, corpus, "doc_id", "text", 3, 0.5)
+    val indexed = DedupIndex.dedupBatch(spark, batch, dir, "doc_id", "text", 3, 0.5)
+    assert(ids(direct) == Seq(3L, 5L))
+    assert(ids(indexed) == ids(direct))
+  }
+
+  test("index append keeps the next day's dedup equal to a full recompute") {
+    import graft.ops.{Dedup, DedupIndex}
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "lorem ipsum dolor sit amet consectetur")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (1L, "a wholly new document about training data pipelines"),
+      (2L, "the quick brown fox jumps over the lazy dog") // exact dup, dropped
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "a wholly new document about training data pipelines"), // exact dup of day-1 survivor
+      (21L, "another fresh doc entirely unlike anything else"),
+      (22L, "lorem ipsum dolor sit amet consectetur additions") // near dup of 11 (J = 0.8)
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_app").toString
+    DedupIndex.build(corpus, "doc_id", "text", 3, dir, nFiles = 2)
+    val day1 = DedupIndex.dedupBatch(spark, batch1, dir, "doc_id", "text", 3, 0.5)
+      .localCheckpoint(true)
+    DedupIndex.append(day1, "doc_id", "text", 3, dir)
+    val day2 = DedupIndex.dedupBatch(spark, batch2, dir, "doc_id", "text", 3, 0.5)
+    // recompute-from-scratch reference: corpus grown by day 1's survivors
+    val grown = corpus.unionByName(day1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(day2) == Seq(21L))
+    assert(ids(day2) == ids(Dedup.incremental(batch2, grown, "doc_id", "text", 3, 0.5)))
+  }
+
   test("salted operators refuse non-positive bucket counts loudly") {
     import graft.ops.Skew
     val left = Seq(("a", 1L)).toDF("k", "v")

@@ -184,6 +184,38 @@ class PlansSpec extends SparkSpec {
       "batch-vs-corpus candidates must come from the gram equi-join")
   }
 
+  test("dedup_incremental_indexed: the corpus relation appears nowhere in the plan") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_plan_corpus").toString
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_plan_batch").toString
+    Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "lorem ipsum dolor sit amet consectetur"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    Seq((1L, "a wholly new document about training data pipelines"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(batchDir)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_plan_index").toString
+    graft.ops.DedupIndex.build(spark.read.parquet(corpusDir),
+      "doc_id", "text", 3, idxDir, nFiles = 2)
+    val df = graft.ops.DedupIndex.dedupBatch(spark,
+      spark.read.parquet(batchDir), idxDir, "doc_id", "text", 3, 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point of the index: daily dedup scans the batch and the
+    // 8-byte-hash index tables, never the corpus text
+    assert(p.contains(new java.io.File(idxDir).getName),
+      "expected the index tables in the scan set")
+    assert(p.contains(new java.io.File(batchDir).getName),
+      "expected the batch in the scan set")
+    assert(!p.contains(new java.io.File(corpusDir).getName),
+      "the corpus relation must NOT be scanned by the indexed dedup")
+    // and the removals keep the anti-join/equi-join discipline of the
+    // direct form
+    assert("LeftAnti".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("embed_centroid_update: max_by assignment, no unbounded pair join") {
     val p = plan("embed_centroid_update")
     assert(p.contains("max_by"), "assignment must aggregate, not window")
