@@ -31,6 +31,74 @@ object Corpus {
                            pctByStratum: Column): DataFrame =
     hashSample(df, idCol, pctByStratum)
 
+  /** Target-composition mixture sampling — the DATA-MIXTURE step of
+    * corpus assembly (web 60% / books 30% / code 10%-style recipes):
+    * given target weights per group and a global budget fraction, the
+    * per-group keep RATE is computed from the group's actual count
+    * (rate = weight × N × budget / n_group, capped at 1), then applied
+    * as deterministic hash sampling. Unlike [[stratifiedHashSample]]
+    * (caller-fixed per-stratum rates), the rates here are derived from
+    * the corpus so the OUTPUT composition hits the recipe regardless
+    * of the input skew. Groups without a weight are excluded — the
+    * recipe defines the corpus.
+    *
+    * Fully deterministic: the rate arithmetic is a fixed sequence of
+    * IEEE ops on integer-derived doubles, quantized to a millionth
+    * threshold compared against md5_60(seed:id) mod 10^6 — seed
+    * re-deals, same seed replays, reproducible across engines and
+    * partitionings. One count aggregate + one broadcast join + a
+    * narrow filter; nothing corpus-sized shuffles.
+    */
+  def mixSample(docs: DataFrame, idCol: String, groupCol: String,
+                weights: Seq[(String, Double)], budgetFrac: Double,
+                seed: String): DataFrame = {
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1]: $budgetFrac")
+    require(weights.nonEmpty, "mixSample: empty weights")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val thresholds = counts.crossJoin(broadcast(total))
+      .withColumn("__rate", least(lit(1.0),
+        wCol * col("__total").cast("double") * budgetFrac /
+          col("__n").cast("double")))
+      .withColumn("__thresh", floor(col("__rate") * 1000000.0).cast("long"))
+      .select(col(groupCol), col("__thresh"))
+    docs.join(broadcast(thresholds), Seq(groupCol))
+      .filter(Parity.md5_60(
+          concat_ws(":", lit(seed), col(idCol).cast("string"))) % 1000000L
+        < col("__thresh"))
+      .drop("__thresh")
+  }
+
+  /** Sliding-window chunking with overlap — context-window prep for
+    * retrieval/embedding pipelines: chunks of `chunkTokens` tokens
+    * starting every `stepTokens` (overlap = chunk − step), the final
+    * chunk absorbing the tail. Deterministic, positional, and purely
+    * columnar (bound token array → transform/slice → posexplode): one
+    * narrow map, output rows ≈ n_tokens / step per doc. Returns
+    * (doc_id, chunk_idx, chunk, n_tokens).
+    */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int, stepTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && stepTokens > 0 && stepTokens <= chunkTokens,
+      s"chunkOverlap: need 0 < step <= chunk, got step=$stepTokens chunk=$chunkTokens")
+    val n = size(col("__toks"))
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stepTokens)
+        .cast("int") + 1)
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ",
+            slice(col("__toks"), i * stepTokens + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_tokens", size(split(col("chunk"), " ")).cast("long"))
+  }
+
   /** Top-k vocabulary: token frequencies over the normalized corpus,
     * ties broken lexicographically (deterministic). Explode + count is
     * one shuffle on the token; the global top-k plans as

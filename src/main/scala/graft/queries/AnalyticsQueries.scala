@@ -537,6 +537,30 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    /** agg_kmv_distinct — a distinct-count SKETCH with an exact
+      * oracle (ops/Sketch.kmvDistinct): unlike agg_approx's HLL (whose
+      * implementation differs by engine, hence oracle-less), KMV over
+      * the fixed md5_60 hash is a pure function of the value set —
+      * fully checkable, still sublinear (k hashes of state) and
+      * mergeable. The exact count rides along so the row itself shows
+      * the estimation error. */
+    Q("agg_kmv_distinct",
+      """WITH h AS (SELECT DISTINCT
+        |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM events),
+        |km AS (SELECT max(h) AS kth_min, COUNT(*) AS k_actual
+        |  FROM (SELECT h FROM h ORDER BY h ASC LIMIT 32)),
+        |ex AS (SELECT COUNT(DISTINCT event_id) AS exact_distinct FROM events)
+        |SELECT CAST(32 AS BIGINT) AS k, k_actual, kth_min,
+        |  CAST(31 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |    / CAST(kth_min AS DOUBLE) AS est_distinct,
+        |  exact_distinct
+        |FROM km CROSS JOIN ex""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      graft.ops.Sketch.kmvDistinct(ev, col("event_id"), k = 32)
+        .crossJoin(ev.agg(countDistinct(col("event_id")).as("exact_distinct")))
+    },
+
     /** agg_cube — all grouping-set combinations of (status, priority). */
     Q("agg_cube",
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -144,6 +144,12 @@ object ExtensionQueries {
     */
   private val NBANDS_MS = 4
 
+  /** The corpus_mix recipe: target language composition, shared with
+    * the generated oracle CASE so both engines derive identical rates.
+    */
+  private val mixWeights = Seq(
+    "en" -> 0.4, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1)
+
   val all: Seq[Q] = Seq(
 
     /** Token counting: whitespace + BPE-ish regex token counts. */
@@ -1022,6 +1028,55 @@ object ExtensionQueries {
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 3)
       graft.ops.DedupIndex.dedupBatch(s, batch, idx, "doc_id", "text", 3, 0.5)
         .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
+    /** corpus_mix — target-composition mixture sampling
+      * (Corpus.mixSample): per-language keep rates DERIVED from the
+      * actual counts so the output hits the recipe (en 40 / de 20 /
+      * es 15 / fr 15 / zh 10 at half the corpus) regardless of input
+      * skew; applied as deterministic hash sampling. The data-mixture
+      * step of corpus assembly. */
+    Q("corpus_mix", {
+      val caseSql = mixWeights
+        .map { case (g, w) => s"WHEN '$g' THEN CAST($w AS DOUBLE)" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS nn FROM documents),
+         |r AS (SELECT lang, CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+         |    CASE lang $caseSql ELSE CAST(0.0 AS DOUBLE) END
+         |      * CAST(nn AS DOUBLE) * CAST(0.5 AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS thresh
+         |  FROM c CROSS JOIN t)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ('0x' || substring(md5('mix-0:' || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
+         |  % 1000000 < r.thresh
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      Corpus.mixSample(table(s, dir, "documents"), "doc_id", "lang",
+          mixWeights, budgetFrac = 0.5, seed = "mix-0")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    /** text_chunk_overlap — sliding-window chunking
+      * (Corpus.chunkOverlap): 32-token chunks every 24 tokens
+      * (8-token overlap), the context-window prep of
+      * retrieval/embedding pipelines; final chunk absorbs the tail. */
+    Q("text_chunk_overlap",
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |nn AS (SELECT doc_id, t, len(t) AS n FROM tok),
+        |ch AS (SELECT doc_id, CAST(r.i AS INTEGER) AS chunk_idx,
+        |    array_to_string(t[CAST(r.i*24+1 AS INTEGER):CAST(r.i*24+32 AS INTEGER)], ' ') AS chunk
+        |  FROM nn, UNNEST(range(0,
+        |    CASE WHEN n <= 32 THEN 1
+        |         ELSE CAST(ceil(CAST(n - 32 AS DOUBLE) / 24.0) AS BIGINT) + 1 END)) AS r(i))
+        |SELECT doc_id, chunk_idx, chunk,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Corpus.chunkOverlap(table(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, stepTokens = 24)
+        .orderBy("doc_id", "chunk_idx")
     },
 
     /** text_extract_html — raw HTML → text (script/style removal, tag

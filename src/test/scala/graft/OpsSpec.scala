@@ -490,6 +490,68 @@ class OpsSpec extends SparkSpec {
     assert(norm(all) == norm(left.join(right, Seq("k"))))
   }
 
+  test("chunkOverlap: window arithmetic, tail absorption, overlap content") {
+    import graft.ops.Corpus
+    def doc(n: Int) = (n.toLong, (1 to n).map(i => s"w$i").mkString(" "))
+    val docs = Seq(doc(10), doc(56), doc(57)).toDF("doc_id", "text")
+    val out = Corpus.chunkOverlap(docs, "doc_id", "text", chunkTokens = 32, stepTokens = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // short doc: one chunk, whole text
+    assert(out((10L, 0)) == ((1 to 10).map(i => s"w$i").mkString(" "), 10L))
+    // 56 tokens: chunks [1..32] and [25..56] — boundary-exact division
+    assert(out((56L, 0))._2 == 32L && out((56L, 1))._2 == 32L)
+    assert(out((56L, 1))._1.startsWith("w25 ") && out((56L, 1))._1.endsWith(" w56"))
+    assert(!out.contains((56L, 2)))
+    // 57 tokens: a third chunk absorbs the 9-token tail [49..57]
+    assert(out((57L, 2)) == (((49 to 57).map(i => s"w$i").mkString(" "), 9L)))
+    // consecutive chunks overlap by chunk − step = 8 tokens
+    val c0 = out((56L, 0))._1.split(" ").toSeq
+    val c1 = out((56L, 1))._1.split(" ").toSeq
+    assert(c0.takeRight(8) == c1.take(8))
+  }
+
+  test("mixSample hits the target composition on skewed input, reproducibly") {
+    import graft.ops.Corpus
+    // heavily skewed input: 2000 "web", 200 "books"; recipe wants 50/50
+    // of a 20% budget → 220 docs from each group
+    val docs = ((1 to 2000).map(i => (i.toLong, "web")) ++
+        (2001 to 2200).map(i => (i.toLong, "books")))
+      .toDF("doc_id", "grp")
+    val w = Seq("web" -> 0.5, "books" -> 0.5)
+    val out = Corpus.mixSample(docs, "doc_id", "grp", w, budgetFrac = 0.2, seed = "s0")
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books: rate caps at 1.0 → all 200 kept exactly
+    assert(byGrp("books") == 200L)
+    // web: rate 220/2000 = 11% → ~220 docs, hash-sampling noise only
+    assert(math.abs(byGrp("web") - 220L) < 60, s"web kept ${byGrp("web")}")
+    // deterministic: same seed replays under any partitioning; new seed re-deals
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(out) == ids(
+      Corpus.mixSample(docs.repartition(13), "doc_id", "grp", w, 0.2, "s0")))
+    assert(ids(out) != ids(Corpus.mixSample(docs, "doc_id", "grp", w, 0.2, "s1")))
+    // a group absent from the recipe is excluded entirely
+    val extra = docs.unionByName(Seq((9999L, "junk")).toDF("doc_id", "grp"))
+    assert(Corpus.mixSample(extra, "doc_id", "grp", w, 0.2, "s0")
+      .filter($"grp" === "junk").count() == 0)
+  }
+
+  test("KMV sketch estimates cardinality within sketch error, flags underpopulation") {
+    import graft.ops.Sketch
+    val n = 20000
+    val df = (1 to n).map(i => s"user_$i").toDF("u")
+    val row = Sketch.kmvDistinct(df, $"u", k = 64).head()
+    assert(row.getAs[Long]("k_actual") == 64L)
+    val est = row.getAs[Double]("est_distinct")
+    // KMV relative error ~1/sqrt(k) = 12.5%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.5, s"estimate $est vs $n")
+    // fewer distinct values than k: k_actual says the estimate is moot
+    val tiny = Sketch.kmvDistinct(Seq("a", "b", "a").toDF("u"), $"u", k = 64).head()
+    assert(tiny.getAs[Long]("k_actual") == 2L)
+  }
+
   test("HTML extraction strips blocks and tags, decodes entities in the pinned order") {
     import graft.ops.TextOps
     val rows = Seq(
