@@ -216,6 +216,38 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("agg_kmv_distinct: k-smallest via TakeOrderedAndProject, never a global sort") {
+    val p = plan("agg_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k-minimum selection must be per-partition heaps, not a sort")
+    assert(!p.contains("Sort ["), "no global sort anywhere in the sketch")
+  }
+
+  test("corpus_mix: derived thresholds broadcast onto the scan, no corpus-sized shuffle join") {
+    val p = plan("corpus_mix")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the per-group threshold relation is tiny and must broadcast")
+  }
+
+  test("dedup_lines: count exchange keyed by the line hash, not line text") {
+    val p = plan("dedup_lines")
+    assert(p.contains("hashpartitioning(lh"),
+      "the line-frequency shuffle must carry the 60-bit hash key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_extract_html / text_chunk_overlap are narrow maps (no join, no aggregate exchange)") {
+    for (name <- Seq("text_extract_html", "text_chunk_overlap")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join")
+      assert(!p.contains("HashAggregate"), s"$name must not aggregate")
+      // only the final ORDER BY may exchange
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not hash-shuffle")
+    }
+  }
+
   test("embed_centroid_update: max_by assignment, no unbounded pair join") {
     val p = plan("embed_centroid_update")
     assert(p.contains("max_by"), "assignment must aggregate, not window")

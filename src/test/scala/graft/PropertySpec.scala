@@ -141,6 +141,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkOverlap equals direct slice semantics for random docs and window params") {
+    import graft.ops.Corpus
+    seeds.foreach { s =>
+      val lens = sample(Gen.listOfN(30, Gen.chooseNum(1, 120)), s)
+      val chunk = sample(Gen.chooseNum(2, 40), s)
+      val step = sample(Gen.chooseNum(1, chunk), s)
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+      }
+      val out = Corpus.chunkOverlap(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunk, step)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3))))
+        .toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        val n = toks.length
+        val nChunks = if (n <= chunk) 1
+          else math.ceil((n - chunk).toDouble / step).toInt + 1
+        (0 until nChunks).map { i =>
+          val piece = toks.slice(i * step, math.min(i * step + chunk, n))
+          (id, i) -> ((piece.mkString(" "), piece.length.toLong))
+        }
+      }.toMap
+      assert(out == expected, s"seed $s chunk=$chunk step=$step")
+    }
+  }
+
+  test("mixSample equals the reference hash-threshold set exactly") {
+    import graft.ops.Corpus
+    def md5_60(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    seeds.foreach { s =>
+      val rows = sample(Gen.listOfN(400,
+        Gen.oneOf("a", "b", "c", "d")), s).zipWithIndex
+        .map { case (g, i) => (i.toLong, g) }
+      val weights = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2) // "d" not in recipe
+      val frac = 0.4
+      val out = Corpus.mixSample(rows.toDF("doc_id", "grp"),
+          "doc_id", "grp", weights, frac, seed = s"seed$s")
+        .select("doc_id").as[Long].collect().toSet
+      // reference: identical arithmetic in plain Scala
+      val counts = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val total = rows.size
+      val thresh = counts.map { case (g, n) =>
+        val w = weights.toMap.getOrElse(g, 0.0)
+        g -> math.floor(math.min(1.0, w * total.toDouble * frac / n.toDouble)
+          * 1000000.0).toLong
+      }
+      val expected = rows.collect { case (id, g)
+        if md5_60(s"seed$s:$id") % 1000000L < thresh(g) => id }.toSet
+      assert(out == expected, s"seed $s")
+      assert(rows.collect { case (id, "d") => id }.toSet.intersect(out).isEmpty)
+    }
+  }
+
+  test("dedupLines: k above the corpus size is the identity; kept lines grow with k") {
+    import graft.ops.Dedup
+    seeds.foreach { s =>
+      val texts = sample(Gen.listOfN(12, Gen.chooseNum(3, 60)), s).zipWithIndex
+        .map { case (n, i) =>
+          // small vocab → real cross-doc line collisions
+          val words = sample(Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w")), s + i)
+          (i.toLong, words.mkString(" "))
+        }
+      val df = texts.toDF("doc_id", "text")
+      def keptByDoc(k: Int): Map[Long, Long] =
+        Dedup.dedupLines(df, "doc_id", "text", chunk = 2, k = k)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // k larger than any possible doc count: nothing is boilerplate
+      val identity = Dedup.dedupLines(df, "doc_id", "text", chunk = 2, k = 1000)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      texts.foreach { case (id, t) => assert(identity(id) == t, s"seed $s doc $id") }
+      // monotone: a looser threshold never keeps fewer lines
+      val k2 = keptByDoc(2); val k4 = keptByDoc(4)
+      k2.keySet.foreach { id => assert(k2(id) <= k4(id), s"seed $s doc $id") }
+    }
+  }
+
   test("PII redaction order email→IP→num is load-bearing") {
     import graft.ops.TextOps
     def redactVia(texts: Seq[String],
