@@ -303,6 +303,105 @@ object Similarity {
       .select("vec_a", "vec_b", "qcos")
   }
 
+  /** Product-quantization ANN (IVF-ADC's scoring half): vectors are
+    * ENCODED as m sub-space codebook indices (here 8 subspaces × 16
+    * centroids = 8 bytes per vector, 32× smaller than the float32
+    * form and 64× smaller than the double working form), and probes
+    * score codes through a per-probe lookup table — the classic ADC
+    * (asymmetric distance computation): score(q, x) = Σ_m
+    * lut_q[m][code_m(x)] where lut_q[m][c] = ⟨q_m, codebook_m[c]⟩.
+    * The corpus-side read per candidate is 8 BYTES — at 100 TB the
+    * re-rank is memory-bandwidth-bound, which is exactly what PQ
+    * buys; brute-force/LSH/IVF/int8 remain the other points on the
+    * accuracy-bandwidth curve, measured by ann_recall's method.
+    *
+    * Determinism/parity: codebooks are the sub-vectors of the ksub
+    * lowest-id vectors (same seeding rule as ivfAssign); encoding is
+    * argmin L2 with ties to the lowest centroid id, every distance a
+    * fixed i-ascending fold; the ADC sum is m-ascending over per-m
+    * dots — the DuckDB oracle states the identical grouping
+    * (per-subspace dots reduced over an m-ORDERED list), so scores
+    * are bit-identical. Probe-set size is guarded like cosineTopK.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             probePred: Column, k: Int, m: Int = 8, ksub: Int = 16,
+             dims: Int = 64, maxProbes: Long = 100000L): DataFrame = {
+    require(m > 0 && dims % m == 0,
+      s"pqTopK: dims ($dims) must split evenly into m ($m) subspaces")
+    val dsub = dims / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = typed(emb, idCol, vecCol)
+    val cbRows = typed(emb.filter(col(idCol) < ksub), idCol, vecCol)
+      .collect().sortBy(_._1)
+    require(cbRows.length == ksub,
+      s"pqTopK: codebook seeding needs vec ids 0..${ksub - 1} present")
+    val cb = Array.tabulate(m, ksub, dsub)((mm, c, d) =>
+      cbRows(c)._2(mm * dsub + d))
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val codes = all.mapPartitions { rows =>
+      val cbv = bcCb.value
+      rows.map { case (id, v) =>
+        require(v.length == m * dsub,
+          s"pqTopK: vector $id has ${v.length} dims, expected ${m * dsub}")
+        val code = Array.tabulate(m) { mm =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d2 = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = v(mm * dsub + i) - cbv(mm)(c)(i)
+              d2 += diff * diff
+              i += 1
+            }
+            // strict < keeps the LOWEST centroid id on exact ties —
+            // mirrors the oracle's (d2 ASC, cid ASC) row_number
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, code)
+      }
+    }
+    val probeDs = typed(emb.filter(probePred), idCol, vecCol)
+    val nProbes = probeDs.count()
+    require(nProbes <= maxProbes,
+      s"pqTopK: probePred selected $nProbes probes (> $maxProbes); " +
+        "probes are collected and broadcast, so the predicate must pick " +
+        "a small probe set")
+    val bcProbes = spark.sparkContext.broadcast(probeDs.collect())
+    val scored = codes.mapPartitions { rows =>
+      val cbv = bcCb.value
+      // ADC lookup tables: lut(q)(m)(c) = ⟨q_m, codebook_m[c]⟩,
+      // i-ascending — identical arithmetic to the oracle's per-m dot
+      val luts = bcProbes.value.map { case (qid, qv) =>
+        (qid, Array.tabulate(m, ksub) { (mm, c) =>
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) { acc += qv(mm * dsub + i) * cbv(mm)(c)(i); i += 1 }
+          acc
+        })
+      }
+      rows.flatMap { case (id, code) =>
+        luts.iterator.collect { case (qid, lut) if qid != id =>
+          var acc = 0.0
+          var mm = 0
+          while (mm < m) { acc += lut(mm)(code(mm)); mm += 1 }
+          (qid, id, acc)
+        }
+      }
+    }.toDF("q_id", "neighbor_id", "adc_dot")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("adc_dot"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Recall@k of the approximate ANN paths against the exact
     * brute-force baseline — the TUNING SIGNAL that justifies (or
     * indicts) the banding/centroid parameters: nPlanes/nBands and

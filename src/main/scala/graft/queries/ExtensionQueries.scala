@@ -554,6 +554,46 @@ object ExtensionQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    /** ann_pq — product-quantization ANN with ADC scoring
+      * (Similarity.pqTopK): 8 subspaces × 16 centroids, 8 BYTES per
+      * corpus vector through the re-rank (the memory-bandwidth point
+      * of the accuracy curve). Codebooks are the sub-vectors of the 16
+      * lowest-id vectors; the oracle re-derives encoding (argmin L2,
+      * ties to lowest centroid) and the ADC sum (per-subspace dots
+      * reduced over an m-ordered list — the exact grouping the kernel
+      * uses) so scores are bit-identical. */
+    Q("ann_pq",
+      s"""WITH $embCte,
+         |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+         |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+         |  FROM e, UNNEST(range(0, 8)) AS r(m)),
+         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+         |dist AS (SELECT s.vec_id, s.m, c.cid,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
+         |  FROM sub s JOIN cb c USING (m)),
+         |codes AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+         |  FROM dist) WHERE rn = 1),
+         |md AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.m,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
+         |  FROM codes c JOIN cb b ON b.m = c.m AND b.cid = c.cid
+         |  JOIN sub q ON q.m = c.m AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |scored AS (SELECT q_id, neighbor_id,
+         |    list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc_dot
+         |  FROM md GROUP BY q_id, neighbor_id)
+         |SELECT q_id, neighbor_id, adc_dot, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc_dot DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      Similarity.pqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     /** ann_recall — recall@5 of ann_lsh and ann_ivf against the exact
       * brute-force baseline, as a registered (oracle-checked) query:
       * the banding/centroid parameters stop being justified by

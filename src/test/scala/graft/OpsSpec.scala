@@ -490,6 +490,35 @@ class OpsSpec extends SparkSpec {
     assert(norm(all) == norm(left.join(right, Seq("k"))))
   }
 
+  test("PQ ADC: codebook members score exactly, others approximately, ranks sane") {
+    import graft.ops.Similarity
+    // dims=4, m=2 subspaces of 2, ksub=2 codebooks from vec 0/1
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // == vec 0 → encodes to its cells
+      (3L, Array(0.9f, 0.1f, 0.1f, 0.9f)),   // near vec 0
+      (4L, Array(0.1f, 0.9f, 0.9f, 0.1f))    // near vec 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 0, k = 4, m = 2, ksub = 2, dims = 4)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    // vec 2 encodes to exactly vec 0's cells → ADC dot == true dot == 2.0
+    assert(out(2L)._1 == 2.0)
+    // vec 3 quantizes to vec 0's cells too → ADC sees the CENTROID dot
+    assert(out(3L)._1 == 2.0)
+    // vec 4 quantizes to vec 1's cells → ADC dot == dot(q, vec1) == 0.0
+    assert(out(4L)._1 == 0.0)
+    // ranking: the two vec-0-cell neighbors outrank the vec-1-cell one,
+    // ties broken by id
+    assert(out(2L)._2 < out(3L)._2 && out(3L)._2 < out(4L)._2)
+    // probe guard trips on an oversized probe set
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, "vec_id", "embedding", lit(true), k = 2,
+        m = 2, ksub = 2, dims = 4, maxProbes = 2)
+    }
+  }
+
   test("chunkOverlap: window arithmetic, tail absorption, overlap content") {
     import graft.ops.Corpus
     def doc(n: Int) = (n.toLong, (1 to n).map(i => s"w$i").mkString(" "))
