@@ -440,6 +440,8 @@ object Similarity {
     val lsh = directed.filter(probePred)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("vec_id").as("q_id"), col("neighbor_id"))
+    val pq = pqTopK(emb, idCol, vecCol, probePred, k)
+      .select(col("q_id"), col("neighbor_id"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     def row(method: String, approx: DataFrame): DataFrame =
       approx.join(exact, Seq("q_id", "neighbor_id"))
@@ -448,7 +450,7 @@ object Similarity {
         .select(lit(method).as("method"), col("n_hits"), col("n_exact"),
           (col("n_hits").cast("double") / col("n_exact").cast("double"))
             .as("recall"))
-    row("ivf", ivf).unionByName(row("lsh", lsh))
+    row("ivf", ivf).unionByName(row("lsh", lsh)).unionByName(row("pq", pq))
   }
 
   /** Symmetric int8 quantization per vector — the storage/compute

@@ -35,8 +35,12 @@ object Sketch {
     */
   def kmvDistinct(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k > 1, s"kmvDistinct: k must exceed 1: $k")
+    // NULL values hash to NULL, and the engines disagree on where an
+    // ascending sort puts NULLs (Spark: first, DuckDB: last) — a NULL
+    // sneaking into the min-k set would silently skew kth_min on one
+    // side only. A sketch of the VALUE set ignores NULLs, explicitly.
     val hashes = df.select(Parity.md5_60(value.cast("string")).as("h"))
-      .distinct()
+      .filter(col("h").isNotNull).distinct()
     // 2^60 and (k−1) are exactly representable doubles; the int64 →
     // double cast of h_k rounds to nearest identically in both engines
     val two60 = lit(1152921504606846976L).cast("double")

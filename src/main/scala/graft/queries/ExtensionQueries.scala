@@ -642,6 +642,29 @@ object ExtensionQueries {
          |  JOIN n b ON b.vec_id = d.neighbor_id
          |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35::DOUBLE)
          |  WHERE rank <= 5),
+         |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+         |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+         |  FROM e, UNNEST(range(0, 8)) AS r(m)),
+         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+         |dist AS (SELECT s.vec_id, s.m, c.cid,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
+         |  FROM sub s JOIN cb c USING (m)),
+         |codes AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+         |  FROM dist) WHERE rn = 1),
+         |mdx AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.m,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
+         |  FROM codes c JOIN cb b ON b.m = c.m AND b.cid = c.cid
+         |  JOIN sub q ON q.m = c.m AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |pqs AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM (SELECT q_id, neighbor_id,
+         |      list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc
+         |    FROM mdx GROUP BY q_id, neighbor_id)) WHERE rank <= 5),
          |ne AS (SELECT COUNT(*) AS n_exact FROM exact)
          |SELECT method, n_hits, n_exact,
          |  CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
@@ -650,7 +673,10 @@ object ExtensionQueries {
          |    (SELECT COUNT(*) FROM ivf JOIN exact USING (q_id, neighbor_id)) AS n_hits
          |  UNION ALL
          |  SELECT 'lsh',
-         |    (SELECT COUNT(*) FROM lshs JOIN exact USING (q_id, neighbor_id)))
+         |    (SELECT COUNT(*) FROM lshs JOIN exact USING (q_id, neighbor_id))
+         |  UNION ALL
+         |  SELECT 'pq',
+         |    (SELECT COUNT(*) FROM pqs JOIN exact USING (q_id, neighbor_id)))
          |CROSS JOIN ne
          |ORDER BY method""".stripMargin) { (s, dir) =>
       Similarity.recallAtK(table(s, dir, "embeddings"), "vec_id", "embedding",
