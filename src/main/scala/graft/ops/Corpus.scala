@@ -197,6 +197,40 @@ object Corpus {
       .select("doc_id", "token", "tfidf")
   }
 
+  /** Unigram language-model quality score — the model-based filter
+    * (KenLM-perplexity stand-in) of a pretraining pipeline, log-free
+    * so the score is a pure rational of corpus counts:
+    *   lm_score(doc) = Σ_t count(t) / (n_tokens(doc) · N)
+    * — the mean corpus relative frequency of the doc's tokens, i.e.
+    * the unigram probability mass the doc sits on, without the log
+    * whose libm rounding would drift between engines. Rare-word and
+    * garbled docs score near 1/N; common-word prose scores orders of
+    * magnitude higher — threshold downstream like any quality score.
+    *
+    * Scale: the model is a VOCABULARY-sized aggregate, tiny next to
+    * the corpus; tokens cross the model join's exchange as 60-bit
+    * hashes, never text; the normalizer N arrives by broadcasting a
+    * one-row aggregate, not a collect. The model relation is exactly
+    * the shape a standing persisted table would take (the DedupIndex
+    * pattern) when the corpus outlives one run.
+    */
+  def unigramLmScores(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("token"))
+      .select(col("doc_id"), Parity.md5_60(col("token")).as("h"))
+    val model = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("n_total"))
+    toks.join(model, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("s"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s").cast("double") /
+          (col("n_tokens") * col("n_total")).cast("double")).as("lm_score"))
+  }
+
   /** Greedy sequence packing — concatenate-and-chop: docs are laid out
     * in a deterministic order (id) per group (language), and each doc
     * is assigned to the context-window bin its STARTING token offset

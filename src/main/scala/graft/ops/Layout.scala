@@ -59,6 +59,48 @@ object Layout {
       .sortWithinPartitions("shuffle_key")
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) key: the low `bits` bits of `a` and `b`
+    * interleaved (a on even positions, b on odd), so rows close in
+    * BOTH dimensions get close keys. Built from shiftright /
+    * bitwise-and / shiftleft sums only — codegen'd, and stated
+    * identically in DuckDB SQL by [[zKeySql]] so the oracle computes
+    * the same key. Callers must ensure both columns are NON-NEGATIVE
+    * and fit in `bits` bits (`2*bits ≤ 62` keeps the key in a signed
+    * long); higher bits are ignored, which only loosens clustering,
+    * never correctness — both engines truncate identically.
+    */
+  def zKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && 2 * bits <= 62, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { j =>
+      shiftleft(shiftright(a.cast("long"), j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(b.cast("long"), j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB text of [[zKey]] — same interleave, same bit count. */
+  def zKeySql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { j =>
+      s"(((CAST($a AS BIGINT) >> $j) & 1) << ${2 * j}) + " +
+        s"(((CAST($b AS BIGINT) >> $j) & 1) << ${2 * j + 1})"
+    }.mkString(" + ")
+
+  /** Z-ordered layout: the two-dimensional generalization of
+    * [[writeRangeSorted]]. Range-partitioning + sorting by the Morton
+    * key gives every file a DISJOINT zkey range, and because the key
+    * interleaves both columns, a predicate on EITHER dimension — or a
+    * box on both — maps to a small set of zkey intervals, so file and
+    * row-group min/max statistics prune in two dimensions from one
+    * layout pass. Same single-shuffle cost class as the range sort;
+    * the zkey column is kept so consumers and the oracle can state
+    * the induced order.
+    */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+                    colA: String, colB: String, bits: Int): Unit =
+    df.withColumn("zkey", zKey(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(path)
+
   /** Per-file (min, max, rows) of `keyCol` under `path` — the
     * verification relation for the disjointness invariant (computed
     * distributed, grouped by input_file_name).

@@ -175,6 +175,44 @@ object Multimodal {
       .toDF("doc_id", "kind", "payload")
   }
 
+  /** Real thumbnail resize over partitions: decode each payload,
+    * nearest-neighbor scale to `targetW`×`targetH` with Graphics2D,
+    * re-encode as PNG — the normalize-dimensions step that precedes
+    * any vision encoder, done decode→transform→re-encode so the
+    * output column still carries genuine image files (the registered
+    * query proves it by decoding them again). Nearest-neighbor keeps
+    * a constant-fill image exactly constant, so the resized pixel sum
+    * retains the codec-free closed form targetW·targetH·3·gray the
+    * SQL oracle states. Same mapPartitions batching contract as
+    * [[decodeImages]].
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target dimensions must be positive, got ${targetW}x$targetH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "kind", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { rec =>
+          val src = ImageIO.read(new ByteArrayInputStream(rec.payload))
+          require(src != null,
+            s"doc ${rec.doc_id}: payload is not a decodable image")
+          val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          val g2 = dst.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g2.drawImage(src, 0, 0, targetW, targetH, null)
+          } finally g2.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          (rec.doc_id, "image/png", bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "kind", "payload")
+  }
+
   /** Real audio decode over partitions: parse each payload as a WAV
     * file through the JDK codec (container header → format, frames →
     * samples) and extract sample rate, frame count, and the signed

@@ -525,6 +525,32 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    /** join_bloom_pruned — Bloom-filter runtime pruning
+      * (graft.ops.RuntimeFilter): the dim's key set is compressed to a
+      * 1024-bit filter with one map-side-combined agg pass, broadcast
+      * as a single row, and applied as a codegen'd scan filter on the
+      * fact BEFORE the join — the 100-TB pattern for a build side
+      * whose keys fit a few KB of bits even when its rows don't fit a
+      * broadcast. False positives are re-checked by the exact semi
+      * join that follows (false negatives are impossible), so the
+      * oracle is the plain semi join; the actual prune rate and
+      * superset invariant are pinned in OpsSpec. */
+    Q("join_bloom_pruned",
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice", "sum_price")}
+         |FROM orders
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val dim = table(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select("c_custkey")
+      graft.ops.RuntimeFilter.bloomPruned(orders, "o_custkey", dim, "c_custkey")
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
     /** agg_approx — sketch aggregates (HLL distinct count, quantile
       * sketch). No DuckDB oracle: sketch implementations differ by
       * design; the driver records a rows-present check and AggSpec

@@ -959,6 +959,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    /** mm_resize — decode → nearest-neighbor thumbnail → re-encode →
+      * decode again (Multimodal.resizeImages): the dimension-normalize
+      * step before any vision encoder, proven end-to-end because the
+      * resized payloads are REAL PNGs the second decode parses. The
+      * constant-fill inputs keep their gray level under nearest-
+      * neighbor, so the oracle states the resized pixel sum in closed
+      * form — no codec in DuckDB needed. */
+    Q("mm_resize",
+      """SELECT doc_id,
+        |  CAST(4 AS INTEGER) AS width,
+        |  CAST(4 AS INTEGER) AS height,
+        |  CAST(4 * 4 * 3 * (doc_id % 256) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.toImageTable(table(s, dir, "documents"), "doc_id", "n_chars")
+      Multimodal.decodeImages(s, Multimodal.resizeImages(media, 4, 4)).toDF()
+        .select("doc_id", "width", "height", "px_sum")
+        .orderBy("doc_id")
+    },
+
     /** ann_lsh_quantized — the LSH re-rank in int8-quantized space:
       * same banded candidates as ann_lsh, scored by the codegen'd
       * quantized_cosine (exact BIGINT sums; scale factors cancel in
@@ -1212,6 +1231,28 @@ object ExtensionQueries {
         |WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin) { (s, dir) =>
       Corpus.tfidfTopK(table(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("doc_id", "token")
+    },
+
+    /** text_unigram_lm — model-based quality scoring
+      * (Corpus.unigramLmScores): each doc's mean corpus relative token
+      * frequency, the log-free unigram stand-in for a KenLM perplexity
+      * filter. Exact across engines because the score is one IEEE
+      * division of two BIGINT products of corpus counts; the model
+      * join carries 60-bit token hashes, never text. */
+    Q("text_unigram_lm",
+      s"""WITH tok AS (SELECT doc_id, ${md5_60Sql("t")} AS h FROM (
+         |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+         |    FROM documents)),
+         |model AS (SELECT h, COUNT(*) AS cnt FROM tok GROUP BY h),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM model),
+         |doc AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(cnt) AS BIGINT) AS s
+         |  FROM tok JOIN model USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(s AS DOUBLE) /
+         |    CAST(n_tokens * (SELECT n_total FROM tot) AS DOUBLE) AS lm_score
+         |FROM doc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.unigramLmScores(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     /** embed_centroid_update — one k-means (Lloyd) centroid refresh in

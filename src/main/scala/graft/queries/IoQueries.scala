@@ -193,6 +193,44 @@ object IoQueries {
       s.table(name).orderBy("n_nationkey")
     },
 
+    /** join_bucketed — co-located join over bucketed tables: both
+      * sides written bucketBy(8) + sortBy on the join key, so the
+      * sort-merge join (forced via the MERGE hint so the tiny test
+      * tables don't broadcast) needs NO exchange and NO sort at read
+      * time. This is the 100-TB answer to "this fact table is joined
+      * on this key every day": pay the shuffle once at load, never
+      * again — the zero-exchange plan shape is pinned in
+      * BucketingSpec; the oracle proves the bucketed round trip
+      * changed nothing. */
+    Q("join_bucketed",
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val wh = tmp("join_bucketed")
+      val liT = uniq("li_bkt")
+      val ordT = uniq("ord_bkt")
+      try {
+        table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/$liT").saveAsTable(liT)
+        table(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/$ordT").saveAsTable(ordT)
+        s.table(liT).hint("merge")
+          .join(s.table(ordT).hint("merge"), "l_orderkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+            graft.functions.Parity.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $liT")
+        s.sql(s"DROP TABLE IF EXISTS $ordT")
+      }
+    },
+
     /** src_csv (reference: airflow_dag/weather_etl_dag.py:182,251-255):
       * declared-schema CSV read including a TIMESTAMP column — the
       * round trip proves the schema-first parse (no inference). */
@@ -286,6 +324,31 @@ object IoQueries {
       val out = tmp("layout_range")
       graft.ops.Layout.writeRangeSorted(o, out, nFiles = 8, keyCol = "o_orderkey")
       s.read.parquet(out).orderBy("o_orderkey")
+    },
+
+    /** layout_zorder: Z-ordered (Morton-interleaved) two-column
+      * clustering — the multi-dimensional generalization of
+      * layout_range_sort: files hold disjoint ranges of the
+      * interleaved key, so predicates on EITHER of the two columns (or
+      * a box on both) prune files and row groups from one layout pass.
+      * The oracle recomputes the identical interleave in SQL
+      * (Layout.zKeySql mirrors Layout.zKey bit for bit), proving the
+      * rewrite is content-lossless and the key is engine-independent;
+      * disjointness + two-dimensional locality are pinned in
+      * LayoutSpec. */
+    Q("layout_zorder", {
+      val z = graft.ops.Layout.zKeySql("l_partkey", "l_suppkey", 16)
+      s"""SELECT $z AS zkey, l_orderkey, l_linenumber, l_partkey, l_suppkey
+         |FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+    }) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val out = tmp("layout_zorder")
+      graft.ops.Layout.writeZOrdered(li, out, nFiles = 8,
+        colA = "l_partkey", colB = "l_suppkey", bits = 16)
+      s.read.parquet(out)
+        .select("zkey", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
     },
 
     /** corpus_shuffle: deterministic seeded GLOBAL shuffle — the

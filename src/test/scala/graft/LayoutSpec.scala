@@ -42,6 +42,40 @@ class LayoutSpec extends SparkSpec {
       == (1L to 10000L))
   }
 
+  test("writeZOrdered: Morton interleave, disjoint zkey files, 2-D box locality") {
+    // known-value interleave: a=5 (101₂) on even bits, b=3 (011₂) on
+    // odd bits → 11011₂ = 27
+    assert(Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zKey(col("a"), col("b"), bits = 3)).head.getLong(0) == 27L)
+
+    val df = (for { a <- 0 until 100; b <- 0 until 100 } yield (a, b, a * 100 + b))
+      .toDF("a", "b", "id").repartition(7)
+    val out = Files.createTempDirectory("layout_z").toString
+    Layout.writeZOrdered(df, out, nFiles = 8, colA = "a", colB = "b", bits = 7)
+
+    // lossless
+    assert(spark.read.parquet(out).select("id").distinct().count() == 10000)
+    // disjoint per-file zkey ranges (same invariant as the range sort)
+    val ranges = Layout.fileRanges(spark, out, "zkey")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ranges.length == 8 && ranges.map(_._3).sum == 10000)
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, maxA, _), (minB, _, _)) =>
+        assert(maxA < minB, s"overlapping zkey ranges: $maxA >= $minB")
+      case _ =>
+    }
+    // 2-D locality: a z-aligned 8×8 box is ONE contiguous zkey run of
+    // 64 values, so its 64 rows live in at most two files — a layout
+    // sorted on `a` alone would leave the `b` constraint unpruned
+    val boxFiles = spark.read.parquet(out)
+      .filter($"a" >= 40 && $"a" <= 47 && $"b" >= 40 && $"b" <= 47)
+      .select(input_file_name()).distinct().count()
+    assert(boxFiles <= 2L, s"expected <=2 files for an aligned 8x8 box, got $boxFiles")
+
+    // key must stay in a signed long
+    intercept[IllegalArgumentException](Layout.zKey(col("a"), col("b"), bits = 32))
+  }
+
   test("writeShuffled: reproducible global order, disjoint files, seed re-deals") {
     val df = (1L to 5000L).map(i => (i, s"doc_$i")).toDF("id", "payload")
       .repartition(7)

@@ -286,6 +286,23 @@ class OpsSpec extends SparkSpec {
     assert(feats(1L).px_sum == w.toLong * h * 3 * g)
   }
 
+  test("multimodal: resize re-encodes real PNGs at the target size") {
+    val sized = docs.withColumn("n_chars", length($"text"))
+    val media = Multimodal.toImageTable(sized, "doc_id", "n_chars")
+    val resized = Multimodal.resizeImages(media, targetW = 5, targetH = 3)
+    // the resized payload is itself a real PNG file
+    val payload = resized.filter($"doc_id" === 1L)
+      .select("payload").as[Array[Byte]].head()
+    assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte)
+    // every thumbnail: target dims, constant fill exactly preserved by
+    // nearest-neighbor → px_sum = 5*3*3*gray
+    Multimodal.decodeImages(spark, resized).collect().foreach { f =>
+      assert(f.width == 5 && f.height == 3)
+      assert(f.px_sum == 5L * 3 * 3 * (f.doc_id % 256))
+    }
+    intercept[IllegalArgumentException](Multimodal.resizeImages(media, 0, 3))
+  }
+
   test("multimodal: one decode handles mixed PNG/JPEG payloads") {
     val sized = docs.withColumn("n_chars", length($"text"))
     val media = Multimodal.toImageTableMixed(sized, "doc_id", "n_chars")
@@ -359,6 +376,21 @@ class OpsSpec extends SparkSpec {
     assert(top(1L)._1 == "beta" && top(2L)._1 == "gamma" && top(3L)._1 == "delta")
     // exact value: tf 2/3 · idf 3/1 = 2.0 for beta in doc 1
     assert(top(1L)._2 == (2.0 / 3.0) * 3.0)
+  }
+
+  test("unigram LM score: exact rational of corpus counts, prose beats garble") {
+    val docs = Seq(
+      (1L, "a a b"),   // counts: a=2, b=1, c=1; N=4
+      (2L, "c")
+    ).toDF("doc_id", "text")
+    val scores = graft.ops.Corpus.unigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1: 3 tokens, Σ count = 2+2+1 = 5 → 5/(3·4)
+    assert(scores(1L) == ((3L, 5.0 / 12.0)))
+    // doc 2: the rare-token doc scores exactly 1/N
+    assert(scores(2L) == ((1L, 1.0 / 4.0)))
+    // common-word prose outranks the rare-word doc
+    assert(scores(1L)._2 > scores(2L)._2)
   }
 
   test("quantized cosine tracks exact cosine and is 1.0 for parallel vectors") {

@@ -237,6 +237,15 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_unigram_lm: model join keyed by the token hash, scalar N broadcast") {
+    val p = plan("text_unigram_lm")
+    assert(p.contains("hashpartitioning(h"),
+      "the model join must carry the 60-bit token hash, not token text")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the total-count normalizer must arrive by broadcast, not a collect")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text_extract_html / text_chunk_overlap are narrow maps (no join, no aggregate exchange)") {
     for (name <- Seq("text_extract_html", "text_chunk_overlap")) {
       val p = plan(name)
