@@ -61,7 +61,7 @@ object Sinks {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       // auxiliary columns (e.g. priority) don't survive into the target
-      .select(existing.columns.map(col): _*)
+      .select(existing.columns.toIndexedSeq.map(col): _*)
     existing
       .join(dedupedUpdates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(dedupedUpdates)
@@ -85,7 +85,7 @@ object Sinks {
   def appendMetrics(metrics: DataFrame, path: String): Unit = {
     val withJson = metrics.withColumn("metrics_json",
       org.apache.spark.sql.functions.to_json(
-        org.apache.spark.sql.functions.struct(metrics.columns.map(col): _*)))
+        org.apache.spark.sql.functions.struct(metrics.columns.toIndexedSeq.map(col): _*)))
     append(withJson, path)
   }
 

@@ -39,13 +39,13 @@ object AsOf {
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(rAligned)
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-      .select((lCols :+ valueCol).map(col): _*)
+      .select((lCols :+ valueCol).toIndexedSeq.map(col): _*)
   }
 }

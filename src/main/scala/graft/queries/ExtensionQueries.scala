@@ -41,6 +41,30 @@ object ExtensionQueries {
     "len(list_filter(string_split(text,' '), w -> w IN ('the','a')))"
   private val ntokSql = "len(string_split(text,' '))"
 
+  /** Shared oracle for ann_ivf AND ann_ivf_indexed — the persisted
+    * index must be byte-identical to the direct computation, so both
+    * registrations state the same SQL.
+    */
+  private lazy val annIvfSql: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, bucket FROM (
+       |  SELECT a.vec_id, c.cid AS bucket, row_number() OVER (
+       |    PARTITION BY a.vec_id
+       |    ORDER BY ${dotSql("a.v", "c.cv")} / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+       |scored AS (SELECT p.vec_id AS q_id, m.vec_id AS neighbor_id,
+       |    pa.bucket AS bucket,
+       |    ${dotSql("p.v", "m.v")} / (p.nrm * m.nrm) AS cos
+       |  FROM asg pa JOIN n p ON p.vec_id = pa.vec_id
+       |  JOIN asg ma ON ma.bucket = pa.bucket
+       |  JOIN n m ON m.vec_id = ma.vec_id
+       |  WHERE p.vec_id BETWEEN 100 AND 109 AND m.vec_id <> p.vec_id)
+       |SELECT q_id, neighbor_id, bucket, cos, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   // ---- generated MinHash SQL (coefficients shared with Dedup) ----
   private val K = 32
   private val coeffs = Dedup.hashCoeffs(K)
@@ -719,27 +743,24 @@ object ExtensionQueries {
 
     /** IVF-style ANN: nearest-of-8-centroids bucketing, probes search
       * only their bucket, exact cosine rank within it. */
-    Q("ann_ivf",
-      s"""WITH $embCte,
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
-         |asg AS (SELECT vec_id, bucket FROM (
-         |  SELECT a.vec_id, c.cid AS bucket, row_number() OVER (
-         |    PARTITION BY a.vec_id
-         |    ORDER BY ${dotSql("a.v", "c.cv")} / (a.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
-         |scored AS (SELECT p.vec_id AS q_id, m.vec_id AS neighbor_id,
-         |    pa.bucket AS bucket,
-         |    ${dotSql("p.v", "m.v")} / (p.nrm * m.nrm) AS cos
-         |  FROM asg pa JOIN n p ON p.vec_id = pa.vec_id
-         |  JOIN asg ma ON ma.bucket = pa.bucket
-         |  JOIN n m ON m.vec_id = ma.vec_id
-         |  WHERE p.vec_id BETWEEN 100 AND 109 AND m.vec_id <> p.vec_id)
-         |SELECT q_id, neighbor_id, bucket, cos, rank FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    Q("ann_ivf", annIvfSql) { (s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
           nCentroids = 8, col("vec_id").between(100, 109), k = 3)
+        .orderBy("q_id", "rank")
+    },
+
+    /** ann_ivf_indexed — the PERSISTED-INDEX form of ann_ivf
+      * (ops/AnnIndex): centroids + range-sorted assignments +
+      * bucket-partitioned members written once; the probe reads ONLY
+      * the index — probe lookup file-prunes the assignments, the
+      * candidate fetch partition-prunes members to probed buckets.
+      * Byte-identical to ann_ivf (shared oracle); PlansSpec pins that
+      * the embeddings corpus relation appears nowhere in the probe
+      * plan. */
+    Q("ann_ivf_indexed", annIvfSql) { (s, dir) =>
+      val idx = graft.ops.AnnIndex.ensureBuilt(s, dir,
+        table(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 8)
+      graft.ops.AnnIndex.probe(s, idx, col("vec_id").between(100, 109), k = 3)
         .orderBy("q_id", "rank")
     },
 

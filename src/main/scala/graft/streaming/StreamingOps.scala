@@ -126,7 +126,7 @@ object StreamingOps {
               // deadline (a timeout timestamp ≤ the watermark is illegal)
               val deadline = (s.last + gapSeconds) * 1000L
               state.setTimeoutTimestamp(
-                math.max(deadline, state.getCurrentWatermarkMs + 1))
+                math.max(deadline, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
@@ -193,7 +193,7 @@ object StreamingOps {
       st.foreach { s =>
         session.update(s)
         getHandle.registerTimer(
-          math.max(deadlineMs(s), timers.getCurrentWatermarkInMs + 1))
+          math.max(deadlineMs(s), timers.getCurrentWatermarkInMs() + 1))
       }
       closed.iterator
     }
@@ -201,7 +201,7 @@ object StreamingOps {
     override def handleExpiredTimer(user: Long, timers: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[ClosedSession] =
       if (session.exists() &&
-          deadlineMs(session.get()) <= timers.getCurrentWatermarkInMs) {
+          deadlineMs(session.get()) <= timers.getCurrentWatermarkInMs()) {
         val s = session.get()
         session.clear()
         Iterator.single(ClosedSession(user, s.start, s.n, s.last - s.start))

@@ -378,6 +378,25 @@ class OpsSpec extends SparkSpec {
     assert(top(1L)._2 == (2.0 / 3.0) * 3.0)
   }
 
+  test("persisted IVF index probe matches the direct ivfTopK exactly") {
+    val emb = (0L until 60L)
+      .map(i => (i, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    graft.ops.AnnIndex.build(emb, "vec_id", "embedding", nCentroids = 4, dir = dir)
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nCentroids = 4, col("vec_id").between(20, 24), k = 3)
+    val indexed = graft.ops.AnnIndex.probe(spark, dir,
+      col("vec_id").between(20, 24), k = 3)
+    assert(direct.count() == indexed.count())
+    assert(indexed.except(direct).count() == 0 &&
+      direct.except(indexed).count() == 0,
+      "index probe must reproduce the direct computation bit for bit")
+    intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.probe(spark, dir, lit(true), k = 3, maxProbes = 5)
+        .count())
+  }
+
   test("unigram LM score: exact rational of corpus counts, prose beats garble") {
     val docs = Seq(
       (1L, "a a b"),   // counts: a=2, b=1, c=1; N=4

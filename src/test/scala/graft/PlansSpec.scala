@@ -216,6 +216,31 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ann_ivf_indexed: probes read only the index, members partition-pruned dynamically") {
+    val embDir = java.nio.file.Files
+      .createTempDirectory("graft_plan_emb").toString
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_plan_ann_index").toString
+    import spark.implicits._
+    (0L until 40L).map(i => (i, Array.tabulate(8)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(embDir)
+    graft.ops.AnnIndex.build(spark.read.parquet(embDir),
+      "vec_id", "embedding", nCentroids = 4, dir = idxDir)
+    val df = graft.ops.AnnIndex.probe(spark, idxDir,
+      org.apache.spark.sql.functions.col("vec_id").between(10, 12), k = 3)
+    val p = df.queryExecution.executedPlan.toString
+    // the point of the persisted index: the probe never re-reads (or
+    // re-clusters) the embeddings corpus — only the index tables
+    assert(p.contains(new java.io.File(idxDir).getName),
+      "expected the index tables in the scan set")
+    assert(!p.contains(new java.io.File(embDir).getName),
+      "the embeddings corpus must NOT be scanned by the indexed probe")
+    // the candidate fetch is directory-level dynamic partition pruning
+    // on the probed buckets, not a full members scan
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on members:\n$p")
+  }
+
   test("agg_kmv_distinct: k-smallest via TakeOrderedAndProject, never a global sort") {
     val p = plan("agg_kmv_distinct")
     assert(p.contains("TakeOrderedAndProject"),
