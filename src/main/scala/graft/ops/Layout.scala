@@ -95,11 +95,14 @@ object Layout {
     * the induced order.
     */
   def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
-                    colA: String, colB: String, bits: Int): Unit =
+                    colA: String, colB: String, bits: Int): Unit = {
+    require(!df.columns.contains("zkey"),
+      "input already has a 'zkey' column — rename it before Z-ordering")
     df.withColumn("zkey", zKey(col(colA), col(colB), bits))
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Per-file (min, max, rows) of `keyCol` under `path` — the
     * verification relation for the disjointness invariant (computed

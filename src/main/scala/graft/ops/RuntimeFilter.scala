@@ -71,6 +71,8 @@ object RuntimeFilter {
   def bloomPruned(fact: DataFrame, factKey: String,
                   dim: DataFrame, dimKey: String,
                   nBits: Int = 1024, nHashes: Int = 3): DataFrame = {
+    require(!fact.columns.contains("bloom"),
+      "fact already has a 'bloom' column — rename it before pruning")
     val bits = bloomBits(dim.select(dimKey), dimKey, nBits, nHashes)
     fact.crossJoin(broadcast(bits))
       .filter(bloomProbe(factKey, nBits, nHashes))

@@ -226,8 +226,13 @@ object IoQueries {
           .orderBy("o_orderstatus")
           .localCheckpoint(true)
       } finally {
+        // result is checkpointed, so both external tables AND their
+        // files can go — a soak-looped bench must not accumulate two
+        // lineitem-sized copies per invocation (the stream_sessionize
+        // lesson from round 5)
         s.sql(s"DROP TABLE IF EXISTS $liT")
         s.sql(s"DROP TABLE IF EXISTS $ordT")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
       }
     },
 

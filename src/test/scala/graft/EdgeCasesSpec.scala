@@ -121,6 +121,34 @@ class EdgeCasesSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("round-6 ops on degenerate input: zero-row zorder/resize/LM, reserved-column guards") {
+    import graft.ops.{Corpus, Layout, RuntimeFilter}
+    // zero-row z-order write round-trips empty
+    val zout = java.nio.file.Files.createTempDirectory("edge_z").toString
+    Layout.writeZOrdered(Seq.empty[(Long, Long)].toDF("a", "b"),
+      zout, nFiles = 2, colA = "a", colB = "b", bits = 4)
+    assert(spark.read.parquet(zout).count() == 0)
+    // resize of an empty media table is empty, no crash
+    val noMedia = Seq.empty[(Long, String, Array[Byte])]
+      .toDF("doc_id", "kind", "payload")
+    assert(Multimodal.decodeImages(spark,
+      Multimodal.resizeImages(noMedia, 4, 4)).count() == 0)
+    // unigram LM over an empty corpus is empty (N = 0 never divides)
+    assert(Corpus.unigramLmScores(noDocs, "doc_id", "text").count() == 0)
+    // bloom pruning works on string keys (hash family is type-generic)
+    val sFact = Seq(("x", 1L), ("y", 2L), ("zz", 3L)).toDF("k", "fid")
+    val sDim = Seq("x", "zz").map(Tuple1(_)).toDF("dk")
+    val kept = RuntimeFilter.bloomPruned(sFact, "k", sDim, "dk")
+      .join(sDim, col("k") === col("dk"), "left_semi")
+      .select("fid").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+    // reserved output columns are refused, not silently clobbered
+    intercept[IllegalArgumentException](Layout.writeZOrdered(
+      Seq((1L, 2L, 3L)).toDF("a", "b", "zkey"), zout, 2, "a", "b", 4))
+    intercept[IllegalArgumentException](RuntimeFilter.bloomPruned(
+      Seq((1L, 2L)).toDF("k", "bloom"), "k", sDim, "dk"))
+  }
+
   test("new corpus ops on degenerate input: empty blocklist, empty benchmark, empty corpus") {
     import graft.ops.Corpus
     val d = Seq((1L, "some text with https://a.example.com inside"))
