@@ -197,6 +197,52 @@ object Corpus {
       .select("doc_id", "token", "tfidf")
   }
 
+  /** Deterministic train/val/test assignment: split by
+    * md5_60(seed:id) mod 100 against CUMULATIVE percentage cuts
+    * (e.g. ("train",90),("val",95),("test",100)) — the same
+    * pure-function-of-the-key discipline as [[hashSample]], so the
+    * split is disjoint, exhaustive, reproducible on any partitioning
+    * and any engine, and re-derivable forever from (seed, id). A new
+    * seed re-deals membership without moving the ratios.
+    */
+  def assignSplits(df: DataFrame, idCol: String, seed: String,
+                   cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100,
+      s"cuts must be cumulative percentages ending at 100, got $cuts")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.map(_._2).distinct == cuts.map(_._2) && cuts.head._2 > 0,
+      s"cuts must be strictly increasing positive percentages, got $cuts")
+    val h = Parity.md5_60(
+      concat_ws(":", lit(seed), col(idCol).cast("string"))) % 100
+    val split = cuts.tail.foldLeft(
+      when(h < cuts.head._2, cuts.head._1)) {
+      case (acc, (name, cut)) => acc.when(h < cut, name)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Corpus-level adjacent-token-pair counts, top-k — one merge step
+    * of BPE training (the most frequent pair is the next merge).
+    * posexplode keeps each doc's token order; lead() pairs neighbors
+    * inside a per-doc window (partitions bounded by doc length, never
+    * corpus-sized); the pair count is a map-side-combined aggregate
+    * whose post-combine exchange is vocabulary²-bounded in theory and
+    * observed-pairs-bounded in practice; the final top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def bigramPairsTopK(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(TextOps.normalized(col(textCol)))))
+      .toDF("doc_id", "pos", "l_tok")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks.withColumn("r_tok", lead(col("l_tok"), 1).over(w))
+      .filter(col("r_tok").isNotNull)
+      .groupBy("l_tok", "r_tok").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("l_tok").asc, col("r_tok").asc)
+      .limit(k)
+  }
+
   /** Unigram language-model quality score — the model-based filter
     * (KenLM-perplexity stand-in) of a pretraining pipeline, log-free
     * so the score is a pure rational of corpus counts:

@@ -1254,6 +1254,43 @@ object ExtensionQueries {
         .orderBy("doc_id", "token")
     },
 
+    /** corpus_split — deterministic train/val/test assignment
+      * (Corpus.assignSplits): membership is a pure function of
+      * (seed, doc_id), so the split is disjoint, exhaustive, and
+      * re-derivable on any partitioning or engine — the property a
+      * 100-TB corpus snapshot needs so eval rows can NEVER leak into
+      * train across re-runs. The oracle recomputes the identical
+      * hash-threshold rule. */
+    Q("corpus_split",
+      s"""SELECT doc_id,
+         |  CASE WHEN ${md5_60Sql("'graft-split-0:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${md5_60Sql("'graft-split-0:' || CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Corpus.assignSplits(table(s, dir, "documents")
+          .select("doc_id"), "doc_id", "graft-split-0",
+          Seq(("train", 90), ("val", 95), ("test", 100)))
+        .orderBy("doc_id")
+    },
+
+    /** text_bpe_pairs — most frequent adjacent token pairs across the
+      * corpus (Corpus.bigramPairsTopK): one merge step of BPE
+      * training. Per-doc window pairing (partitions bounded by doc
+      * length), map-side-combined pair counts, top-k without a global
+      * sort. */
+    Q("text_bpe_pairs",
+      """WITH tok AS (SELECT doc_id,
+        |    string_split(lower(trim(text)), ' ') AS ts FROM documents),
+        |pairs AS (SELECT ts[i] AS l_tok, ts[i+1] AS r_tok FROM tok,
+        |  UNNEST(range(1, greatest(len(ts)-1,0)+1)) AS u(i))
+        |SELECT l_tok, r_tok, COUNT(*) AS n_pairs FROM pairs
+        |GROUP BY l_tok, r_tok
+        |ORDER BY n_pairs DESC, l_tok, r_tok LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.ops.Corpus.bigramPairsTopK(table(s, dir, "documents"),
+          "doc_id", "text", k = 20)
+        .orderBy(col("n_pairs").desc, col("l_tok").asc, col("r_tok").asc)
+    },
+
     /** text_unigram_lm — model-based quality scoring
       * (Corpus.unigramLmScores): each doc's mean corpus relative token
       * frequency, the log-free unigram stand-in for a KenLM perplexity

@@ -378,6 +378,40 @@ class OpsSpec extends SparkSpec {
     assert(top(1L)._2 == (2.0 / 3.0) * 3.0)
   }
 
+  test("split assignment: disjoint, exhaustive, repartition-stable, seed re-deals") {
+    import graft.ops.Corpus
+    val ids = (1L to 2000L).map(Tuple1(_)).toDF("doc_id")
+    val cuts = Seq(("train", 90), ("val", 95), ("test", 100))
+    val s1 = Corpus.assignSplits(ids, "doc_id", "seed-0", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive (every row labeled) and only the three labels appear
+    assert(s1.size == 2000 && s1.values.toSet == Set("train", "val", "test"))
+    // ratios near the cuts (hash-uniformity tolerance)
+    val train = s1.values.count(_ == "train")
+    assert(train > 1700 && train < 1900, s"train=$train of 2000")
+    // a different partitioning yields the identical assignment
+    val s2 = Corpus.assignSplits(ids.repartition(7), "doc_id", "seed-0", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    // a new seed re-deals membership
+    val s3 = Corpus.assignSplits(ids, "doc_id", "seed-1", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 != s3)
+    // malformed cuts are refused
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(ids, "doc_id", "s", Seq(("train", 90))))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(ids, "doc_id", "s", Seq(("a", 95), ("b", 90), ("c", 100))))
+  }
+
+  test("bigram pair counts: exact counts, deterministic tie-break") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val top = graft.ops.Corpus.bigramPairsTopK(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // d1 pairs: (a,b),(b,a),(a,b); d2: (a,b) → (a,b)=3, (b,a)=1
+    assert(top.toSeq == Seq(("a", "b", 3L), ("b", "a", 1L)))
+  }
+
   test("persisted IVF index probe matches the direct ivfTopK exactly") {
     val emb = (0L until 60L)
       .map(i => (i, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))

@@ -241,6 +241,14 @@ class PlansSpec extends SparkSpec {
       s"expected dynamic partition pruning on members:\n$p")
   }
 
+  test("text_bpe_pairs: map-side partial counts, top-k without a global sort") {
+    val p = plan("text_bpe_pairs")
+    assert(p.contains("partial_count"),
+      "pair counting must combine map-side before the exchange")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k must be per-partition heaps, not a global sort")
+  }
+
   test("agg_kmv_distinct: k-smallest via TakeOrderedAndProject, never a global sort") {
     val p = plan("agg_kmv_distinct")
     assert(p.contains("TakeOrderedAndProject"),
