@@ -36,13 +36,23 @@ object AnnIndex {
   def build(emb: DataFrame, idCol: String, vecCol: String,
             nCentroids: Int, dir: String): Unit = {
     require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
+    val spark = emb.sparkSession
     val all = Similarity.prepared(emb, idCol, vecCol)
-    val asg = Similarity.ivfAssign(emb, idCol, vecCol, nCentroids)
-    all.filter(col("vec_id") < nCentroids)
+    val cent = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // an absent seed id would silently produce an empty, useless index
+    // (every probe would return 0 rows) — refuse loudly instead, the
+    // same precondition contract as pqTopK's codebook seeding
+    require(cent.count() == nCentroids,
+      s"centroid seeding needs vec ids 0..${nCentroids - 1} present in the corpus")
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    // the corpus-by-centroid assignment aggregate is the dominant build
+    // cost — materialize it ONCE (the assignments write) and derive the
+    // members layout from the written relation, so the two outputs are
+    // also guaranteed consistent with each other
+    val asg = Similarity.ivfAssign(emb, idCol, vecCol, nCentroids)
     Layout.writeRangeSorted(asg, s"$dir/assignments", nFiles = 8, keyCol = "vec_id")
-    asg.join(all, "vec_id")
+    spark.read.parquet(s"$dir/assignments").join(all, "vec_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/members")
   }
 

@@ -212,12 +212,18 @@ object Corpus {
     require(cuts.map(_._2) == cuts.map(_._2).sorted &&
       cuts.map(_._2).distinct == cuts.map(_._2) && cuts.head._2 > 0,
       s"cuts must be strictly increasing positive percentages, got $cuts")
+    // NULL-propagating concat (NOT concat_ws, which would hash the bare
+    // seed): a NULL id yields a NULL hash, every `when` is false, and
+    // the `otherwise` lands it in the LAST split — the identical rule a
+    // SQL CASE's ELSE applies, so both engines agree on NULL ids
     val h = Parity.md5_60(
-      concat_ws(":", lit(seed), col(idCol).cast("string"))) % 100
-    val split = cuts.tail.foldLeft(
-      when(h < cuts.head._2, cuts.head._1)) {
-      case (acc, (name, cut)) => acc.when(h < cut, name)
-    }
+      concat(lit(seed), lit(":"), col(idCol).cast("string"))) % 100
+    val split =
+      if (cuts.size == 1) lit(cuts.head._1)
+      else cuts.init.tail.foldLeft(
+        when(h < cuts.head._2, cuts.head._1)) {
+        case (acc, (name, cut)) => acc.when(h < cut, name)
+      }.otherwise(cuts.last._1)
     df.withColumn("split", split)
   }
 
@@ -272,9 +278,14 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("s"))
       .crossJoin(broadcast(total))
+      // each factor cast to double BEFORE the multiply: the BIGINT
+      // product n_tokens·N overflows for a long doc over a ~10^13-token
+      // corpus (ANSI mode would kill the job); the double product is
+      // rounded identically by both engines, keeping oracle parity
       .select(col("doc_id"), col("n_tokens"),
         (col("s").cast("double") /
-          (col("n_tokens") * col("n_total")).cast("double")).as("lm_score"))
+          (col("n_tokens").cast("double") * col("n_total").cast("double")))
+          .as("lm_score"))
   }
 
   /** Greedy sequence packing — concatenate-and-chop: docs are laid out

@@ -98,10 +98,8 @@ object Layout {
                     colA: String, colB: String, bits: Int): Unit = {
     require(!df.columns.contains("zkey"),
       "input already has a 'zkey' column — rename it before Z-ordering")
-    df.withColumn("zkey", zKey(col(colA), col(colB), bits))
-      .repartitionByRange(nFiles, col("zkey"))
-      .sortWithinPartitions("zkey")
-      .write.mode("overwrite").parquet(path)
+    writeRangeSorted(df.withColumn("zkey", zKey(col(colA), col(colB), bits)),
+      path, nFiles, keyCol = "zkey")
   }
 
   /** Per-file (min, max, rows) of `keyCol` under `path` — the

@@ -1307,7 +1307,8 @@ object ExtensionQueries {
          |  FROM tok JOIN model USING (h) GROUP BY doc_id)
          |SELECT doc_id, n_tokens,
          |  CAST(s AS DOUBLE) /
-         |    CAST(n_tokens * (SELECT n_total FROM tot) AS DOUBLE) AS lm_score
+         |    (CAST(n_tokens AS DOUBLE) * CAST((SELECT n_total FROM tot) AS DOUBLE))
+         |    AS lm_score
          |FROM doc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Corpus.unigramLmScores(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")

@@ -349,11 +349,18 @@ object IoQueries {
       val li = table(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       val out = tmp("layout_zorder")
-      graft.ops.Layout.writeZOrdered(li, out, nFiles = 8,
-        colA = "l_partkey", colB = "l_suppkey", bits = 16)
-      s.read.parquet(out)
-        .select("zkey", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        .orderBy("zkey", "l_orderkey", "l_linenumber")
+      try {
+        graft.ops.Layout.writeZOrdered(li, out, nFiles = 8,
+          colA = "l_partkey", colB = "l_suppkey", bits = 16)
+        // checkpoint the read-back so the lineitem-sized temp copy can
+        // be deleted per invocation (the join_bucketed discipline)
+        s.read.parquet(out)
+          .select("zkey", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+          .orderBy("zkey", "l_orderkey", "l_linenumber")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      }
     },
 
     /** corpus_shuffle: deterministic seeded GLOBAL shuffle — the

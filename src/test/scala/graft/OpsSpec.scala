@@ -397,6 +397,11 @@ class OpsSpec extends SparkSpec {
     val s3 = Corpus.assignSplits(ids, "doc_id", "seed-1", cuts)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(s1 != s3)
+    // a NULL id deterministically lands in the LAST split — the same
+    // rule a SQL CASE's ELSE applies, so both engines agree
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id")
+    assert(Corpus.assignSplits(withNull, "doc_id", "seed-0", cuts)
+      .select("split").collect()(0).getString(0) == "test")
     // malformed cuts are refused
     intercept[IllegalArgumentException](
       Corpus.assignSplits(ids, "doc_id", "s", Seq(("train", 90))))
@@ -429,6 +434,13 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ops.AnnIndex.probe(spark, dir, lit(true), k = 3, maxProbes = 5)
         .count())
+    // a corpus missing the seed ids would build an empty, useless
+    // index — build refuses instead
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 1000L)
+    intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.build(shifted, "vec_id", "embedding",
+        nCentroids = 4, dir = java.nio.file.Files
+          .createTempDirectory("ann_idx_bad").toString))
   }
 
   test("unigram LM score: exact rational of corpus counts, prose beats garble") {
