@@ -106,10 +106,22 @@ object Bench {
 
   /** Previous artifact to compare against: SPARK_GRAFT_BENCH_BASELINE
     * if set, else the out file left by the last run — used only when
-    * its sf matches and it did not label ITSELF contaminated (a dirty
-    * baseline would hide equal dirt in the current run).
+    * its sf AND cpu count match and it did not label ITSELF
+    * contaminated (a dirty baseline would hide equal dirt in the
+    * current run; a different-cpus baseline would flag a clean run as
+    * inflated — or mask a dirty one — purely from parallelism).
     */
-  private def loadBaseline(outPath: String, sfDir: String): Option[Map[String, Double]] = {
+  /** A stored artifact is a usable baseline iff it ran the same sf at
+    * the same cpu count and did not label itself contaminated.
+    */
+  private[graft] def baselineMatches(json: String, sfDir: String,
+                                     cpus: String): Boolean =
+    parseStringField(json, "sf").contains(sfDir) &&
+      (s""""cpus":$cpus[,}]""").r.findFirstIn(json).isDefined &&
+      parseBoolField(json, "contaminated").contains(false)
+
+  private def loadBaseline(outPath: String, sfDir: String,
+                           cpus: String): Option[Map[String, Double]] = {
     val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .getOrElse(outPath)
     try {
@@ -117,9 +129,8 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) None
       else {
         val json = java.nio.file.Files.readString(p)
-        val sfOk = parseStringField(json, "sf").contains(sfDir)
-        val clean = parseBoolField(json, "contaminated").contains(false)
-        if (sfOk && clean) Some(parseQueryTimes(json)).filter(_.nonEmpty)
+        if (baselineMatches(json, sfDir, cpus))
+          Some(parseQueryTimes(json)).filter(_.nonEmpty)
         else None
       }
     } catch { case _: Throwable => None }
@@ -129,7 +140,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val baseline = loadBaseline(outPath, sfDir)
+    val baseline = loadBaseline(outPath, sfDir, cpus)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     var loadStart = os.getSystemLoadAverage
     var sleptForLoad = false

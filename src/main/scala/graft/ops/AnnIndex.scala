@@ -105,6 +105,10 @@ object AnnIndex {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ann_index").toString
       build(emb, idCol, vecCol, nCentroids, dir)
+      // one index per JVM per key is bounded, but a soak loop of
+      // bench JVMs is not — reclaim the files when this JVM exits
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
       dir
     })
 }

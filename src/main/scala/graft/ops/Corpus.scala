@@ -56,7 +56,8 @@ object Corpus {
       s"budgetFrac must be in (0, 1]: $budgetFrac")
     require(weights.nonEmpty, "mixSample: empty weights")
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val total = docs.agg(count(lit(1)).as("__total"))
+    // the total is the per-group counts' sum — never a second corpus scan
+    val total = counts.agg(sum(col("__n")).as("__total"))
     val wCol = weights.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
       when(col(groupCol) === g, lit(w)).otherwise(acc)
     }
@@ -92,9 +93,8 @@ object Corpus {
     docs.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ",
-            slice(col("__toks"), i * stepTokens + 1, lit(chunkTokens)))))
+        posexplode(TextOps.tokenWindows(col("__toks"), nChunks,
+          stepTokens, chunkTokens))
           .as(Seq("chunk_idx", "chunk")))
       .withColumn("n_tokens", size(split(col("chunk"), " ")).cast("long"))
   }

@@ -215,8 +215,7 @@ object Dedup {
     // lambda bodies, an inline split() would re-tokenize per element
     val nL = ceil(size(col("__toks")).cast("double") / chunk).cast("int")
     val lineArr = when(size(col("__toks")) < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nL - 1),
-        i => concat_ws(" ", slice(col("__toks"), i * chunk + 1, lit(chunk)))))
+      .otherwise(TextOps.tokenWindows(col("__toks"), nL, chunk, chunk))
     val lines = docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))

@@ -53,9 +53,14 @@ object DedupIndex {
     */
   def append(survivors: DataFrame, idCol: String, textCol: String, n: Int,
              path: String): Unit = {
-    survivors.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+    // materialize the survivors ONCE: their lineage is typically the
+    // whole batch-dedup pipeline (which itself reads this index), so
+    // running it lazily under each of the two writes would both double
+    // the daily cost and re-read $path/fps mid-append
+    val s = survivors.select(col(idCol), col(textCol)).localCheckpoint(true)
+    s.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
       .write.mode("append").parquet(s"$path/fps")
-    grams(survivors, idCol, textCol, n)
+    grams(s, idCol, textCol, n)
       .sortWithinPartitions("gram")
       .write.mode("append").parquet(s"$path/grams")
   }
@@ -120,6 +125,10 @@ object DedupIndex {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_dedup_index").toString
       build(corpus, idCol, textCol, n, dir)
+      // one index per JVM per key is bounded, but a soak loop of
+      // bench JVMs is not — reclaim the files when this JVM exits
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
       dir
     })
 }

@@ -437,10 +437,15 @@ object Similarity {
         .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("cos")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val lsh = directed.filter(probePred)
+    // the pair relation's id column is always "vec_id"; restrict it by
+    // semi-joining the probe ids derived from the CALLER's relation, so
+    // probePred stays written against idCol like every other branch
+    val probeIds = emb.filter(probePred)
+      .select(col(idCol).cast("long").as("vec_id"))
+    val lsh = directed.join(broadcast(probeIds), "vec_id")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("vec_id").as("q_id"), col("neighbor_id"))
-    val pq = pqTopK(emb, idCol, vecCol, probePred, k)
+    val pq = pqTopK(emb, idCol, vecCol, probePred, k, dims = dims)
       .select(col("q_id"), col("neighbor_id"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     def row(method: String, approx: DataFrame): DataFrame =

@@ -156,6 +156,18 @@ object TextOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The shared windowed-token-slice kernel of Corpus.chunkOverlap and
+    * Dedup.dedupLines: window j (0-based) covers tokens
+    * [j·step+1, j·step+width] (1-indexed slice), joined back to text
+    * with single spaces. Callers own their window-count and
+    * empty-input semantics — only the positional arithmetic (a past
+    * source of off-by-ones) lives here, once.
+    */
+  def tokenWindows(toks: Column, nWindows: Column, step: Int,
+                   width: Int): Column =
+    transform(sequence(lit(0), nWindows - 1),
+      i => concat_ws(" ", slice(toks, i * step + 1, lit(width))))
+
   /** URL canonicalization — the key for URL-level dedup, the FIRST
     * (and cheapest) dedup stage of a web corpus: most exact dups are
     * the same page crawled under trivially different URLs. Lowercase,

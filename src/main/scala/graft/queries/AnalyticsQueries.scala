@@ -571,9 +571,9 @@ object AnalyticsQueries {
       * mergeable. The exact count rides along so the row itself shows
       * the estimation error. */
     Q("agg_kmv_distinct",
-      """WITH h AS (SELECT DISTINCT
+      """WITH h AS (SELECT DISTINCT h FROM (SELECT
         |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS h
-        |  FROM events),
+        |  FROM events) WHERE h IS NOT NULL),
         |km AS (SELECT max(h) AS kth_min, COUNT(*) AS k_actual
         |  FROM (SELECT h FROM h ORDER BY h ASC LIMIT 32)),
         |ex AS (SELECT COUNT(DISTINCT event_id) AS exact_distinct FROM events)

@@ -377,10 +377,17 @@ object IoQueries {
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents").select("doc_id", "n_chars")
       val out = tmp("corpus_shuffle")
-      graft.ops.Layout.writeShuffled(docs, out, nFiles = 8,
-        seed = "graft-epoch-0", idCol = "doc_id")
-      s.read.parquet(out).select("shuffle_key", "doc_id", "n_chars")
-        .orderBy("shuffle_key", "doc_id")
+      try {
+        graft.ops.Layout.writeShuffled(docs, out, nFiles = 8,
+          seed = "graft-epoch-0", idCol = "doc_id")
+        // checkpoint the read-back so the shuffled copy can be deleted
+        // per invocation rather than accumulating across a bench soak
+        s.read.parquet(out).select("shuffle_key", "doc_id", "n_chars")
+          .orderBy("shuffle_key", "doc_id")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      }
     },
 
     /** sort_views (reference: sql/schema.sql:82-129 — every reference

@@ -77,4 +77,16 @@ class BenchGuardsSpec extends AnyFunSuite {
     val m = Bench.parseQueryTimes(json)
     assert(m == Map("q1_agg" -> 0.25, "q2" -> -1.0, "q3" -> 1.2e-4))
   }
+
+  test("a baseline is usable only at the same sf AND cpu count, and only if clean") {
+    def art(sf: String, cpus: Int, dirty: Boolean) =
+      s"""{"metric":"total","value":1.0,"unit":"sec","contaminated":$dirty,""" +
+        s""""queries":{"a":1.0},"errors":[],"sf":"$sf","env":{"cpus":$cpus,"gc_ms":1}}"""
+    assert(Bench.baselineMatches(art("/x", 32, dirty = false), "/x", "32"))
+    // a local[4] artifact must never judge a local[32] run (or vice
+    // versa): the ratio would measure parallelism, not contention
+    assert(!Bench.baselineMatches(art("/x", 4, dirty = false), "/x", "32"))
+    assert(!Bench.baselineMatches(art("/y", 32, dirty = false), "/x", "32"))
+    assert(!Bench.baselineMatches(art("/x", 32, dirty = true), "/x", "32"))
+  }
 }
