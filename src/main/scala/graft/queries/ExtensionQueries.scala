@@ -618,18 +618,28 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
-    /** ann_recall — recall@5 of ann_lsh and ann_ivf against the exact
-      * brute-force baseline, as a registered (oracle-checked) query:
-      * the banding/centroid parameters stop being justified by
+    /** ann_recall — recall@5 of the approximate paths against the
+      * exact brute-force baseline, as a registered (oracle-checked)
+      * query: the banding/centroid parameters stop being justified by
       * assertion and start being measured. Counts are integers, recall
-      * is one exact IEEE division — hash-stable. */
+      * is one exact IEEE division — hash-stable.
+      *
+      * The metric already earned its keep once: ann_lsh's NEAR-DUP
+      * banding (2 bands × 8 bits, τ=0.35) measured recall 0.0 here —
+      * on this near-uniform synthetic corpus the exact top-5 cosines
+      * sit around 0.33, below the dedup threshold and far below the
+      * collision angle 8-bit bands catch. The LSH row therefore
+      * measures the RETRIEVAL tuning (4 bands × 4 bits, τ=0.25 →
+      * recall 0.56 while still pruning ~77% of all pairs); ann_lsh
+      * keeps its high-precision dedup setting, which is the right
+      * tool for its job, just not for top-k retrieval. */
     Q("ann_recall",
       s"""WITH $embCte,
          |bits AS (SELECT vec_id, v, nrm,
          |    $lshBitsSql
          |  FROM n),
          |bands AS (
-         |  $lshBandsSql),
+         |  ${lshBandsSqlFor(4)}),
          |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -664,7 +674,7 @@ object ExtensionQueries {
          |      ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, d.neighbor_id) AS rank
          |  FROM lshdir d JOIN n a ON a.vec_id = d.q_id
          |  JOIN n b ON b.vec_id = d.neighbor_id
-         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35::DOUBLE)
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.25::DOUBLE)
          |  WHERE rank <= 5),
          |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
          |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
@@ -705,7 +715,7 @@ object ExtensionQueries {
          |ORDER BY method""".stripMargin) { (s, dir) =>
       Similarity.recallAtK(table(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, nCentroids = 8,
-          nPlanes = NPLANES, nBands = NBANDS, threshold = 0.35)
+          nPlanes = NPLANES, nBands = 4, threshold = 0.25)
         .orderBy("method")
     },
 
