@@ -331,6 +331,35 @@ object IoQueries {
       s.read.parquet(out).orderBy("o_orderkey")
     },
 
+    /** compact_partitioned: IN-PLACE compaction of a Hive-partitioned
+      * table (ops/Compaction.compactPartitioned): fragment each
+      * n_regionkey= partition of supplier into 16 tiny files, compact
+      * per-partition via the temp-write + rename-swap (crash recovery
+      * and file-count mechanics pinned in CompactionSpec), and prove
+      * the rewrite preserved every row and the partition column. */
+    Q("compact_partitioned",
+      """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
+        |FROM supplier WHERE s_nationkey < 5 ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      // five partitions exercise the per-partition loop + swap without
+      // making a maintenance job the most expensive query in the bench
+      // (each partition costs a read+coalesce+write round plus renames)
+      val sup = table(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      val root = tmp("compact_part")
+      try {
+        sup.repartition(16).write.mode("overwrite")
+          .partitionBy("s_nationkey").parquet(root)
+        graft.ops.Compaction.compactPartitioned(s, root, targetBytes = 8L << 20)
+        s.read.parquet(root)
+          .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+          .orderBy("s_suppkey")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+    },
+
     /** layout_zorder: Z-ordered (Morton-interleaved) two-column
       * clustering — the multi-dimensional generalization of
       * layout_range_sort: files hold disjoint ranges of the
