@@ -104,22 +104,27 @@ object Bench {
   private def parseBoolField(json: String, field: String): Option[Boolean] =
     (s""""$field":(true|false)""").r.findFirstMatchIn(json).map(_.group(1).toBoolean)
 
-  /** Previous artifact to compare against: SPARK_GRAFT_BENCH_BASELINE
-    * if set, else the out file left by the last run — used only when
-    * its sf AND cpu count match and it did not label ITSELF
-    * contaminated (a dirty baseline would hide equal dirt in the
-    * current run; a different-cpus baseline would flag a clean run as
-    * inflated — or mask a dirty one — purely from parallelism).
-    */
   /** A stored artifact is a usable baseline iff it ran the same sf at
-    * the same cpu count and did not label itself contaminated.
+    * the same cpu count and did not label itself contaminated. The
+    * cpus check is anchored to the env object — every artifact
+    * serializes cpus as env's FIRST key — so a literal "cpus":N inside
+    * an error string or query name cannot satisfy it; the env-var
+    * value is regex-quoted, not interpolated raw.
     */
   private[graft] def baselineMatches(json: String, sfDir: String,
                                      cpus: String): Boolean =
     parseStringField(json, "sf").contains(sfDir) &&
-      (s""""cpus":$cpus[,}]""").r.findFirstIn(json).isDefined &&
+      (""""env":\{"cpus":""" + java.util.regex.Pattern.quote(cpus) + "[,}]").r
+        .findFirstIn(json).isDefined &&
       parseBoolField(json, "contaminated").contains(false)
 
+  /** Previous artifact to compare against: SPARK_GRAFT_BENCH_BASELINE
+    * if set, else the out file left by the last run — used only when
+    * [[baselineMatches]] accepts it (a dirty baseline would hide equal
+    * dirt in the current run; a different-cpus baseline would flag a
+    * clean run as inflated — or mask a dirty one — purely from
+    * parallelism).
+    */
   private def loadBaseline(outPath: String, sfDir: String,
                            cpus: String): Option[Map[String, Double]] = {
     val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")

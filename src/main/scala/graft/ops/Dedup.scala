@@ -58,11 +58,46 @@ object Dedup {
       .select(col("doc_id"), explode(ngramsOfTokens(col("__toks"), n)).as("gram"))
       .distinct()
 
+  /** Document-frequency cap for gram-join candidate generation
+    * (CCNet-style stop-gram removal). A gram present in f documents
+    * contributes f² rows to the candidate equi-join BEFORE any
+    * aggregation — at 100 TB a boilerplate trigram ("terms of
+    * service"-grade, df ≈ 10⁸) is a single-key cross product, the
+    * named scale-killer. Grams with df > maxDf carry no near-dup
+    * signal (they are corpus boilerplate, not document identity), so
+    * they are removed from every document's gram SET — candidate
+    * generation, sizes, and Jaccard are all computed over the capped
+    * sets, and the DuckDB oracle states the identical df filter. Per-
+    * gram join fan-out is thereby bounded by maxDf², independent of
+    * corpus size (pinned O(n) vs O(n²) in OpsSpec on a corpus with a
+    * boilerplate gram in every doc).
+    */
+  val DefaultMaxDf: Int = 1000
+
+  /** The capped gram relation: (doc_id, gram hash, n_grams) with
+    * grams of document frequency > maxDf removed and per-doc sizes
+    * counted AFTER the cap. Public so specs can pin the candidate
+    * volume Σ_g df_g² directly.
+    */
+  def cappedGrams(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, maxDf: Int): DataFrame =
+    gramTable(docs, idCol, textCol, n)
+      .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
+      // df via a window over the SAME relation: the join below shuffles
+      // on gram anyway, so the df exchange is the one it already pays
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+
   /** Exact n-gram Jaccard near-dup pairs: candidates from an equi-join
-    * on shared grams (never a cross join), J = |∩| / (|A|+|B|−|∩|).
+    * on shared grams (never a cross join), J = |∩| / (|A|+|B|−|∩|)
+    * over the df-capped gram sets (grams with df > maxDf dropped —
+    * see [[DefaultMaxDf]]; the oracle mirrors the cap).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxDf: Int = DefaultMaxDf): DataFrame = {
     // Two plan-shape choices that matter:
     //  - join/shuffle on the 60-bit gram hash, not the gram string:
     //    fixed 8-byte keys through the exchange (collisions at 2^-60
@@ -73,10 +108,7 @@ object Dedup {
     //    back twice — Spark does not reuse the exchange across renamed
     //    self-join branches, so the sizes-join shape re-evaluated the
     //    tokenize/explode pipeline four times.
-    val grams = gramTable(docs, idCol, textCol, n)
-      .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val grams = cappedGrams(docs, idCol, textCol, n, maxDf)
     val a = grams.toDF("doc_a", "gram", "na")
     val b = grams.toDF("doc_b", "gram", "nb")
     a.join(b, "gram").filter(col("doc_a") < col("doc_b"))
@@ -140,13 +172,24 @@ object Dedup {
     */
   def jaccardPairsBetween(left: DataFrame, right: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int, threshold: Double): DataFrame = {
+                          n: Int, threshold: Double,
+                          maxDf: Int = DefaultMaxDf): DataFrame = {
+    // the df cap is defined by the RIGHT (standing-corpus) side —
+    // boilerplate is a property of the corpus, and the batch side is
+    // small by contract. Hot grams are dropped from BOTH sides before
+    // sizes, so Jaccard is over the same capped sets on each
+    val rg0 = gramTable(right, idCol, textCol, n)
+      .select(col("doc_id").as("right_id"), Parity.md5_60(col("gram")).as("gram"))
+    val hot = rg0.groupBy("gram")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+      .select("gram")
     val lg = gramTable(left, idCol, textCol, n)
       .select(col("doc_id").as("left_id"), Parity.md5_60(col("gram")).as("gram"))
+      .join(hot, Seq("gram"), "left_anti")
       .withColumn("nl",
         count(lit(1)).over(Window.partitionBy(col("left_id"))))
-    val rg = gramTable(right, idCol, textCol, n)
-      .select(col("doc_id").as("right_id"), Parity.md5_60(col("gram")).as("gram"))
+    val rg = rg0
+      .join(hot, Seq("gram"), "left_anti")
       .withColumn("nr",
         count(lit(1)).over(Window.partitionBy(col("right_id"))))
     lg.join(rg, "gram")
@@ -173,7 +216,8 @@ object Dedup {
     */
   def incremental(batch: DataFrame, corpus: DataFrame,
                   idCol: String, textCol: String,
-                  n: Int, threshold: Double): DataFrame = {
+                  n: Int, threshold: Double,
+                  maxDf: Int = DefaultMaxDf): DataFrame = {
     val b1 = exact(batch, idCol, textCol)
     val corpusFps = corpus
       .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
@@ -184,7 +228,8 @@ object Dedup {
     // still in b2), and gramming the raw scan keeps the exact-dedup
     // window + fingerprint anti join out of the gram pipeline's
     // subplan — Spark would re-execute them inside it otherwise
-    val hits = jaccardPairsBetween(batch, corpus, idCol, textCol, n, threshold)
+    val hits = jaccardPairsBetween(batch, corpus, idCol, textCol, n,
+        threshold, maxDf)
       .select(col("left_id").as(idCol)).distinct()
     b2.join(hits, Seq(idCol), "left_anti")
   }

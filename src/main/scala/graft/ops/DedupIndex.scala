@@ -18,10 +18,18 @@ import graft.functions.Parity
   *     normalized corpus text (exact-dup membership);
   *   - `grams/` — (doc_id, gram: bigint, n_grams) one row per distinct
   *     word-n-gram hash per doc, with the doc's gram count riding
-  *     along so Jaccard needs no window at query time. Laid out
-  *     range-sorted by gram hash ([[Layout.writeRangeSorted]]): files
-  *     hold disjoint gram ranges, so a batch-side join prunes whole
-  *     files and row groups by min/max stats.
+  *     along so Jaccard needs no window at query time. Grams with
+  *     corpus document frequency > maxDf are EXCLUDED and n_grams is
+  *     counted after the cap ([[Dedup.DefaultMaxDf]] — boilerplate
+  *     grams would otherwise make the batch join a single-key cross
+  *     product). Laid out range-sorted by gram hash
+  *     ([[Layout.writeRangeSorted]]): files hold disjoint gram ranges,
+  *     so a batch-side join prunes whole files and row groups by
+  *     min/max stats;
+  *   - `hot/` — (gram: bigint) the capped-out grams, tiny by
+  *     construction (at most |corpus grams| / maxDf rows): the batch
+  *     side anti-joins it so both sides compute Jaccard over the same
+  *     capped sets, matching [[Dedup.jaccardPairsBetween]] exactly.
   *
   * Neither table stores text — 8-byte hashes only, so the index is a
   * small fixed fraction of the corpus and the daily join shuffles
@@ -41,11 +49,20 @@ object DedupIndex {
 
   /** Materialize the corpus's dedup state under `path` (overwrite). */
   def build(corpus: DataFrame, idCol: String, textCol: String, n: Int,
-            path: String, nFiles: Int = 32): Unit = {
+            path: String, nFiles: Int = 32,
+            maxDf: Int = Dedup.DefaultMaxDf): Unit = {
     corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
       .write.mode("overwrite").parquet(s"$path/fps")
-    Layout.writeRangeSorted(grams(corpus, idCol, textCol, n),
-      s"$path/grams", nFiles, "gram")
+    val raw = rawGrams(corpus, idCol, textCol, n)
+    raw.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("gram")
+      .write.mode("overwrite").parquet(s"$path/hot")
+    val spark = corpus.sparkSession
+    val capped = raw
+      .join(spark.read.parquet(s"$path/hot"), Seq("gram"), "left_anti")
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    Layout.writeRangeSorted(capped, s"$path/grams", nFiles, "gram")
   }
 
   /** Write a deduped batch's state back into the index (append) — the
@@ -60,20 +77,27 @@ object DedupIndex {
     val s = survivors.select(col(idCol), col(textCol)).localCheckpoint(true)
     s.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
       .write.mode("append").parquet(s"$path/fps")
-    grams(s, idCol, textCol, n)
+    // the cap is enforced as of the last build: appended docs drop the
+    // KNOWN hot grams (so their n_grams agree with the corpus's capped
+    // sets), while grams whose df crosses maxDf only via appends stay
+    // until the next build — the same degrade-then-re-layout contract
+    // as the range layout above
+    val spark = survivors.sparkSession
+    rawGrams(s, idCol, textCol, n)
+      .join(spark.read.parquet(s"$path/hot"), Seq("gram"), "left_anti")
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .sortWithinPartitions("gram")
       .write.mode("append").parquet(s"$path/grams")
   }
 
-  /** The index's gram relation for a document set: (doc_id, gram hash,
-    * per-doc distinct-gram count). Hashes only — text never persists.
+  /** The index's raw gram relation for a document set: (doc_id, gram
+    * hash) before the df cap. Hashes only — text never persists.
     */
-  private def grams(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame =
+  private def rawGrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
     Dedup.gramTable(docs, idCol, textCol, n)
       .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
 
   /** [[Dedup.incremental]] against the PERSISTED index instead of the
     * corpus: byte-identical output, but the only corpus-sized relations
@@ -94,8 +118,13 @@ object DedupIndex {
     // batch grams from the RAW batch (not b2) — same subplan-isolation
     // reasoning as Dedup.incremental: the anti join below can only
     // remove rows already gone from b2, and keeping the exact-dedup
-    // window out of the gram pipeline avoids re-executing it there
-    val bg = grams(batch, idCol, textCol, n)
+    // window out of the gram pipeline avoids re-executing it there.
+    // Hot corpus grams (df > maxDf at build) are dropped BEFORE the
+    // size window so the batch's n_grams match the index's capped sets
+    val bg = rawGrams(batch, idCol, textCol, n)
+      .join(spark.read.parquet(s"$indexPath/hot"), Seq("gram"), "left_anti")
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id").as("left_id"), col("gram"),
         col("n_grams").as("nl"))
     val hits = bg.join(corpusGrams, "gram")

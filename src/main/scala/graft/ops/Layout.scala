@@ -95,9 +95,23 @@ object Layout {
     * the induced order.
     */
   def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
-                    colA: String, colB: String, bits: Int): Unit = {
+                    colA: String, colB: String, bits: Int,
+                    assertFits: Boolean = false): Unit = {
     require(!df.columns.contains("zkey"),
       "input already has a 'zkey' column — rename it before Z-ordering")
+    // zKey truncates bits ≥ `bits` silently: content-lossless, but the
+    // 2-D box-pruning claim quietly degrades once the column domain
+    // outgrows 2^bits. assertFits trades one extra 2-column aggregate
+    // scan for a loud refusal — use it in tests and anywhere the
+    // domain isn't known a priori; size `bits` from the domain
+    // otherwise.
+    if (assertFits) {
+      val mx = df.agg(greatest(max(col(colA).cast("long")),
+        max(col(colB).cast("long"))).as("mx")).head.getLong(0)
+      require(mx < (1L << bits),
+        s"writeZOrdered: max($colA,$colB)=$mx needs more than $bits bits — " +
+          "keys would alias and 2-D clustering would silently degrade")
+    }
     writeRangeSorted(df.withColumn("zkey", zKey(col(colA), col(colB), bits)),
       path, nFiles, keyCol = "zkey")
   }

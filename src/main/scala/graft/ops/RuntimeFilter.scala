@@ -27,10 +27,12 @@ object RuntimeFilter {
 
   /** The i-th bit position of `key`: pmod(xxhash64(i, key), nBits).
     * Seeding by hash index gives nHashes independent functions from
-    * the one 64-bit family.
+    * the one 64-bit family. Built with the Column API, never by
+    * splicing the column name into SQL text — a key column needing
+    * backtick quoting (dots, spaces, reserved words) works unchanged.
     */
-  private def posExpr(i: Int, key: String, nBits: Int): String =
-    s"pmod(xxhash64($i, $key), $nBits)"
+  private def posCol(i: Int, key: Column, nBits: Int): Column =
+    pmod(xxhash64(lit(i), key), lit(nBits))
 
   /** One-row relation `bloom: MAP<INT, BIGINT>` — word index → 64-bit
     * word — over the distinct bit positions of `dim`'s `keyCol`.
@@ -43,10 +45,13 @@ object RuntimeFilter {
                 nHashes: Int = 3): DataFrame = {
     require(nBits > 0 && nBits % 64 == 0, s"nBits must be a positive multiple of 64, got $nBits")
     require(nHashes > 0, s"nHashes must be positive, got $nHashes")
-    val positions = (0 until nHashes).map(posExpr(_, keyCol, nBits)).mkString(", ")
-    dim.selectExpr(s"explode(array($positions)) AS pos")
-      .selectExpr("CAST(pos DIV 64 AS INT) AS word",
-        "shiftleft(1L, CAST(pos % 64 AS INT)) AS bitval")
+    val positions = (0 until nHashes).map(i => posCol(i, col(keyCol), nBits))
+    // pos ≥ 0 by pmod, so word = pos >> 6 and bit = pos & 63 equal the
+    // DIV/% forms exactly
+    dim.select(explode(array(positions: _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("word"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(63L)).cast("int")).as("bitval"))
       .groupBy("word").agg(expr("bit_or(bitval)").as("bits"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
         .as("bloom"))
@@ -58,9 +63,14 @@ object RuntimeFilter {
     */
   def bloomProbe(keyCol: String, nBits: Int = 1024, nHashes: Int = 3): Column =
     (0 until nHashes).map { i =>
-      val pos = posExpr(i, keyCol, nBits)
-      expr(s"(shiftright(coalesce(element_at(bloom, CAST($pos DIV 64 AS INT)), 0L), " +
-        s"CAST($pos % 64 AS INT)) & 1) = 1")
+      val pos = posCol(i, col(keyCol), nBits)
+      val word = coalesce(
+        element_at(col("bloom"), shiftright(pos, 6).cast("int")), lit(0L))
+      // the two pos occurrences are the same Column subtree — whole-
+      // stage codegen's subexpression elimination computes it once
+      call_function("shiftright", word,
+        pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
 
   /** `fact` reduced to rows whose `factKey` might appear in `dim`'s

@@ -27,6 +27,17 @@ object ExtensionQueries {
       |  UNNEST(list_transform(range(1, greatest(len(t)-2,0)+1),
       |                        i -> array_to_string(t[i:i+2], ' '))) AS u(g))""".stripMargin
 
+  /** [[gramsCte]] plus the document-frequency cap (mirrors
+    * Dedup.cappedGrams: grams in more than DefaultMaxDf docs are
+    * boilerplate and removed from every doc's gram set before sizes
+    * and candidate generation — the 100-TB fan-out guard).
+    */
+  private val cappedGramsCte =
+    s"""$gramsCte,
+       |cgrams AS (SELECT doc_id, g FROM (
+       |  SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM grams)
+       |  WHERE df <= ${graft.ops.Dedup.DefaultMaxDf})""".stripMargin
+
   /** Normalized embeddings CTE: double vectors + norms (sequential
     * folds — same accumulation order as the Spark side). */
   private val embCte =
@@ -467,10 +478,10 @@ object ExtensionQueries {
 
     /** Exact trigram-Jaccard near-dup pairs (threshold 0.6). */
     Q("dedup_ngram_jaccard",
-      s"""WITH $gramsCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+      s"""WITH $cappedGramsCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-         |  FROM grams a JOIN grams b USING (g)
+         |  FROM cgrams a JOIN cgrams b USING (g)
          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT da AS doc_a, db AS doc_b,
          |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
@@ -832,10 +843,10 @@ object ExtensionQueries {
       * verifies with a recursive CTE transitive closure). Turns pair
       * matches into dedup groups. */
     Q("dedup_cluster",
-      s"""WITH RECURSIVE $gramsCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+      s"""WITH RECURSIVE $cappedGramsCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-         |  FROM grams a JOIN grams b USING (g)
+         |  FROM cgrams a JOIN cgrams b USING (g)
          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
          |jac AS (SELECT da, db
          |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -864,10 +875,10 @@ object ExtensionQueries {
       * verbatim into the oracle SQL (same hyperplanes), so both
       * engines gate the identical pair set. */
     Q("dedup_multi_signal",
-      s"""WITH RECURSIVE $gramsCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+      s"""WITH RECURSIVE $cappedGramsCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-         |  FROM grams a JOIN grams b USING (g)
+         |  FROM cgrams a JOIN cgrams b USING (g)
          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
          |jac AS (SELECT da, db
          |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -913,10 +924,10 @@ object ExtensionQueries {
       * sized to the (tiny) pair graph — the plan scales with corpus
       * bytes, the local floor is fixed job latency. */
     Q("dedup_near_corpus",
-      s"""WITH RECURSIVE $gramsCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+      s"""WITH RECURSIVE $cappedGramsCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-         |  FROM grams a JOIN grams b USING (g)
+         |  FROM cgrams a JOIN cgrams b USING (g)
          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
          |jac AS (SELECT da, db
          |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
@@ -1089,10 +1100,13 @@ object ExtensionQueries {
          |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
          |    SELECT ${md5_60Sql("lower(trim(text))")}
          |    FROM documents WHERE doc_id % 5 <> 0)),
-         |szb AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY 1),
-         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cg GROUP BY 1),
+         |hot AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > ${Dedup.DefaultMaxDf}),
+         |bgc AS (SELECT doc_id, g FROM bg WHERE g NOT IN (SELECT g FROM hot)),
+         |cgc AS (SELECT doc_id, g FROM cg WHERE g NOT IN (SELECT g FROM hot)),
+         |szb AS (SELECT doc_id, COUNT(*) AS n FROM bgc GROUP BY 1),
+         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cgc GROUP BY 1),
          |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
-         |  FROM bg b JOIN cg c USING (g) GROUP BY 1, 2),
+         |  FROM bgc b JOIN cgc c USING (g) GROUP BY 1, 2),
          |hits AS (SELECT DISTINCT bid FROM inter
          |  JOIN szb ON szb.doc_id = bid JOIN szc ON szc.doc_id = cid
          |  WHERE CAST(ni AS DOUBLE) / CAST(szb.n + szc.n - ni AS DOUBLE) >= 0.5::DOUBLE)
@@ -1128,10 +1142,13 @@ object ExtensionQueries {
          |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
          |    SELECT ${md5_60Sql("lower(trim(text))")}
          |    FROM documents WHERE doc_id % 5 <> 0)),
-         |szb AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY 1),
-         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cg GROUP BY 1),
+         |hot AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > ${Dedup.DefaultMaxDf}),
+         |bgc AS (SELECT doc_id, g FROM bg WHERE g NOT IN (SELECT g FROM hot)),
+         |cgc AS (SELECT doc_id, g FROM cg WHERE g NOT IN (SELECT g FROM hot)),
+         |szb AS (SELECT doc_id, COUNT(*) AS n FROM bgc GROUP BY 1),
+         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cgc GROUP BY 1),
          |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
-         |  FROM bg b JOIN cg c USING (g) GROUP BY 1, 2),
+         |  FROM bgc b JOIN cgc c USING (g) GROUP BY 1, 2),
          |hits AS (SELECT DISTINCT bid FROM inter
          |  JOIN szb ON szb.doc_id = bid JOIN szc ON szc.doc_id = cid
          |  WHERE CAST(ni AS DOUBLE) / CAST(szb.n + szc.n - ni AS DOUBLE) >= 0.5::DOUBLE)

@@ -369,7 +369,11 @@ object IoQueries {
       * (Layout.zKeySql mirrors Layout.zKey bit for bit), proving the
       * rewrite is content-lossless and the key is engine-independent;
       * disjointness + two-dimensional locality are pinned in
-      * LayoutSpec. */
+      * LayoutSpec. bits=16 covers the partkey/suppkey domain at the
+      * driver's test SFs; beyond 2^16 the key aliases (lossless and
+      * oracle-consistent, but clustering degrades) — size bits from
+      * the domain at real scale, or pass assertFits to refuse loudly
+      * (pinned in LayoutSpec). */
     Q("layout_zorder", {
       val z = graft.ops.Layout.zKeySql("l_partkey", "l_suppkey", 16)
       s"""SELECT $z AS zkey, l_orderkey, l_linenumber, l_partkey, l_suppkey

@@ -51,7 +51,8 @@ class LayoutSpec extends SparkSpec {
     val df = (for { a <- 0 until 100; b <- 0 until 100 } yield (a, b, a * 100 + b))
       .toDF("a", "b", "id").repartition(7)
     val out = Files.createTempDirectory("layout_z").toString
-    Layout.writeZOrdered(df, out, nFiles = 8, colA = "a", colB = "b", bits = 7)
+    Layout.writeZOrdered(df, out, nFiles = 8, colA = "a", colB = "b", bits = 7,
+      assertFits = true)
 
     // lossless
     assert(spark.read.parquet(out).select("id").distinct().count() == 10000)
@@ -74,6 +75,14 @@ class LayoutSpec extends SparkSpec {
 
     // key must stay in a signed long
     intercept[IllegalArgumentException](Layout.zKey(col("a"), col("b"), bits = 32))
+
+    // a domain outgrowing 2^bits aliases keys: assertFits refuses
+    // loudly instead of letting the 2-D clustering claim silently rot
+    val big = Seq((200000L, 1L, 1)).toDF("a", "b", "id")
+    val out2 = Files.createTempDirectory("layout_z_overflow").toString
+    intercept[IllegalArgumentException](Layout.writeZOrdered(
+      big, out2, nFiles = 1, colA = "a", colB = "b", bits = 16,
+      assertFits = true))
   }
 
   test("writeShuffled: reproducible global order, disjoint files, seed re-deals") {

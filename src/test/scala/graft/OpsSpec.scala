@@ -27,6 +27,65 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("df cap: boilerplate-gram corpus yields O(n) candidates, not O(n²)") {
+    // every doc carries the same boilerplate trigram plus unique content —
+    // the 100-TB scale-killer shape ("terms of service" in 10⁸ docs)
+    val n = 100
+    val boiler = (0 until n).map(i =>
+      (i.toLong, s"terms of service u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    def candidateRows(maxDf: Int): Long = {
+      val g = Dedup.cappedGrams(boiler, "doc_id", "text", 3, maxDf)
+        .select("doc_id", "gram")
+      g.toDF("a", "gram").join(g.toDF("b", "gram"), "gram")
+        .filter(col("a") < col("b")).count()
+    }
+    // uncapped: the shared trigram alone contributes C(n,2) join rows
+    assert(candidateRows(Int.MaxValue) >= n.toLong * (n - 1) / 2)
+    // capped: the boilerplate gram never enters candidate generation,
+    // and the unique remainder produces zero pairs — O(n) total work
+    assert(candidateRows(50) == 0L)
+    assert(Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.05,
+      maxDf = 50).count() == 0L)
+  }
+
+  test("df cap: jaccard is computed over the capped gram sets") {
+    val d = Seq(
+      (1L, "b1 b2 b3 p q r s"),
+      (2L, "b1 b2 b3 p q r t"),
+      (3L, "b1 b2 b3 z y x w")
+    ).toDF("doc_id", "text")
+    // uncapped: the boilerplate trigram (df 3) links all three docs
+    val raw = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.05,
+        maxDf = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(raw.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // maxDf=2 drops exactly [b1 b2 b3]; docs 1-2 keep 4 grams each with
+    // 3 shared → J = 3/(4+4-3) = 0.6, and doc 3 pairs with nothing
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.05, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(math.abs(capped((1L, 2L)) - 0.6) < 1e-12)
+  }
+
+  test("df cap between relations: hot grams come from the corpus side") {
+    val corpus = Seq(
+      (10L, "b1 b2 b3 one two three four"),
+      (11L, "b1 b2 b3 five six seven eight"),
+      (12L, "b1 b2 b3 nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "b1 b2 b3 totally unrelated fresh words"),  // shares only boilerplate
+      (2L, "b1 b2 b3 one two three five")              // real overlap with 10
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsBetween(batch, corpus, "doc_id", "text",
+        3, 0.05, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(_._1 == 1L),
+      "a batch doc sharing only corpus boilerplate must not pair")
+    assert(pairs.contains((2L, 10L)))
+  }
+
   test("minhash LSH finds the exact-dup pair with estimate 1.0") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
