@@ -244,6 +244,22 @@ object Sinks {
     * touch-only-matched-keys semantics (reference: src/load.py:371-486)
     * at file-system granularity.
     *
+    * DURABILITY (all-or-nothing across the touched partitions): the
+    * merge is staged COMPLETELY under a hidden `.graft-upsert-stage`
+    * sibling first, then a txn marker file naming every staged
+    * partition is created, then each partition is swapped in with two
+    * metadata renames (the [[graft.ops.Compaction.compactPartitioned]]
+    * discipline). The marker is the commit point: a crash BEFORE it
+    * leaves the target byte-identical (the stage is discarded on the
+    * next run), a crash AFTER it is rolled FORWARD by
+    * [[repairPartitionedUpsert]] — every staged partition is already
+    * fully written, so recovery finishes the remaining swaps and the
+    * table lands all-new, never a mixed old/new blend. Readers racing
+    * an individual swap can see that partition briefly absent (plain
+    * parquet has no snapshot isolation) — run upserts when the
+    * partition isn't being queried, as with any non-transactional
+    * format.
+    *
     * CONTRACT: `partitionCol` must be functionally determined by
     * `keys` (it usually IS one of the keys, e.g. the event date in a
     * (city, date) key). Pruning reads only the touched partitions, so
@@ -270,6 +286,9 @@ object Sinks {
           s"within this batch — '$partitionCol' must be functionally " +
           s"determined by keys ${keys.mkString("(", ",", ")")}")
     }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) repairPartitionedUpsert(spark, path)
     val target = new java.io.File(path)
     if (strictKeyPartition && !keys.contains(partitionCol) && target.exists()) {
       val cols = (keys :+ partitionCol).map(col)
@@ -282,10 +301,18 @@ object Sinks {
           "value — merging would leave the stale row alive in its old " +
           "partition; rewrite both partitions explicitly instead")
     }
+    // co-locate each partition's rows before writing: without this,
+    // every one of the N shuffle tasks opens a file in every touched
+    // date dir (N × dates small files per batch — the fragmentation
+    // Compaction exists to undo). One shuffle on the partition value;
+    // at scale pair with spark.sql.files.maxRecordsPerFile so a huge
+    // single date still splits.
+    def partitioned(df: DataFrame): DataFrame =
+      df.repartition(col(partitionCol))
     if (!target.exists()) {
       // first batch dedups by key too (several rows per key must pick
       // the same winner a merge would)
-      upsert(updates.limit(0), updates, keys, updatePriority)
+      partitioned(upsert(updates.limit(0), updates, keys, updatePriority))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(path)
     } else {
@@ -297,9 +324,99 @@ object Sinks {
         .select(updates.columns.map(col).toIndexedSeq: _*)
       val merged = upsert(existing, updates, keys, updatePriority)
         .localCheckpoint(true)
-      merged.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCol).parquet(path)
+      // stage the ENTIRE merge first (crash here: target untouched,
+      // stage discarded next run) ...
+      val stage = new org.apache.hadoop.fs.Path(root, UpsertStageName)
+      fs.delete(stage, true)
+      partitioned(merged).write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(stage.toString)
+      val staged = fs.listStatus(stage)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.getName).sorted
+      // ... then COMMIT by creating the txn marker (write-then-rename,
+      // so a half-written marker is never read as one): from this
+      // instant the merge is durable — any crash rolls forward
+      val marker = new org.apache.hadoop.fs.Path(root, UpsertTxnName)
+      val markerTmp = new org.apache.hadoop.fs.Path(root, UpsertTxnName + ".tmp")
+      val out = fs.create(markerTmp, true)
+      try out.write(staged.mkString("\n").getBytes("UTF-8")) finally out.close()
+      require(fs.rename(markerTmp, marker),
+        s"upsertPartitioned: txn marker commit $markerTmp -> $marker failed")
+      staged.foreach(swapStagedPartition(fs, root, stage, _))
+      fs.delete(stage, true)
+      fs.delete(marker, false)
+    }
+  }
+
+  private val UpsertStageName = ".graft-upsert-stage"
+  private val UpsertTxnName = ".graft-upsert-txn"
+  private val UpsertTrashSuffix = ".graft-upsert-old"
+
+  /** Swap one staged partition into place: old → hidden trash sibling,
+    * staged → partition, trash deleted. Idempotent given a complete
+    * stage: every step checks what already happened, so recovery can
+    * re-drive it from any crash point.
+    */
+  private def swapStagedPartition(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path,
+                                  stage: org.apache.hadoop.fs.Path,
+                                  name: String): Unit = {
+    val part = new org.apache.hadoop.fs.Path(root, name)
+    val staged = new org.apache.hadoop.fs.Path(stage, name)
+    val trash = new org.apache.hadoop.fs.Path(root, s".$name$UpsertTrashSuffix")
+    if (fs.exists(staged)) {
+      if (fs.exists(part)) {
+        if (fs.exists(trash)) fs.delete(trash, true)
+        require(fs.rename(part, trash),
+          s"upsertPartitioned: rename $part -> $trash failed")
+      }
+      require(fs.rename(staged, part),
+        s"upsertPartitioned: rename $staged -> $part failed")
+    }
+    if (fs.exists(trash)) fs.delete(trash, true)
+  }
+
+  /** Crash recovery for [[upsertPartitioned]] — run automatically at
+    * the start of every upsert (and callable standalone at service
+    * startup). The txn marker decides the direction:
+    *
+    *  - marker PRESENT: the merge committed — every partition it names
+    *    was fully staged before the marker was created, so the
+    *    remaining swaps are re-driven to completion (roll forward) and
+    *    the table lands all-new;
+    *  - marker ABSENT: the merge never committed — a leftover stage
+    *    (crash during the stage write) is discarded and the target is
+    *    untouched by construction; a trash sibling whose partition is
+    *    missing (cannot happen under the protocol, checked anyway) is
+    *    restored.
+    */
+  def repairPartitionedUpsert(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val stage = new org.apache.hadoop.fs.Path(root, UpsertStageName)
+    val marker = new org.apache.hadoop.fs.Path(root, UpsertTxnName)
+    fs.delete(new org.apache.hadoop.fs.Path(root, UpsertTxnName + ".tmp"), false)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList finally in.close()
+      names.foreach(swapStagedPartition(fs, root, stage, _))
+      fs.delete(stage, true)
+      fs.delete(marker, false)
+    } else {
+      fs.delete(stage, true)
+      fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.endsWith(UpsertTrashSuffix)).foreach { s =>
+        val partName = s.getPath.getName.stripPrefix(".")
+          .stripSuffix(UpsertTrashSuffix)
+        val part = new org.apache.hadoop.fs.Path(root, partName)
+        if (!fs.exists(part))
+          require(fs.rename(s.getPath, part),
+            s"upsertPartitioned: orphan restore ${s.getPath} -> $part failed")
+        else fs.delete(s.getPath, true)
+      }
     }
   }
 }

@@ -57,6 +57,51 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/members")
   }
 
+  /** Append a batch of NEW vectors to an existing index WITHOUT a
+    * rebuild — the daily-ingest path ([[DedupIndex.append]]'s
+    * incremental-state-beats-recompute contract for the vector side;
+    * without it every day of new embeddings forces a full corpus
+    * re-cluster + rewrite):
+    *
+    *  - the batch is assigned against the STORED `centroids/` (the
+    *    trained model — broadcast-sized by construction, the corpus is
+    *    never re-read), with the exact [[Similarity.ivfAssign]]
+    *    arithmetic, so an appended vector lands in the same bucket a
+    *    rebuild would give it;
+    *  - `assignments/` gains the batch's rows (each appended file
+    *    internally vec_id-sorted; file pruning degrades from
+    *    range-disjoint to per-file min/max until the next [[build]] —
+    *    the established degrade-then-re-layout contract);
+    *  - `members/` gains rows in EXACTLY the bucket partitions the
+    *    batch lands in (a partitionBy append touches only those
+    *    directories — pinned in OpsSpec), so probe-side dynamic
+    *    partition pruning keeps working unchanged.
+    */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+             dir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cs = graft.functions.GraftFunctions.cosineSim _
+    val all = Similarity.prepared(batch, idCol, vecCol)
+    val cent = spark.read.parquet(s"$dir/centroids").select("cid", "cv")
+    // same aggregate shape as ivfAssign: score map-side against the
+    // broadcast centroids, ids-only exchange, max_by winner
+    val asg = all.select("vec_id", "v").crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), cs(col("v"), col("cv")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
+        .as("bucket"))
+      // one materialization feeds both writes: the assignment aggregate
+      // must not replan per sink, and the members write must never read
+      // assignments/ files mid-append
+      .localCheckpoint(true)
+    asg.sortWithinPartitions("vec_id")
+      .write.mode("append").parquet(s"$dir/assignments")
+    asg.join(all, "vec_id").select("vec_id", "v", "nrm", "bucket")
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/members")
+  }
+
   /** Top-k cosine neighbors for the probe rows selected by
     * `probePred` (over vec_id), reading ONLY the index: probe lookup
     * file-prunes the range-sorted assignments, the candidate fetch
@@ -108,6 +153,24 @@ object AnnIndex {
       build(emb, idCol, vecCol, nCentroids, dir)
       // one index per JVM per key is bounded, but a soak loop of
       // bench JVMs is not — reclaim the files when this JVM exits
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+      dir
+    })
+
+  /** [[ensureBuilt]] for the build-then-daily-append lifecycle: the
+    * memoized state is an index BUILT on `base` with `batch` appended
+    * afterwards — the registry's ann_ivf_appended row probes it.
+    */
+  def ensureBuiltAppended(spark: SparkSession, cacheKey: String,
+                          base: => DataFrame, batch: => DataFrame,
+                          idCol: String, vecCol: String,
+                          nCentroids: Int): String =
+    built.computeIfAbsent((spark.sparkContext.applicationId, cacheKey), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_index_app").toString
+      build(base, idCol, vecCol, nCentroids, dir)
+      append(batch, idCol, vecCol, dir)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
       dir

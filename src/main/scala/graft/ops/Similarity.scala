@@ -304,9 +304,10 @@ object Similarity {
   }
 
   /** Product-quantization ANN (IVF-ADC's scoring half): vectors are
-    * ENCODED as m sub-space codebook indices (here 8 subspaces × 16
-    * centroids = 8 bytes per vector, 32× smaller than the float32
-    * form and 64× smaller than the double working form), and probes
+    * ENCODED as m sub-space codebook indices (here 8 subspaces × 256
+    * centroids = 8 one-byte codes = 8 bytes per vector, 32× smaller
+    * than the float32 form and 64× smaller than the double working
+    * form), and probes
     * score codes through a per-probe lookup table — the classic ADC
     * (asymmetric distance computation): score(q, x) = Σ_m
     * lut_q[m][code_m(x)] where lut_q[m][c] = ⟨q_m, codebook_m[c]⟩.
@@ -322,9 +323,16 @@ object Similarity {
     * dots — the DuckDB oracle states the identical grouping
     * (per-subspace dots reduced over an m-ORDERED list), so scores
     * are bit-identical. Probe-set size is guarded like cosineTopK.
+    *
+    * ksub defaults to 256 (a full byte per subspace): the ann_recall
+    * row measured ksub=16 at 0.26 recall@5 — near-useless for
+    * retrieval on this corpus — while 256 codewords in the same
+    * 8-byte budget measure 0.56. Encoding cost scales with ksub but
+    * is the one-time index-build pass; the per-query ADC lookup is
+    * unchanged.
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
-             probePred: Column, k: Int, m: Int = 8, ksub: Int = 16,
+             probePred: Column, k: Int, m: Int = 8, ksub: Int = 256,
              dims: Int = 64, maxProbes: Long = 100000L): DataFrame = {
     require(m > 0 && dims % m == 0,
       s"pqTopK: dims ($dims) must split evenly into m ($m) subspaces")

@@ -590,19 +590,22 @@ object ExtensionQueries {
     },
 
     /** ann_pq — product-quantization ANN with ADC scoring
-      * (Similarity.pqTopK): 8 subspaces × 16 centroids, 8 BYTES per
-      * corpus vector through the re-rank (the memory-bandwidth point
-      * of the accuracy curve). Codebooks are the sub-vectors of the 16
-      * lowest-id vectors; the oracle re-derives encoding (argmin L2,
-      * ties to lowest centroid) and the ADC sum (per-subspace dots
-      * reduced over an m-ordered list — the exact grouping the kernel
-      * uses) so scores are bit-identical. */
+      * (Similarity.pqTopK): 8 subspaces × 256 centroids = 8 one-byte
+      * codes per corpus vector through the re-rank (the
+      * memory-bandwidth point of the accuracy curve; ksub was 16
+      * until ann_recall measured that encoding at 0.26 recall@5 —
+      * 256 codewords in the same 8-byte budget measure 0.56).
+      * Codebooks are the sub-vectors of the 256 lowest-id vectors;
+      * the oracle re-derives encoding (argmin L2, ties to lowest
+      * centroid) and the ADC sum (per-subspace dots reduced over an
+      * m-ordered list — the exact grouping the kernel uses) so scores
+      * are bit-identical. */
     Q("ann_pq",
       s"""WITH $embCte,
          |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
          |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
          |  FROM e, UNNEST(range(0, 8)) AS r(m)),
-         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 256),
          |dist AS (SELECT s.vec_id, s.m, c.cid,
          |    list_reduce(list_transform(range(1, 9),
          |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
@@ -690,7 +693,7 @@ object ExtensionQueries {
          |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
          |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
          |  FROM e, UNNEST(range(0, 8)) AS r(m)),
-         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 256),
          |dist AS (SELECT s.vec_id, s.m, c.cid,
          |    list_reduce(list_transform(range(1, 9),
          |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
@@ -781,6 +784,25 @@ object ExtensionQueries {
     Q("ann_ivf_indexed", annIvfSql) { (s, dir) =>
       val idx = graft.ops.AnnIndex.ensureBuilt(s, dir,
         table(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 8)
+      graft.ops.AnnIndex.probe(s, idx, col("vec_id").between(100, 109), k = 3)
+        .orderBy("q_id", "rank")
+    },
+
+    /** ann_ivf_appended — the daily-ingest lifecycle of the persisted
+      * IVF index (AnnIndex.append): the index is BUILT on 90% of the
+      * corpus (vec_id % 10 ≠ 9), then the remaining 10% arrives as a
+      * batch appended WITHOUT a rebuild — assigned against the stored
+      * centroids, assignments appended, members appended into exactly
+      * the touched bucket partitions (pinned in OpsSpec). Probing the
+      * appended index is byte-identical to ann_ivf over the whole
+      * corpus — same oracle — including probe ids that came in via the
+      * append (109 % 10 = 9). */
+    Q("ann_ivf_appended", annIvfSql) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val idx = graft.ops.AnnIndex.ensureBuiltAppended(s, dir + "#appended",
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 9),
+        emb.filter(pmod(col("vec_id"), lit(10)) === 9),
+        "vec_id", "embedding", nCentroids = 8)
       graft.ops.AnnIndex.probe(s, idx, col("vec_id").between(100, 109), k = 3)
         .orderBy("q_id", "rank")
     },

@@ -109,6 +109,55 @@ object IoQueries {
       s.read.parquet(out).orderBy("o_orderkey")
     },
 
+    /** sink_upsert_partitioned — the partition-pruned, crash-atomic
+      * form of the merge (Sinks.upsertPartitioned): a date-partitioned
+      * target built from a 30-day event sample, then one batch that
+      * updates every 10th sampled row in place AND inserts
+      * 90-day-shifted copies into brand-new date partitions. The write
+      * stages the whole merge, commits via a txn marker, and
+      * rename-swaps exactly the touched partitions — all-or-nothing
+      * across them, crash recovery rolls forward (pinned in
+      * SinksSpec); the read-back proves the on-disk table equals the
+      * set-based merge the oracle states. */
+    Q("sink_upsert_partitioned",
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value
+        |  FROM events WHERE event_id % 50 = 0),
+        |merged AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    CASE WHEN event_id % 500 = 0 THEN value + 1000.0 ELSE value END AS value
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts + INTERVAL 90 DAY, user_id, event_type, value
+        |  FROM base WHERE event_id % 500 = 50)
+        |SELECT event_id, ts, user_id, event_type, value, CAST(ts AS DATE) AS d
+        |FROM merged ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = table(s, dir, "events")
+        .filter(col("event_id") % 50 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("d", to_date(col("ts")))
+      val out = tmp("sink_upsert_part") + "/t"
+      try {
+        Sinks.upsertPartitioned(s, base, out, Seq("event_id"), "d")
+        val changed = base.filter(col("event_id") % 500 === 0)
+          .withColumn("value", col("value") + 1000.0)
+        val inserted = base.filter(col("event_id") % 500 === 50)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("ts", col("ts") + expr("INTERVAL 90 DAYS"))
+          .withColumn("d", to_date(col("ts")))
+        Sinks.upsertPartitioned(s, changed.unionByName(inserted), out,
+          Seq("event_id"), "d")
+        s.read.parquet(out)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("d").cast("date").as("d"))
+          .orderBy("event_id")
+          .localCheckpoint(true)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(out).getParentFile)
+    },
+
     /** sink_jdbc_insert (reference: src/load.py:319-343): nation →
       * batched INSERTs into embedded Derby → JDBC read-back. */
     Q("sink_jdbc_insert",

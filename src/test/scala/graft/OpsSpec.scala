@@ -502,6 +502,54 @@ class OpsSpec extends SparkSpec {
           .createTempDirectory("ann_idx_bad").toString))
   }
 
+  test("AnnIndex.append: no rebuild, only appended buckets written, probe exact") {
+    val mk = (r: Range) => r
+      .map(i => (i.toLong, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val full = mk(0 until 60)
+    val base = full.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val batch = full.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_app").toString
+    graft.ops.AnnIndex.build(base, "vec_id", "embedding", nCentroids = 4, dir = dir)
+
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$dir/members").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+        .toMap
+    val before = bucketFiles()
+
+    graft.ops.AnnIndex.append(batch, "vec_id", "embedding", dir)
+
+    // every pre-existing file survives untouched; new files appear only
+    // in buckets the batch actually landed in
+    val after = bucketFiles()
+    val appendedBuckets = spark.read.parquet(s"$dir/assignments")
+      .join(batch.select("vec_id"), "vec_id")
+      .select("bucket").distinct().collect().map("bucket=" + _.getLong(0)).toSet
+    before.foreach { case (b, files) =>
+      assert(files.subsetOf(after(b)), s"$b lost files in append")
+      if (!appendedBuckets.contains(b))
+        assert(after(b) == files, s"untouched bucket $b was written")
+    }
+    appendedBuckets.foreach(b =>
+      assert(after(b).size > before.getOrElse(b, Set.empty).size,
+        s"appended bucket $b gained no files"))
+
+    // probing the appended index is byte-identical to the direct
+    // computation over the COMBINED corpus (probe ids include appended
+    // vectors: 29 % 10 = 9 came in via append)
+    val direct = Similarity.ivfTopK(full, "vec_id", "embedding",
+      nCentroids = 4, col("vec_id").between(25, 30), k = 3)
+    val probed = graft.ops.AnnIndex.probe(spark, dir,
+      col("vec_id").between(25, 30), k = 3)
+    assert(direct.count() == probed.count())
+    assert(probed.except(direct).count() == 0 &&
+      direct.except(probed).count() == 0,
+      "append-then-probe must equal a from-scratch full-corpus result")
+  }
+
   test("unigram LM score: exact rational of corpus counts, prose beats garble") {
     val docs = Seq(
       (1L, "a a b"),   // counts: a=2, b=1, c=1; N=4
