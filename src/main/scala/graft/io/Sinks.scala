@@ -41,6 +41,53 @@ object Sinks {
   def replace(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Schema-evolving append — the add-a-column path a long-lived table
+    * needs (the reference evolves its schema by DDL,
+    * src/load.py:80-263; a parquet table evolves by writing files with
+    * the wider schema and merging on read). The batch must carry a
+    * SUPERSET of the standing schema:
+    *
+    *  - brand-new columns are fine — old files simply lack them and
+    *    read back NULL under [[readEvolved]];
+    *  - a MISSING standing column is refused (an accidentally-pruned
+    *    batch would silently poison every later merged read with
+    *    NULLs);
+    *  - a changed dataType for an existing column is refused —
+    *    parquet's merge cannot reconcile it and readers would throw
+    *    (or worse, widen lossily) long after the write succeeded.
+    *    Failing the WRITE is the honest place to fail.
+    */
+  def appendEvolved(spark: org.apache.spark.sql.SparkSession,
+                    df: DataFrame, path: String,
+                    partitionCols: Seq[String] = Nil): Unit = {
+    if (new java.io.File(path).exists()) {
+      // union of every file footer, not one file's — earlier appends
+      // may already have widened the schema
+      val standing = spark.read.option("mergeSchema", "true").parquet(path).schema
+      val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+      val problems = standing.flatMap { f =>
+        incoming.get(f.name) match {
+          case None => Some(s"${f.name}: missing from batch")
+          case Some(t) if t != f.dataType =>
+            Some(s"${f.name}: ${f.dataType.simpleString} -> ${t.simpleString}")
+          case _ => None
+        }
+      }
+      require(problems.isEmpty,
+        s"appendEvolved: batch schema is not a same-typed superset of the " +
+          s"standing table: ${problems.mkString("; ")}")
+    }
+    append(df, path, partitionCols)
+  }
+
+  /** Read a table whose files span schema versions: mergeSchema folds
+    * every footer into the union schema, and rows from files written
+    * before a column existed surface it as NULL.
+    */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** sink_upsert — set-based merge with update-wins semantics on the
     * unique key (reference: src/load.py:371-486; key from
     * sql/schema.sql:38 UNIQUE(city,country,timestamp)).

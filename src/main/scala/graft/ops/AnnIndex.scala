@@ -44,7 +44,7 @@ object AnnIndex {
     // (every probe would return 0 rows) — refuse loudly instead, the
     // same precondition contract as pqTopK's codebook seeding. Count
     // DISTINCT ids: duplicate seed ids must not mask a missing one
-    require(cent.agg(countDistinct(col("cid"))).head.getLong(0) == nCentroids,
+    require(cent.agg(countDistinct(col("cid"))).head().getLong(0) == nCentroids,
       s"centroid seeding needs vec ids 0..${nCentroids - 1} present in the corpus")
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
     // the corpus-by-centroid assignment aggregate is the dominant build

@@ -107,7 +107,7 @@ object Layout {
     // otherwise.
     if (assertFits) {
       val mx = df.agg(greatest(max(col(colA).cast("long")),
-        max(col(colB).cast("long"))).as("mx")).head.getLong(0)
+        max(col(colB).cast("long"))).as("mx")).head().getLong(0)
       require(mx < (1L << bits),
         s"writeZOrdered: max($colA,$colB)=$mx needs more than $bits bits — " +
           "keys would alias and 2-D clustering would silently degrade")

@@ -259,6 +259,14 @@ object Similarity {
 
   /** Sign-LSH signature bits and banded candidate pairs re-ranked by
     * exact cosine. nPlanes bits split into nBands bands.
+    *
+    * SIZING RULE (measured in SCALING.md): candidate volume per band
+    * is Σ_buckets C(pop, 2) with pop ≈ n / 2^(nPlanes/nBands), so
+    * band-key BITS must track log₂ n — a 4-bit band key (16 buckets)
+    * is a small-corpus recall tune that turns ~quadratic by 2×10⁴
+    * vectors (20.6× wall at 10× data), while 8-bit keys hold
+    * near-linear on the same corpus. Recover recall by raising
+    * nPlanes and nBands together, never by coarsening the key.
     */
   def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
                nPlanes: Int = 16, nBands: Int = 4,

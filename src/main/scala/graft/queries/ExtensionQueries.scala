@@ -176,6 +176,10 @@ object ExtensionQueries {
     * bands (4×4 bits vs ann_lsh's 2×8) trade candidate volume for
     * recall — the right default when the banding GATES which near-dups
     * exist at all rather than merely pre-filtering an ANN re-rank.
+    * SCALE LABEL (SCALING.md §3): 4-bit band keys are a small-corpus
+    * recall tune — 16 buckets per band make candidates ~n²/512, 20.6×
+    * wall at 10× data; past ~10⁴ vectors size the key bits with
+    * log₂ n (raise nPlanes with the corpus).
     */
   private val NBANDS_MS = 4
 

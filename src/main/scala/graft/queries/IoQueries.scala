@@ -109,6 +109,35 @@ object IoQueries {
       s.read.parquet(out).orderBy("o_orderkey")
     },
 
+    /** sink_append_evolve — schema evolution on a standing parquet
+      * table (Sinks.appendEvolved/readEvolved): a v1 batch writes two
+      * columns, a WIDENED v2 batch appends a third; the merged read
+      * surfaces the new column as NULL for pre-evolution rows. The
+      * writer refuses pruned batches and type changes (pinned in
+      * FormatsSpec); the oracle states the union with an explicit
+      * NULL for the old rows. */
+    Q("sink_append_evolve",
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val n = table(s, dir, "nation")
+      val out = tmp("sink_evolve") + "/t"
+      try {
+        Sinks.appendEvolved(s, n.select("n_nationkey", "n_name"), out)
+        Sinks.appendEvolved(s, n.select(
+          (col("n_nationkey") + 100).as("n_nationkey"),
+          col("n_name"), col("n_regionkey")), out)
+        Sinks.readEvolved(s, out)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+          .localCheckpoint(true)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(out).getParentFile)
+    },
+
     /** sink_upsert_partitioned — the partition-pruned, crash-atomic
       * form of the merge (Sinks.upsertPartitioned): a date-partitioned
       * target built from a 30-day event sample, then one batch that

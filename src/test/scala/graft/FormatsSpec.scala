@@ -75,4 +75,38 @@ class FormatsSpec extends SparkSpec {
     val json = back.select("metrics_json").as[String].head()
     assert(json.contains("records_after_cleaning"))
   }
+
+  test("appendEvolved: add-a-column evolves, narrowing and pruning refuse") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    val v1 = Seq((1L, 15.5), (2L, 22.3)).toDF("id", "temp")
+    Sinks.appendEvolved(spark, v1, dir)
+
+    // widened batch: the new column lands, old files read back NULL
+    val v2 = Seq((3L, 18.0, "manual")).toDF("id", "temp", "source")
+    Sinks.appendEvolved(spark, v2, dir)
+    val merged = Sinks.readEvolved(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "source", "temp"))
+    assert(merged.count() == 3)
+    val bySrc = merged.select("id", "source").as[(Long, Option[String])]
+      .collect().toMap
+    assert(bySrc(1L).isEmpty && bySrc(2L).isEmpty,
+      "pre-evolution rows must surface the new column as NULL")
+    assert(bySrc(3L).contains("manual"))
+
+    // a second widening on top of the first is judged against the
+    // UNION schema: dropping `source` now is a pruned batch → refused
+    val pruned = Seq((4L, 20.0)).toDF("id", "temp")
+    val e1 = intercept[IllegalArgumentException](
+      Sinks.appendEvolved(spark, pruned, dir))
+    assert(e1.getMessage.contains("source"))
+
+    // a type change for an existing column is refused at the write
+    val narrowed = Seq((5, 1.0f, "x")).toDF("id", "temp", "source")
+    val e2 = intercept[IllegalArgumentException](
+      Sinks.appendEvolved(spark, narrowed, dir))
+    assert(e2.getMessage.contains("id") || e2.getMessage.contains("temp"))
+
+    // the refused writes left the table untouched
+    assert(Sinks.readEvolved(spark, dir).count() == 3)
+  }
 }
