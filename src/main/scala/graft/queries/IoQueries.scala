@@ -168,7 +168,11 @@ object IoQueries {
         .withColumn("d", to_date(col("ts")))
       val out = tmp("sink_upsert_part") + "/t"
       try {
-        Sinks.upsertPartitioned(s, base, out, Seq("event_id"), "d")
+        // standing table via a plain partitioned write (event_id is
+        // unique, nothing to merge); the first-batch branch of
+        // upsertPartitioned is exercised in SinksSpec — this row times
+        // the MERGE path
+        base.repartition(col("d")).write.partitionBy("d").parquet(out)
         val changed = base.filter(col("event_id") % 500 === 0)
           .withColumn("value", col("value") + 1000.0)
         val inserted = base.filter(col("event_id") % 500 === 50)
