@@ -365,6 +365,14 @@ object Sinks {
     } else {
       val touched = updates.select(col(partitionCol)).distinct()
         .collect().map(_.get(0))
+      // a NULL partition value would silently lose data: isInCollection
+      // never matches NULL, so the existing null-partition rows would
+      // be excluded from the merge while the stage swap still replaces
+      // the d=__HIVE_DEFAULT_PARTITION__ directory. Refuse loudly.
+      require(!touched.contains(null),
+        s"upsertPartitioned: batch contains NULL '$partitionCol' values — " +
+          "fill or drop them before merging (NULL partitions cannot be " +
+          "pruned-read consistently)")
       val existing = spark.read.parquet(path)
         .filter(col(partitionCol).isInCollection(touched))
         // partition col is read back last — realign to the update schema

@@ -102,6 +102,27 @@ object AnnIndex {
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/members")
   }
 
+  /** Restore the index's layout invariants after a run of [[append]]s
+    * — the periodic maintenance the append contract defers to:
+    * assignments are re-laid-out range-disjoint by vec_id (appended
+    * files overlap the original ranges, degrading probe lookups from
+    * file-disjoint pruning to per-file min/max), and fragmented
+    * members bucket partitions are compacted
+    * ([[Compaction.compactPartitioned]], which also brings its
+    * crash-recovery discipline). Reads ONLY the index — the corpus is
+    * never rescanned, and probe results are unchanged by construction
+    * (same rows, better files).
+    */
+  def relayout(spark: SparkSession, dir: String,
+               targetBytes: Long = 128L << 20): Seq[(String, Int)] = {
+    Layout.rewriteInPlace(spark, s"$dir/assignments") { tmp =>
+      Layout.writeRangeSorted(spark.read.parquet(s"$dir/assignments"),
+        tmp, nFiles = 8, keyCol = "vec_id")
+    }
+    Compaction.compactPartitioned(spark, s"$dir/members", targetBytes,
+      minFiles = 1)
+  }
+
   /** Top-k cosine neighbors for the probe rows selected by
     * `probePred` (over vec_id), reading ONLY the index: probe lookup
     * file-prunes the range-sorted assignments, the candidate fetch
@@ -160,17 +181,21 @@ object AnnIndex {
 
   /** [[ensureBuilt]] for the build-then-daily-append lifecycle: the
     * memoized state is an index BUILT on `base` with `batch` appended
-    * afterwards — the registry's ann_ivf_appended row probes it.
+    * afterwards — the registry's ann_ivf_appended row probes it. With
+    * `withRelayout` the appended index is also [[relayout]]ed — the
+    * full build → append → maintain lifecycle (ann_ivf_relayout).
     */
   def ensureBuiltAppended(spark: SparkSession, cacheKey: String,
                           base: => DataFrame, batch: => DataFrame,
                           idCol: String, vecCol: String,
-                          nCentroids: Int): String =
+                          nCentroids: Int,
+                          withRelayout: Boolean = false): String =
     built.computeIfAbsent((spark.sparkContext.applicationId, cacheKey), _ => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ann_index_app").toString
       build(base, idCol, vecCol, nCentroids, dir)
       append(batch, idCol, vecCol, dir)
+      if (withRelayout) relayout(spark, dir)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
       dir

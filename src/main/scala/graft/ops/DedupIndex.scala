@@ -91,6 +91,24 @@ object DedupIndex {
       .write.mode("append").parquet(s"$path/grams")
   }
 
+  /** Restore the gram table's range layout after a run of [[append]]s
+    * (appended files overlap the original gram ranges — pruning
+    * degrades gracefully but monotonically until re-layout) and
+    * compact the fingerprint set's accumulated per-day files. Reads
+    * only the index; corpus text is never rescanned. Swaps are
+    * crash-safe via [[Layout.rewriteInPlace]].
+    */
+  def relayout(spark: SparkSession, path: String, nFiles: Int = 32,
+               fpTargetBytes: Long = 128L << 20): Unit = {
+    Layout.rewriteInPlace(spark, s"$path/grams") { tmp =>
+      Layout.writeRangeSorted(spark.read.parquet(s"$path/grams"),
+        tmp, nFiles, keyCol = "gram")
+    }
+    Layout.rewriteInPlace(spark, s"$path/fps") { tmp =>
+      Compaction.compact(spark, s"$path/fps", tmp, fpTargetBytes)
+    }
+  }
+
   /** The index's raw gram relation for a document set: (doc_id, gram
     * hash) before the df cap. Hashes only — text never persists.
     */

@@ -31,6 +31,37 @@ object Layout {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Rewrite a directory IN PLACE with the compaction durability
+    * discipline: the new contents are fully written to a hidden temp
+    * sibling (the `write` callback receives the temp path and may read
+    * the still-untouched target), then swapped in with two metadata
+    * renames (target → trash, temp → target) before the trash is
+    * deleted — the original bytes exist on disk at every instant. A
+    * crash between the two renames leaves the target absent with the
+    * original intact in the trash sibling; the next [[rewriteInPlace]]
+    * on the same path restores it before doing anything else. (An
+    * eager checkpoint would NOT give this: checkpoint blocks live on
+    * executors — lineage truncation is not durability, per
+    * [[Compaction.compactPartitioned]]'s contract.)
+    */
+  def rewriteInPlace(spark: SparkSession, path: String)
+                    (write: String => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.graft-relayout-tmp")
+    val trash = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.graft-relayout-old")
+    if (!fs.exists(target) && fs.exists(trash))
+      require(fs.rename(trash, target),
+        s"rewriteInPlace: crash recovery $trash -> $target failed")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    write(tmp.toString)
+    require(fs.rename(target, trash), s"rewriteInPlace: $target -> $trash failed")
+    require(fs.rename(tmp, target), s"rewriteInPlace: $tmp -> $target failed")
+    fs.delete(trash, true)
+  }
+
   /** Deterministic seeded key for a reproducible global shuffle:
     * the 60-bit digest of `seed:id`. Changing the seed re-deals the
     * whole order; the same seed replays it bit-identically on any

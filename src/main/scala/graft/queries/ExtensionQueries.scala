@@ -811,6 +811,23 @@ object ExtensionQueries {
         .orderBy("q_id", "rank")
     },
 
+    /** ann_ivf_relayout — the index's full maintenance lifecycle:
+      * build on 90%, append the rest (AnnIndex.append), then RELAYOUT
+      * (assignments re-range-sorted via the crash-safe in-place
+      * rewrite, fragmented members buckets compacted). Probe results
+      * must be byte-identical to ann_ivf throughout — maintenance
+      * changes files, never answers (disjointness + compaction pinned
+      * in OpsSpec). */
+    Q("ann_ivf_relayout", annIvfSql) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val idx = graft.ops.AnnIndex.ensureBuiltAppended(s, dir + "#relayout",
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 9),
+        emb.filter(pmod(col("vec_id"), lit(10)) === 9),
+        "vec_id", "embedding", nCentroids = 8, withRelayout = true)
+      graft.ops.AnnIndex.probe(s, idx, col("vec_id").between(100, 109), k = 3)
+        .orderBy("q_id", "rank")
+    },
+
     /** sessionize — gap-based sessions (30 min) per user: lag flags
       * session starts, a running sum numbers them, then a per-session
       * rollup. One shuffle on the key (graft.ops.Sessionize). */

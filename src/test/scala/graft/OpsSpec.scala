@@ -548,6 +548,25 @@ class OpsSpec extends SparkSpec {
     assert(probed.except(direct).count() == 0 &&
       direct.except(probed).count() == 0,
       "append-then-probe must equal a from-scratch full-corpus result")
+
+    // relayout: assignments range-disjoint again, fragmented bucket
+    // partitions compacted, probe unchanged
+    graft.ops.AnnIndex.relayout(spark, dir)
+    val ranges = graft.ops.Layout.fileRanges(spark, s"$dir/assignments", "vec_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, maxA), (minB, _)) =>
+        assert(maxA < minB, s"overlapping vec_id ranges after relayout: $maxA >= $minB")
+      case _ =>
+    }
+    val afterRelayout = bucketFiles()
+    appendedBuckets.foreach(b => assert(afterRelayout(b).size == 1,
+      s"appended bucket $b not compacted to one file"))
+    val probed2 = graft.ops.AnnIndex.probe(spark, dir,
+      col("vec_id").between(25, 30), k = 3)
+    assert(probed2.except(direct).count() == 0 &&
+      direct.except(probed2).count() == 0,
+      "relayout must not change probe results")
   }
 
   test("unigram LM score: exact rational of corpus counts, prose beats garble") {
@@ -880,6 +899,19 @@ class OpsSpec extends SparkSpec {
       df.select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids(day2) == Seq(21L))
     assert(ids(day2) == ids(Dedup.incremental(batch2, grown, "doc_id", "text", 3, 0.5)))
+
+    // relayout restores the range-disjoint gram files the appends
+    // degraded, without changing any answer (reads only the index)
+    DedupIndex.relayout(spark, dir, nFiles = 2)
+    val ranges = graft.ops.Layout.fileRanges(spark, s"$dir/grams", "gram")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, maxA), (minB, _)) =>
+        assert(maxA < minB, s"overlapping gram ranges after relayout: $maxA >= $minB")
+      case _ =>
+    }
+    assert(ids(DedupIndex.dedupBatch(spark, batch2, dir, "doc_id", "text", 3, 0.5))
+      == Seq(21L), "relayout must not change dedup answers")
   }
 
   test("salted operators refuse non-positive bucket counts loudly") {

@@ -107,6 +107,22 @@ class SinksSpec extends SparkSpec {
     assert(last.filter($"city" === "Tokyo").select("temp").as[Double].head() == 25.0)
   }
 
+  test("partitioned upsert refuses NULL partition values in the batch") {
+    val dir = Files.createTempDirectory("graft_nullpart").toString + "/t"
+    val base = Seq(("London", "GB", 1L, 15.5, "2023-11-01"))
+      .toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, base, dir, keys, "date")
+    // a NULL date would be dropped by the pruned read's isInCollection
+    // while the swap still replaces the default-partition dir — the
+    // write must refuse instead of silently losing rows
+    val nullBatch = Seq(("Tokyo", "JP", 1L, 22.3, null: String))
+      .toDF("city", "country", "ts", "temp", "date")
+    val e = intercept[IllegalArgumentException](
+      Sinks.upsertPartitioned(spark, nullBatch, dir, keys, "date"))
+    assert(e.getMessage.contains("NULL"))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("partitioned upsert recovers a crash to a consistent table") {
     val dir = Files.createTempDirectory("graft_crash").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(dir)
