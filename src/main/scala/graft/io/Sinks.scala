@@ -141,11 +141,15 @@ object Sinks {
     * the plain-Parquet equivalent of MERGE INTO (a transactional table
     * format would replace the rewrite with a row-level merge).
     *
-    * The merge result is materialized with an EAGER localCheckpoint
-    * before the overwrite: the write must never hold a lineage
-    * dependency on the files it is about to delete (a cache() is not a
-    * barrier — eviction or executor loss would recompute from the
-    * already-deleted source and corrupt the target).
+    * The merge is written through [[graft.ops.Layout.rewriteInPlace]]:
+    * the new table is fully staged to a hidden temp sibling WHILE the
+    * source files are still intact (so the plan needs no
+    * materialization barrier at all), then swapped in with two
+    * metadata renames. This is strictly stronger than the earlier
+    * eager-localCheckpoint-then-overwrite: a checkpoint only truncates
+    * lineage (blocks live on executors — an executor loss mid-
+    * overwrite still lost the table), whereas the staged swap keeps
+    * the original bytes on disk until the replacement is complete.
     */
   def load(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
            path: String, strategy: String, keys: Seq[String] = Nil,
@@ -160,12 +164,11 @@ object Sinks {
           // rows per key); merging against an empty target does exactly
           // the in-batch winner selection
           replace(upsert(df.limit(0), df, keys, updatePriority), path)
-        else {
-          val existing = spark.read.parquet(path)
-          val merged = upsert(existing, df, keys, updatePriority)
-            .localCheckpoint(true)
-          replace(merged, path)
-        }
+        else
+          graft.ops.Layout.rewriteInPlace(spark, path) { tmp =>
+            upsert(spark.read.parquet(path), df, keys, updatePriority)
+              .write.mode(SaveMode.Overwrite).parquet(tmp)
+          }
       case other => throw new IllegalArgumentException(s"unknown strategy: $other")
     }
 

@@ -83,8 +83,13 @@ object Dedup {
                   n: Int, maxDf: Int): DataFrame =
     gramTable(docs, idCol, textCol, n)
       .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
-      // df via a window over the SAME relation: the join below shuffles
-      // on gram anyway, so the df exchange is the one it already pays
+      // df via a WINDOW over the same relation, deliberately: an
+      // aggregate + anti-join shape re-evaluates the tokenize/explode
+      // pipeline for the hot branch, and the pair self-join's renamed
+      // branches multiply that again (measured 7.4 s vs 1.9 s at
+      // sf0.1 — Spark reuses no exchange across renamed branches).
+      // The window costs exactly one extra shuffle of 8-byte hash
+      // rows and keeps the relation a single declarative pipeline.
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("__df") <= maxDf).drop("__df")
       .withColumn("n_grams",
