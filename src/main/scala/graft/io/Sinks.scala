@@ -65,10 +65,16 @@ object Sinks {
       // may already have widened the schema
       val standing = spark.read.option("mergeSchema", "true").parquet(path).schema
       val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+      // partition columns round-trip through DIRECTORY NAMES, and the
+      // read-side inference types them from the string (a "2023-11-01"
+      // dir comes back DATE even if written from a string column) —
+      // type equality is only meaningful for data columns; presence is
+      // still required for all
+      val partSet = partitionCols.toSet
       val problems = standing.flatMap { f =>
         incoming.get(f.name) match {
           case None => Some(s"${f.name}: missing from batch")
-          case Some(t) if t != f.dataType =>
+          case Some(t) if t != f.dataType && !partSet.contains(f.name) =>
             Some(s"${f.name}: ${f.dataType.simpleString} -> ${t.simpleString}")
           case _ => None
         }
@@ -158,6 +164,12 @@ object Sinks {
       case "insert"  => append(df, path)
       case "replace" => replace(df, path)
       case "upsert" =>
+        // a crash between rewriteInPlace's two renames leaves the table
+        // stranded in its trash sibling with the target ABSENT — the
+        // restore must run before the first-batch existence check, or
+        // this branch would overwrite the crash state with only the new
+        // batch and a later rewrite would delete the stranded original
+        graft.ops.Layout.restoreIfCrashed(spark, path)
         val target = new java.io.File(path)
         if (!target.exists())
           // first batch still dedups by key (a batch may carry several
@@ -283,11 +295,12 @@ object Sinks {
     *     bounded by distinct dates in the batch, never data-scale),
     *  2. reads ONLY those partitions of the target (partition pruning —
     *     `.explain` shows PartitionFilters on the scan),
-    *  3. merges with [[upsert]] and materializes the result past a
-    *     lineage barrier (eager localCheckpoint),
-    *  4. overwrites with `partitionOverwriteMode=dynamic`, which
-    *     replaces exactly the partitions present in the result and
-    *     leaves every other partition's files untouched.
+    *  3. merges with [[upsert]] and stages the merged result under the
+    *     hidden stage sibling (the target's files stay intact
+    *     throughout the write — no materialization barrier needed),
+    *  4. commits via the txn marker and swaps exactly the staged
+    *     partitions into place, leaving every other partition's files
+    *     untouched.
     *
     * A daily batch into a years-deep table therefore rewrites one or
     * two date directories, not the table — the reference's
@@ -380,8 +393,10 @@ object Sinks {
         .filter(col(partitionCol).isInCollection(touched))
         // partition col is read back last — realign to the update schema
         .select(updates.columns.map(col).toIndexedSeq: _*)
+      // no materialization barrier needed: the stage write reads the
+      // target's partitions while they are still fully intact — the
+      // target is only touched by the post-write metadata renames
       val merged = upsert(existing, updates, keys, updatePriority)
-        .localCheckpoint(true)
       // stage the ENTIRE merge first (crash here: target untouched,
       // stage discarded next run) ...
       val stage = new org.apache.hadoop.fs.Path(root, UpsertStageName)

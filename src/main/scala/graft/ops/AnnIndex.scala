@@ -83,6 +83,18 @@ object AnnIndex {
     graft.functions.GraftFunctions.register(spark)
     val cs = graft.functions.GraftFunctions.cosineSim _
     val all = Similarity.prepared(batch, idCol, vecCol)
+    // a RETRIED batch (crash after a committed append, job re-run)
+    // would duplicate rows in assignments/ and members/, and probe()
+    // would then return the same neighbor at multiple ranks — corrupt
+    // silently. Refuse loudly instead, the same contract as build's
+    // seed guard; the caller dedupes/advances its batch ids.
+    val dup = all.select("vec_id")
+      .join(spark.read.parquet(s"$dir/assignments").select("vec_id"), "vec_id")
+      .limit(1).count()
+    require(dup == 0,
+      "append: batch contains vec_ids already present in the index " +
+        "(retried batch?) — appending would duplicate members and " +
+        "corrupt probe rankings; dedupe the batch against assignments/ first")
     val cent = spark.read.parquet(s"$dir/centroids").select("cid", "cv")
     // same aggregate shape as ivfAssign: score map-side against the
     // broadcast centroids, ids-only exchange, max_by winner

@@ -118,9 +118,15 @@ object DedupIndex {
       .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
 
   /** [[Dedup.incremental]] against the PERSISTED index instead of the
-    * corpus: byte-identical output, but the only corpus-sized relations
-    * in the plan are the index parquet tables — the corpus text is
-    * never scanned, tokenized, or shuffled (pinned in PlansSpec).
+    * corpus: byte-identical output FOR THE INDEXED STATE — the only
+    * corpus-sized relations in the plan are the index parquet tables;
+    * corpus text is never scanned, tokenized, or shuffled (pinned in
+    * PlansSpec). Identity is relative to the build-time df cap: a
+    * direct [[Dedup.incremental]] recomputes hot grams from today's
+    * corpus, while the index anti-joins the `hot/` snapshot — if
+    * appends push a gram's df across maxDf the two diverge until the
+    * next [[build]] (the same degrade-then-re-layout contract as the
+    * range layout; rebuild cadence bounds the drift).
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
                  idCol: String, textCol: String, n: Int,

@@ -52,14 +52,33 @@ object Layout {
       target.getParent, s".${target.getName}.graft-relayout-tmp")
     val trash = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.graft-relayout-old")
-    if (!fs.exists(target) && fs.exists(trash))
-      require(fs.rename(trash, target),
-        s"rewriteInPlace: crash recovery $trash -> $target failed")
+    restoreIfCrashed(spark, path)
     fs.delete(tmp, true); fs.delete(trash, true)
     write(tmp.toString)
     require(fs.rename(target, trash), s"rewriteInPlace: $target -> $trash failed")
     require(fs.rename(tmp, target), s"rewriteInPlace: $tmp -> $target failed")
     fs.delete(trash, true)
+  }
+
+  /** Restore a directory stranded by a crash between
+    * [[rewriteInPlace]]'s two renames (target absent, original intact
+    * in the trash sibling). EVERY code path that branches on the
+    * target's existence must call this first — an existence check that
+    * skips recovery would mistake the crashed state for "no table yet"
+    * and a fresh write would then orphan (or a later rewriteInPlace
+    * delete) the stranded original. Returns true if a restore
+    * happened.
+    */
+  def restoreIfCrashed(spark: SparkSession, path: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.graft-relayout-old")
+    if (!fs.exists(target) && fs.exists(trash)) {
+      require(fs.rename(trash, target),
+        s"rewriteInPlace: crash recovery $trash -> $target failed")
+      true
+    } else false
   }
 
   /** Deterministic seeded key for a reproducible global shuffle:
@@ -137,11 +156,23 @@ object Layout {
     // domain isn't known a priori; size `bits` from the domain
     // otherwise.
     if (assertFits) {
-      val mx = df.agg(greatest(max(col(colA).cast("long")),
-        max(col(colB).cast("long"))).as("mx")).head().getLong(0)
-      require(mx < (1L << bits),
-        s"writeZOrdered: max($colA,$colB)=$mx needs more than $bits bits — " +
-          "keys would alias and 2-D clustering would silently degrade")
+      val r = df.agg(
+        least(min(col(colA).cast("long")), min(col(colB).cast("long"))).as("mn"),
+        greatest(max(col(colA).cast("long")), max(col(colB).cast("long"))).as("mx"))
+        .head()
+      // empty input: nothing can alias, nothing to refuse
+      if (!r.isNullAt(1)) {
+        // zKey requires NON-NEGATIVE inputs: a negative value's two's-
+        // complement low bits alias a large positive key, the exact
+        // silent degradation this guard exists to make loud
+        require(r.getLong(0) >= 0,
+          s"writeZOrdered: min($colA,$colB)=${r.getLong(0)} is negative — " +
+            "zKey truncation aliases negative values onto large keys")
+        require(r.getLong(1) < (1L << bits),
+          s"writeZOrdered: max($colA,$colB)=${r.getLong(1)} needs more than " +
+            s"$bits bits — keys would alias and 2-D clustering would " +
+            "silently degrade")
+      }
     }
     writeRangeSorted(df.withColumn("zkey", zKey(col(colA), col(colB), bits)),
       path, nFiles, keyCol = "zkey")

@@ -109,4 +109,20 @@ class FormatsSpec extends SparkSpec {
     // the refused writes left the table untouched
     assert(Sinks.readEvolved(spark, dir).count() == 3)
   }
+
+  test("appendEvolved: partitioned string-date tables keep accepting appends") {
+    // partition values round-trip through dir names, so the standing
+    // schema reads "2023-11-01" back as DATE even when written from a
+    // string column — the superset check must not refuse that
+    val dir = Files.createTempDirectory("graft_evolve_part").toString + "/t"
+    val v1 = Seq((1L, 15.5, "2023-11-01")).toDF("id", "temp", "date")
+    Sinks.appendEvolved(spark, v1, dir, Seq("date"))
+    val v2 = Seq((2L, 22.3, "2023-11-02")).toDF("id", "temp", "date")
+    Sinks.appendEvolved(spark, v2, dir, Seq("date"))
+    assert(Sinks.readEvolved(spark, dir).count() == 2)
+    // data-column type changes are still refused
+    val bad = Seq((3, 1.0f, "2023-11-03")).toDF("id", "temp", "date")
+    intercept[IllegalArgumentException](
+      Sinks.appendEvolved(spark, bad, dir, Seq("date")))
+  }
 }

@@ -83,6 +83,17 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.writeZOrdered(
       big, out2, nFiles = 1, colA = "a", colB = "b", bits = 16,
       assertFits = true))
+    // negative values alias onto large keys via two's-complement low
+    // bits even when max fits — also refused
+    val neg = Seq((-1L, 1L, 1)).toDF("a", "b", "id")
+    intercept[IllegalArgumentException](Layout.writeZOrdered(
+      neg, Files.createTempDirectory("layout_z_neg").toString,
+      nFiles = 1, colA = "a", colB = "b", bits = 16, assertFits = true))
+    // an empty input has nothing to alias: the guard passes through
+    val empty = Seq.empty[(Long, Long, Int)].toDF("a", "b", "id")
+    Layout.writeZOrdered(empty,
+      Files.createTempDirectory("layout_z_empty").toString,
+      nFiles = 1, colA = "a", colB = "b", bits = 16, assertFits = true)
   }
 
   test("writeShuffled: reproducible global order, disjoint files, seed re-deals") {

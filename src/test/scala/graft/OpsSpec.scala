@@ -567,6 +567,11 @@ class OpsSpec extends SparkSpec {
     assert(probed2.except(direct).count() == 0 &&
       direct.except(probed2).count() == 0,
       "relayout must not change probe results")
+
+    // a retried batch (ids already indexed) must refuse loudly, not
+    // silently duplicate members and corrupt probe rankings
+    intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.append(batch, "vec_id", "embedding", dir))
   }
 
   test("unigram LM score: exact rational of corpus counts, prose beats garble") {

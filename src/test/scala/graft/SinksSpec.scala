@@ -107,6 +107,27 @@ class SinksSpec extends SparkSpec {
     assert(last.filter($"city" === "Tokyo").select("temp").as[Double].head() == 25.0)
   }
 
+  test("load upsert restores a swap-crashed table before branching") {
+    val dir = Files.createTempDirectory("graft_loadcrash").toString + "/t"
+    val base = Seq(("London", "GB", 1L, 15.5)).toDF("city", "country", "ts", "temp")
+    Sinks.load(spark, base, dir, "upsert", keys)
+    // simulate a crash between rewriteInPlace's two renames: the table
+    // is stranded in the trash sibling, the target directory is absent
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val trash = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.graft-relayout-old")
+    require(fs.rename(target, trash))
+    // the next upsert must restore the stranded table and MERGE — not
+    // mistake the crash for "no table yet" and keep only the batch
+    val batch = Seq(("Tokyo", "JP", 1L, 22.3)).toDF("city", "country", "ts", "temp")
+    Sinks.load(spark, batch, dir, "upsert", keys)
+    val rows = spark.read.parquet(dir).select("city").as[String].collect().sorted
+    assert(rows.toSeq == Seq("London", "Tokyo"),
+      "pre-crash rows must survive a crash-then-upsert sequence")
+  }
+
   test("partitioned upsert refuses NULL partition values in the batch") {
     val dir = Files.createTempDirectory("graft_nullpart").toString + "/t"
     val base = Seq(("London", "GB", 1L, 15.5, "2023-11-01"))
