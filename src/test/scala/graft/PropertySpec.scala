@@ -271,4 +271,44 @@ class PropertySpec extends SparkSpec {
       assert(ipDiffers, s"seed $s: ip-first order was indistinguishable")
     }
   }
+
+  test("partitioned upsert equals the plain set-based merge on random batches") {
+    import graft.io.Sinks
+    // the staged txn-swap write path must be INVISIBLE semantically:
+    // whatever it does with stages, markers, and renames, the on-disk
+    // table afterwards is exactly upsert(existing, updates)
+    Seq(1L, 20260813L).foreach { s =>
+      val exRows = sample(Gen.listOfN(60, for {
+        k <- Gen.chooseNum(0, 29); d <- Gen.chooseNum(1, 4)
+        v <- Gen.chooseNum(-1000.0, 1000.0)
+      } yield (k.toLong, s"2024-01-0$d", v)), s)
+        .groupBy(_._1).map(_._2.head).toSeq // unique keys (a real table post-upsert)
+      val keyDate = exRows.map(r => r._1 -> r._2).toMap
+      val upRows = sample(Gen.listOfN(40, for {
+        k <- Gen.chooseNum(0, 49)
+        v <- Gen.chooseNum(-1000.0, 1000.0)
+      } yield (k.toLong, v)), s + 7)
+        .zipWithIndex.map { case ((k, v), i) =>
+          // the key→partition contract: an existing key keeps its
+          // date; a new key's date is a function of the key, so a key
+          // repeated in the batch always agrees with itself
+          (k, keyDate.getOrElse(k, s"2024-01-0${1 + (k % 4)}"), v, i.toLong)
+        }
+      val existing = exRows.toDF("k", "d", "v")
+        .withColumn("prio", lit(-1L))
+      val updates = upRows.toDF("k", "d", "v", "prio")
+      val expected = Sinks.upsert(existing, updates, Seq("k"), Seq("prio"))
+        .select("k", "d", "v", "prio").as[(Long, String, Double, Long)]
+        .collect().toSet
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_upsert_$s").toString + "/t"
+      existing.repartition($"d").write.partitionBy("d").parquet(dir)
+      Sinks.upsertPartitioned(spark, updates, dir, Seq("k"), "d",
+        updatePriority = Seq("prio"))
+      val actual = spark.read.parquet(dir)
+        .select($"k", $"d".cast("string"), $"v", $"prio")
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(actual == expected, s"seed $s: partitioned merge diverged")
+    }
+  }
 }
