@@ -270,6 +270,18 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_ngram_jaccard: df cap rides gram-hash exchanges, text never shuffles") {
+    val p = plan("dedup_ngram_jaccard")
+    // both the df window and the candidate join key on the 60-bit gram
+    // hash — the cap must not introduce a text-keyed or cartesian shape
+    assert(p.contains("hashpartitioning(gram"),
+      "df/candidate exchanges must carry the 60-bit gram hash")
+    assert(!p.contains("hashpartitioning(text") &&
+      !p.contains("rangepartitioning(text"),
+      "document text must never be a shuffle key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text_unigram_lm: model join keyed by the token hash, scalar N broadcast") {
     val p = plan("text_unigram_lm")
     assert(p.contains("hashpartitioning(h"),
