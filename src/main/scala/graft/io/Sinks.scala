@@ -321,7 +321,10 @@ object Sinks {
     * an individual swap can see that partition briefly absent (plain
     * parquet has no snapshot isolation) — run upserts when the
     * partition isn't being queried, as with any non-transactional
-    * format.
+    * format. SINGLE WRITER assumed: two concurrent upserts to one
+    * table race on the shared stage directory and txn marker —
+    * serialize batches per table (the reference's daily-DAG shape) or
+    * front with a lock.
     *
     * CONTRACT: `partitionCol` must be functionally determined by
     * `keys` (it usually IS one of the keys, e.g. the event date in a

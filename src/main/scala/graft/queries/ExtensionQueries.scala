@@ -183,6 +183,43 @@ object ExtensionQueries {
     */
   private val NBANDS_MS = 4
 
+  /** The multi-signal dedup oracle, parameterized by the semantic
+    * edge's band count (the hyperplanes are fixed — nBands only
+    * decides how the 16 bits split into band keys). Shared by
+    * dedup_multi_signal (4×4-bit recall tune) and
+    * dedup_multi_signal_scaled (2×8-bit corpus-size tune).
+    */
+  private def multiSignalSql(nBands: Int): String =
+    s"""WITH RECURSIVE $cappedGramsCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+       |  FROM cgrams a JOIN cgrams b USING (g)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT da, db
+       |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
+       |$embCte,
+       |bits AS (SELECT vec_id, v, nrm,
+       |    $lshBitsSql
+       |  FROM n),
+       |bands AS (
+       |  ${lshBandsSqlFor(nBands)}),
+       |candc AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.vec_id < b.vec_id),
+       |cose AS (SELECT ia AS da, ib AS db
+       |  FROM candc JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib
+       |  WHERE ${dotSql("na.v", "nb.v")} / (na.nrm * nb.nrm) >= 0.4::DOUBLE),
+       |allp AS (SELECT da, db FROM jac UNION SELECT da, db FROM cose),
+       |und AS (SELECT da AS u, db AS v FROM allp UNION SELECT db, da FROM allp),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u)
+       |SELECT u AS node, least(u, min(v)) AS component
+       |FROM reach GROUP BY u ORDER BY node""".stripMargin
+
   /** The corpus_mix recipe: target language composition, shared with
     * the generated oracle CASE so both engines derive identical rates.
     */
@@ -917,40 +954,31 @@ object ExtensionQueries {
       * composition survives a 100-TB corpus. The banding is mirrored
       * verbatim into the oracle SQL (same hyperplanes), so both
       * engines gate the identical pair set. */
-    Q("dedup_multi_signal",
-      s"""WITH RECURSIVE $cappedGramsCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-         |  FROM cgrams a JOIN cgrams b USING (g)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |jac AS (SELECT da, db
-         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
-         |$embCte,
-         |bits AS (SELECT vec_id, v, nrm,
-         |    $lshBitsSql
-         |  FROM n),
-         |bands AS (
-         |  ${lshBandsSqlFor(NBANDS_MS)}),
-         |candc AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  WHERE a.vec_id < b.vec_id),
-         |cose AS (SELECT ia AS da, ib AS db
-         |  FROM candc JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib
-         |  WHERE ${dotSql("na.v", "nb.v")} / (na.nrm * nb.nrm) >= 0.4::DOUBLE),
-         |allp AS (SELECT da, db FROM jac UNION SELECT da, db FROM cose),
-         |und AS (SELECT da AS u, db AS v FROM allp UNION SELECT db, da FROM allp),
-         |reach AS (
-         |  SELECT u, v FROM und
-         |  UNION
-         |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u)
-         |SELECT u AS node, least(u, min(v)) AS component
-         |FROM reach GROUP BY u ORDER BY node""".stripMargin) { (s, dir) =>
+    Q("dedup_multi_signal", multiSignalSql(NBANDS_MS)) { (s, dir) =>
       val lexical = trigramPairs(s, dir)
       val semantic = Similarity.lshPairs(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           nPlanes = NPLANES, nBands = NBANDS_MS, threshold = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      graft.ops.Components.connectedComponents(
+          lexical.unionByName(semantic), "doc_a", "doc_b")
+        .orderBy("node")
+    },
+
+    /** dedup_multi_signal_scaled — the SAME composed dedup with the
+      * semantic edge banded for corpus size instead of recall: 2 bands
+      * × 8-bit keys (ann_lsh's setting) keep bucket population n/256,
+      * so banded candidates stay near-linear where the 4-bit recall
+      * tune turns ~quadratic past ~10⁴ vectors (measured 20.6× wall at
+      * 10× data — SCALING.md §3). Narrower buckets trade some semantic
+      * recall (a candidate must agree on 8 consecutive bits), which is
+      * the documented sizing rule as a registered, oracle-mirrored
+      * row rather than a prose note. */
+    Q("dedup_multi_signal_scaled", multiSignalSql(2)) { (s, dir) =>
+      val lexical = trigramPairs(s, dir)
+      val semantic = Similarity.lshPairs(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          nPlanes = NPLANES, nBands = 2, threshold = 0.4)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       graft.ops.Components.connectedComponents(
           lexical.unionByName(semantic), "doc_a", "doc_b")
