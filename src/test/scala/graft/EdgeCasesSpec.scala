@@ -195,4 +195,19 @@ class EdgeCasesSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(ops.Components.connectedComponents(edges, "doc_a", "doc_b").count() == 0)
   }
+
+  test("partitioned upsert with an empty batch is a no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_empty_upsert").toString + "/t"
+    val base = Seq(("London", "GB", 1L, 15.5, "2023-11-01"))
+      .toDF("city", "country", "ts", "temp", "date")
+    io.Sinks.upsertPartitioned(spark, base, dir,
+      Seq("city", "country", "ts"), "date")
+    val before = spark.read.parquet(dir).collect().toSet
+    // an empty daily batch must sail through the stage/marker/swap
+    // protocol touching nothing (no partitions staged, no swaps)
+    io.Sinks.upsertPartitioned(spark, base.limit(0), dir,
+      Seq("city", "country", "ts"), "date")
+    assert(spark.read.parquet(dir).collect().toSet == before)
+  }
 }
