@@ -60,7 +60,22 @@ object Sinks {
   def appendEvolved(spark: org.apache.spark.sql.SparkSession,
                     df: DataFrame, path: String,
                     partitionCols: Seq[String] = Nil): Unit = {
-    if (new java.io.File(path).exists()) {
+    // an append is an existence-dependent write: restore a
+    // rewriteInPlace-crashed table first, or this would fork it and a
+    // later rewrite would delete the stranded original
+    graft.ops.Layout.restoreIfCrashed(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      // the table's REAL partition columns come from its directory
+      // layout, never from the argument — and the argument must agree,
+      // or the append would write a conflicting `col=value` hierarchy
+      // that breaks every later read
+      val actualParts = actualPartitionCols(fs, root)
+      require(actualParts == partitionCols,
+        s"appendEvolved: table is partitioned by " +
+          s"${actualParts.mkString("(", ",", ")")} but the batch declares " +
+          s"${partitionCols.mkString("(", ",", ")")} — layouts would conflict")
       // union of every file footer, not one file's — earlier appends
       // may already have widened the schema
       val standing = spark.read.option("mergeSchema", "true").parquet(path).schema
@@ -70,7 +85,7 @@ object Sinks {
       // dir comes back DATE even if written from a string column) —
       // type equality is only meaningful for data columns; presence is
       // still required for all
-      val partSet = partitionCols.toSet
+      val partSet = actualParts.toSet
       val problems = standing.flatMap { f =>
         incoming.get(f.name) match {
           case None => Some(s"${f.name}: missing from batch")
@@ -84,6 +99,23 @@ object Sinks {
           s"standing table: ${problems.mkString("; ")}")
     }
     append(df, path, partitionCols)
+  }
+
+  /** The partition columns a table ACTUALLY has, read from its
+    * directory layout (first `col=value` entry per nesting level;
+    * driver-side listing only). Empty for an unpartitioned table.
+    */
+  private def actualPartitionCols(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path): Seq[String] = {
+    def walk(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(dir).find(s => s.isDirectory &&
+        s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith(".")) match {
+        case Some(s) =>
+          s.getPath.getName.split("=", 2)(0) +: walk(s.getPath)
+        case None => Nil
+      }
+    walk(root)
   }
 
   /** Read a table whose files span schema versions: mergeSchema folds
@@ -170,8 +202,12 @@ object Sinks {
         // this branch would overwrite the crash state with only the new
         // batch and a later rewrite would delete the stranded original
         graft.ops.Layout.restoreIfCrashed(spark, path)
-        val target = new java.io.File(path)
-        if (!target.exists())
+        // existence via the table's OWN FileSystem: java.io.File answers
+        // for the local disk only and would route every non-local-FS
+        // upsert into the first-batch replace — total silent data loss
+        val p = new org.apache.hadoop.fs.Path(path)
+        val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!pfs.exists(p))
           // first batch still dedups by key (a batch may carry several
           // rows per key); merging against an empty target does exactly
           // the in-batch winner selection
@@ -355,8 +391,11 @@ object Sinks {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) repairPartitionedUpsert(spark, path)
-    val target = new java.io.File(path)
-    if (strictKeyPartition && !keys.contains(partitionCol) && target.exists()) {
+    // existence via the table's OWN FileSystem (java.io.File answers
+    // for local disk only — a non-local-FS table would take the
+    // first-batch branch every time and lose its history)
+    val targetExists = fs.exists(root)
+    if (strictKeyPartition && !keys.contains(partitionCol) && targetExists) {
       val cols = (keys :+ partitionCol).map(col)
       val moved = spark.read.parquet(path).select(cols: _*)
         .withColumnRenamed(partitionCol, "__oldp")
@@ -375,7 +414,7 @@ object Sinks {
     // single date still splits.
     def partitioned(df: DataFrame): DataFrame =
       df.repartition(col(partitionCol))
-    if (!target.exists()) {
+    if (!targetExists) {
       // first batch dedups by key too (several rows per key must pick
       // the same winner a merge would)
       partitioned(upsert(updates.limit(0), updates, keys, updatePriority))
@@ -392,6 +431,9 @@ object Sinks {
         s"upsertPartitioned: batch contains NULL '$partitionCol' values — " +
           "fill or drop them before merging (NULL partitions cannot be " +
           "pruned-read consistently)")
+      // an empty batch touches nothing: skip the scan, the stage write,
+      // and the whole marker/swap state machine
+      if (touched.isEmpty) return
       val existing = spark.read.parquet(path)
         .filter(col(partitionCol).isInCollection(touched))
         // partition col is read back last — realign to the update schema

@@ -82,19 +82,54 @@ object AnnIndex {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val cs = graft.functions.GraftFunctions.cosineSim _
-    val all = Similarity.prepared(batch, idCol, vecCol)
-    // a RETRIED batch (crash after a committed append, job re-run)
-    // would duplicate rows in assignments/ and members/, and probe()
-    // would then return the same neighbor at multiple ranks — corrupt
-    // silently. Refuse loudly instead, the same contract as build's
-    // seed guard; the caller dedupes/advances its batch ids.
-    val dup = all.select("vec_id")
-      .join(spark.read.parquet(s"$dir/assignments").select("vec_id"), "vec_id")
-      .limit(1).count()
-    require(dup == 0,
-      "append: batch contains vec_ids already present in the index " +
-        "(retried batch?) — appending would duplicate members and " +
-        "corrupt probe rankings; dedupe the batch against assignments/ first")
+    // mode-append writes would silently recreate directories a crashed
+    // relayout left stranded in trash siblings — repair both sub-tables
+    // before touching them
+    Layout.restoreIfCrashed(spark, s"$dir/assignments")
+    Compaction.repairPartitioned(spark, s"$dir/members")
+    val all = Similarity.prepared(batch, idCol, vecCol).localCheckpoint(true)
+    // RETRY state machine. A crashed-and-rerun ingest job must neither
+    // duplicate rows (probe would return one neighbor at several
+    // ranks) nor strand vectors half-indexed. The two writes commit in
+    // a fixed order (assignments, then members), each atomically at
+    // job level, so the index can be in exactly three states w.r.t.
+    // this batch's ids:
+    //   - none present        → fresh append (the normal path);
+    //   - in both             → the previous attempt COMPLETED: this
+    //     is an idempotent no-op retry, return success;
+    //   - in assignments only → the previous attempt died between the
+    //     writes: RESUME by writing only the members rows, using the
+    //     already-committed assignments;
+    //   - anything partial    → not a state this protocol produces —
+    //     refuse loudly rather than guess.
+    val priorAsg = spark.read.parquet(s"$dir/assignments")
+      .join(all.select("vec_id"), "vec_id").localCheckpoint(true)
+    val nPrior = priorAsg.count()
+    if (nPrior > 0) {
+      val nBatch = all.count()
+      require(nPrior == nBatch,
+        s"append: $nPrior of $nBatch batch vec_ids are already assigned — " +
+          "a mix of new and indexed ids is neither a fresh batch nor a " +
+          "retry; split the batch or rebuild the index")
+      val buckets = priorAsg.select("bucket").distinct()
+        .collect().map(_.getLong(0))
+      // membership check pruned to the batch's own buckets — never a
+      // full members scan
+      val nInMembers = spark.read.parquet(s"$dir/members")
+        .withColumn("bucket", col("bucket").cast("long"))
+        .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+        .select("vec_id")
+        .join(all.select("vec_id"), "vec_id").count()
+      if (nInMembers == nBatch) return // completed earlier — idempotent
+      require(nInMembers == 0,
+        s"append: batch is half-present in members/ ($nInMembers of " +
+          s"$nBatch) — not a crash state this protocol produces; " +
+          "rebuild the index")
+      priorAsg.join(all, "vec_id").select("vec_id", "v", "nrm", "bucket")
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$dir/members")
+      return
+    }
     val cent = spark.read.parquet(s"$dir/centroids").select("cid", "cv")
     // same aggregate shape as ivfAssign: score map-side against the
     // broadcast centroids, ids-only exchange, max_by winner
@@ -143,6 +178,10 @@ object AnnIndex {
     */
   def probe(spark: SparkSession, indexPath: String, probePred: Column,
             k: Int, maxProbes: Long = 100000L): DataFrame = {
+    // self-heal a crashed relayout before reading (driver-side listing
+    // checks only; a stranded dir would otherwise fail the read)
+    Layout.restoreIfCrashed(spark, s"$indexPath/assignments")
+    Compaction.repairPartitioned(spark, s"$indexPath/members")
     graft.functions.GraftFunctions.register(spark)
     val cs = graft.functions.GraftFunctions.cosineSim _
     // partition-column inference reads bucket back as INT; restore the

@@ -113,6 +113,20 @@ object Compaction {
     walk(root)
   }
 
+  /** Run ONLY the crash recovery of [[compactPartitioned]] (restore
+    * orphaned trash partitions, drop stale temps) without compacting.
+    * Any writer that mode-appends into a partitioned table maintained
+    * by compaction must call this first: an append into a
+    * crash-stranded partition would recreate the directory with only
+    * the new rows, and the next compaction's recovery would then
+    * delete the stranded originals as superseded.
+    */
+  def repairPartitioned(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) recoverOrphans(fs, root)
+  }
+
   /** Partitioned-table form — the shape a 100-TB table actually needs:
     * each LEAF partition directory (multi-level `date=…/hour=…` layouts
     * included) is compacted INDEPENDENTLY, so maintenance of a

@@ -70,6 +70,13 @@ object DedupIndex {
     */
   def append(survivors: DataFrame, idCol: String, textCol: String, n: Int,
              path: String): Unit = {
+    // mode-append CREATES a missing directory: if a crashed relayout
+    // left grams/ or fps/ stranded in a trash sibling, appending here
+    // would fork the index (batch-only tables) and the next relayout
+    // would delete the stranded originals — restore first
+    val spark0 = survivors.sparkSession
+    Layout.restoreIfCrashed(spark0, s"$path/grams")
+    Layout.restoreIfCrashed(spark0, s"$path/fps")
     // materialize the survivors ONCE: their lineage is typically the
     // whole batch-dedup pipeline (which itself reads this index), so
     // running it lazily under each of the two writes would both double
@@ -131,6 +138,10 @@ object DedupIndex {
   def dedupBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
                  idCol: String, textCol: String, n: Int,
                  threshold: Double): DataFrame = {
+    // self-heal a crashed relayout before reading (a stranded dir
+    // would fail the read loudly; restoring is strictly better)
+    Layout.restoreIfCrashed(spark, s"$indexPath/grams")
+    Layout.restoreIfCrashed(spark, s"$indexPath/fps")
     val corpusFps = spark.read.parquet(s"$indexPath/fps")
       .select(col("fp").as("__fp")).distinct()
     val corpusGrams = spark.read.parquet(s"$indexPath/grams")

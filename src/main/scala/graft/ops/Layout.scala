@@ -158,8 +158,15 @@ object Layout {
     if (assertFits) {
       val r = df.agg(
         least(min(col(colA).cast("long")), min(col(colB).cast("long"))).as("mn"),
-        greatest(max(col(colA).cast("long")), max(col(colB).cast("long"))).as("mx"))
+        greatest(max(col(colA).cast("long")), max(col(colB).cast("long"))).as("mx"),
+        count(lit(1)).as("n"))
         .head()
+      // NULL aggregates over a NON-empty input mean the columns are all
+      // NULL or not castable to long — every zkey would be NULL and the
+      // clustering silently void; that is a refusal, not a pass
+      require(r.getLong(2) == 0L || !r.isNullAt(1),
+        s"writeZOrdered: $colA/$colB aggregate to NULL on a non-empty " +
+          "input (all-NULL or non-numeric columns) — no Z-key can be built")
       // empty input: nothing can alias, nothing to refuse
       if (!r.isNullAt(1)) {
         // zKey requires NON-NEGATIVE inputs: a negative value's two's-

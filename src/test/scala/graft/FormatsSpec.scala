@@ -124,5 +124,15 @@ class FormatsSpec extends SparkSpec {
     val bad = Seq((3, 1.0f, "2023-11-03")).toDF("id", "temp", "date")
     intercept[IllegalArgumentException](
       Sinks.appendEvolved(spark, bad, dir, Seq("date")))
+    // the declared layout must match the table's REAL directory layout:
+    // an unpartitioned append into a date-partitioned table (or a
+    // partitioned append into a flat one) would write a conflicting
+    // col=value hierarchy that breaks later reads
+    intercept[IllegalArgumentException](
+      Sinks.appendEvolved(spark, v1, dir, Nil))
+    val flat = Files.createTempDirectory("graft_evolve_flat").toString + "/t"
+    Sinks.appendEvolved(spark, v1, flat)
+    intercept[IllegalArgumentException](
+      Sinks.appendEvolved(spark, v2, flat, Seq("date")))
   }
 }

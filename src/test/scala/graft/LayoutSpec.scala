@@ -94,6 +94,12 @@ class LayoutSpec extends SparkSpec {
     Layout.writeZOrdered(empty,
       Files.createTempDirectory("layout_z_empty").toString,
       nFiles = 1, colA = "a", colB = "b", bits = 16, assertFits = true)
+    // non-numeric (or all-NULL) columns on a NON-empty input would make
+    // every zkey NULL — refused, not mistaken for the empty case
+    val strings = Seq(("x", "y", 1)).toDF("a", "b", "id")
+    intercept[IllegalArgumentException](Layout.writeZOrdered(
+      strings, Files.createTempDirectory("layout_z_null").toString,
+      nFiles = 1, colA = "a", colB = "b", bits = 16, assertFits = true))
   }
 
   test("writeShuffled: reproducible global order, disjoint files, seed re-deals") {

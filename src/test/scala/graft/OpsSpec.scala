@@ -568,10 +568,47 @@ class OpsSpec extends SparkSpec {
       direct.except(probed2).count() == 0,
       "relayout must not change probe results")
 
-    // a retried batch (ids already indexed) must refuse loudly, not
-    // silently duplicate members and corrupt probe rankings
+    // a retried batch whose previous append COMPLETED is an idempotent
+    // no-op: no duplicate rows, no file changes, probe unchanged
+    val filesBefore = bucketFiles()
+    graft.ops.AnnIndex.append(batch, "vec_id", "embedding", dir)
+    assert(bucketFiles() == filesBefore,
+      "a completed-retry append must write nothing")
+    // a batch MIXING new and indexed ids is neither fresh nor a retry
+    val mixed = mk(55 until 65)   // 55-59 indexed, 60-64 new
     intercept[IllegalArgumentException](
-      graft.ops.AnnIndex.append(batch, "vec_id", "embedding", dir))
+      graft.ops.AnnIndex.append(mixed, "vec_id", "embedding", dir))
+  }
+
+  test("AnnIndex.append resumes a crash between the two index writes") {
+    val mk = (r: Range) => r
+      .map(i => (i.toLong, Array.tabulate(6)(d => math.sin(i * 1.9 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = mk(0 until 40)
+    val batch = mk(40 until 50)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_resume").toString
+    graft.ops.AnnIndex.build(base, "vec_id", "embedding", nCentroids = 4, dir = dir)
+    // simulate the crash window: assignments committed, members not —
+    // write ONLY the assignment rows the real append would have written
+    val cent = spark.read.parquet(s"$dir/centroids").select("cid", "cv")
+    graft.functions.GraftFunctions.register(spark)
+    val asg = graft.ops.Similarity.prepared(batch, "vec_id", "embedding")
+      .select("vec_id", "v").crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.GraftFunctions.cosineSim(col("v"), col("cv")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid")))).as("bucket"))
+    asg.write.mode("append").parquet(s"$dir/assignments")
+    // the retry resumes: members get exactly the missing rows, and the
+    // probe equals a from-scratch build over the combined corpus
+    graft.ops.AnnIndex.append(batch, "vec_id", "embedding", dir)
+    val direct = Similarity.ivfTopK(base.unionByName(batch), "vec_id",
+      "embedding", nCentroids = 4, col("vec_id").between(38, 42), k = 3)
+    val probed = graft.ops.AnnIndex.probe(spark, dir,
+      col("vec_id").between(38, 42), k = 3)
+    assert(probed.except(direct).count() == 0 &&
+      direct.except(probed).count() == 0,
+      "a resumed append must converge to the complete index")
   }
 
   test("unigram LM score: exact rational of corpus counts, prose beats garble") {
