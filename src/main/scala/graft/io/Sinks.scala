@@ -64,6 +64,13 @@ object Sinks {
     // rewriteInPlace-crashed table first, or this would fork it and a
     // later rewrite would delete the stranded original
     graft.ops.Layout.restoreIfCrashed(spark, path)
+    // same hazard one level down for PARTITIONED tables maintained by
+    // compactPartitioned: a crash mid-swap strands a partition in its
+    // trash sibling with the directory absent, and a mode-append would
+    // recreate the dir with only this batch's rows — the next
+    // compaction's recovery would then delete the stranded originals
+    // as superseded (Compaction.repairPartitioned's contract)
+    graft.ops.Compaction.repairPartitioned(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) {
@@ -390,7 +397,15 @@ object Sinks {
     }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) repairPartitionedUpsert(spark, path)
+    if (fs.exists(root)) {
+      repairPartitionedUpsert(spark, path)
+      // the upsert repair covers only this protocol's own txn state;
+      // a table ALSO maintained by compactPartitioned can be stranded
+      // in ITS trash discipline (partition dir absent, data in
+      // .graft-compact-old) — the pruned read below would then miss
+      // the partition and the swap would bury the stranded originals
+      graft.ops.Compaction.repairPartitioned(spark, path)
+    }
     // existence via the table's OWN FileSystem (java.io.File answers
     // for local disk only — a non-local-FS table would take the
     // first-batch branch every time and lose its history)

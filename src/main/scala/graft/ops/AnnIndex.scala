@@ -88,6 +88,16 @@ object AnnIndex {
     Layout.restoreIfCrashed(spark, s"$dir/assignments")
     Compaction.repairPartitioned(spark, s"$dir/members")
     val all = Similarity.prepared(batch, idCol, vecCol).localCheckpoint(true)
+    // duplicate ids within the batch would collapse to one row in the
+    // assignment aggregate but fan back out in the asg.join(all)
+    // members write — duplicate member rows (a probe returns one
+    // neighbor at several ranks, exactly what the retry state machine
+    // below exists to prevent) and skewed nPrior/nBatch retry counts.
+    // Same countDistinct discipline as build's centroid seeding.
+    val nAll = all.count()
+    require(all.agg(countDistinct(col("vec_id"))).head().getLong(0) == nAll,
+      "append: batch contains duplicate vec_ids — dedupe the batch " +
+        "before indexing (duplicate member rows would corrupt probe ranks)")
     // RETRY state machine. A crashed-and-rerun ingest job must neither
     // duplicate rows (probe would return one neighbor at several
     // ranks) nor strand vectors half-indexed. The two writes commit in
@@ -106,7 +116,7 @@ object AnnIndex {
       .join(all.select("vec_id"), "vec_id").localCheckpoint(true)
     val nPrior = priorAsg.count()
     if (nPrior > 0) {
-      val nBatch = all.count()
+      val nBatch = nAll
       require(nPrior == nBatch,
         s"append: $nPrior of $nBatch batch vec_ids are already assigned — " +
           "a mix of new and indexed ids is neither a fresh batch nor a " +

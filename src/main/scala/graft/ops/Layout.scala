@@ -156,27 +156,41 @@ object Layout {
     // domain isn't known a priori; size `bits` from the domain
     // otherwise.
     if (assertFits) {
+      // per-COLUMN null accounting, not a fused least/greatest: Spark's
+      // least/greatest skip NULLs, so with one all-NULL column the
+      // fused aggregate passes on the other column's range while every
+      // zkey is still NULL (zKey of a NULL input) — the exact silent
+      // degradation this guard exists to refuse. count(cast) also
+      // catches PARTIAL nulls / non-castable values: any row whose
+      // either column casts to NULL gets a NULL zkey and silently
+      // falls out of the clustering.
       val r = df.agg(
-        least(min(col(colA).cast("long")), min(col(colB).cast("long"))).as("mn"),
-        greatest(max(col(colA).cast("long")), max(col(colB).cast("long"))).as("mx"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        count(col(colA).cast("long")).as("na"),
+        count(col(colB).cast("long")).as("nb"),
+        min(col(colA).cast("long")).as("mna"),
+        min(col(colB).cast("long")).as("mnb"),
+        max(col(colA).cast("long")).as("mxa"),
+        max(col(colB).cast("long")).as("mxb"))
         .head()
-      // NULL aggregates over a NON-empty input mean the columns are all
-      // NULL or not castable to long — every zkey would be NULL and the
-      // clustering silently void; that is a refusal, not a pass
-      require(r.getLong(2) == 0L || !r.isNullAt(1),
-        s"writeZOrdered: $colA/$colB aggregate to NULL on a non-empty " +
-          "input (all-NULL or non-numeric columns) — no Z-key can be built")
+      val n = r.getLong(0)
       // empty input: nothing can alias, nothing to refuse
-      if (!r.isNullAt(1)) {
+      if (n > 0L) {
+        require(r.getLong(1) == n && r.getLong(2) == n,
+          s"writeZOrdered: $colA has ${n - r.getLong(1)} and $colB has " +
+            s"${n - r.getLong(2)} NULL/non-castable values of $n rows — " +
+            "those rows' zkeys would be NULL and silently fall out of " +
+            "the 2-D clustering")
+        val mn = math.min(r.getLong(3), r.getLong(4))
+        val mx = math.max(r.getLong(5), r.getLong(6))
         // zKey requires NON-NEGATIVE inputs: a negative value's two's-
         // complement low bits alias a large positive key, the exact
         // silent degradation this guard exists to make loud
-        require(r.getLong(0) >= 0,
-          s"writeZOrdered: min($colA,$colB)=${r.getLong(0)} is negative — " +
+        require(mn >= 0,
+          s"writeZOrdered: min($colA,$colB)=$mn is negative — " +
             "zKey truncation aliases negative values onto large keys")
-        require(r.getLong(1) < (1L << bits),
-          s"writeZOrdered: max($colA,$colB)=${r.getLong(1)} needs more than " +
+        require(mx < (1L << bits),
+          s"writeZOrdered: max($colA,$colB)=$mx needs more than " +
             s"$bits bits — keys would alias and 2-D clustering would " +
             "silently degrade")
       }

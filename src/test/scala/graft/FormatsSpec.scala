@@ -135,4 +135,22 @@ class FormatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sinks.appendEvolved(spark, v2, flat, Seq("date")))
   }
+
+  test("appendEvolved restores a compact-stranded partition before appending") {
+    val dir = Files.createTempDirectory("graft_evolve_strand").toString + "/t"
+    val v1 = Seq((1L, 15.5, "2023-11-01"), (2L, 20.0, "2023-11-02"))
+      .toDF("id", "temp", "date")
+    Sinks.appendEvolved(spark, v1, dir, Seq("date"))
+    // compactPartitioned's crash window: partition renamed to trash,
+    // temp never promoted. A bare mode-append would recreate the dir
+    // with only the new rows and the next compaction's recovery would
+    // delete the stranded original as superseded — silent data loss.
+    val f = new java.io.File(s"$dir/date=2023-11-01")
+    assert(f.renameTo(new java.io.File(s"$dir/.date=2023-11-01.graft-compact-old")))
+    val v2 = Seq((3L, 30.0, "2023-11-01")).toDF("id", "temp", "date")
+    Sinks.appendEvolved(spark, v2, dir, Seq("date"))
+    val back = Sinks.readEvolved(spark, dir)
+    assert(back.count() == 3, "the stranded partition's rows must survive")
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }

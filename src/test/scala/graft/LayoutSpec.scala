@@ -100,6 +100,22 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.writeZOrdered(
       strings, Files.createTempDirectory("layout_z_null").toString,
       nFiles = 1, colA = "a", colB = "b", bits = 16, assertFits = true))
+    // ONE all-NULL column with the other in range: least/greatest skip
+    // NULLs, so a fused aggregate would pass on the healthy column's
+    // range while every zkey is still NULL — the per-column guard
+    // refuses it
+    val oneNull = Seq((1L, 1), (2L, 2)).toDF("a", "id")
+      .withColumn("b", lit(null).cast("long"))
+    intercept[IllegalArgumentException](Layout.writeZOrdered(
+      oneNull, Files.createTempDirectory("layout_z_onenull").toString,
+      nFiles = 1, colA = "a", colB = "b", bits = 16, assertFits = true))
+    // PARTIAL nulls: those rows' zkeys would be NULL and silently fall
+    // out of the clustering — refused, not averaged away
+    val partial = Seq((Some(1L), Some(2L), 1), (Some(3L), None, 2))
+      .toDF("a", "b", "id")
+    intercept[IllegalArgumentException](Layout.writeZOrdered(
+      partial, Files.createTempDirectory("layout_z_partial").toString,
+      nFiles = 1, colA = "a", colB = "b", bits = 16, assertFits = true))
   }
 
   test("writeShuffled: reproducible global order, disjoint files, seed re-deals") {

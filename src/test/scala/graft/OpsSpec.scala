@@ -578,6 +578,13 @@ class OpsSpec extends SparkSpec {
     val mixed = mk(55 until 65)   // 55-59 indexed, 60-64 new
     intercept[IllegalArgumentException](
       graft.ops.AnnIndex.append(mixed, "vec_id", "embedding", dir))
+    // duplicate ids WITHIN a batch collapse in the assignment aggregate
+    // but fan back out in the members join — duplicate member rows and
+    // skewed retry counts; refused up front
+    val dup = mk(70 until 75).unionByName(mk(70 until 71))
+    val e = intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.append(dup, "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("AnnIndex.append resumes a crash between the two index writes") {

@@ -194,4 +194,28 @@ class SinksSpec extends SparkSpec {
     Sinks.upsertPartitioned(spark, batch, dir, keys, "date")
     assert(temps() == Map("London" -> -1.0, "Tokyo" -> 30.0))
   }
+
+  test("partitioned upsert restores a compact-stranded partition before merging") {
+    val dir = Files.createTempDirectory("graft_compactstrand").toString + "/t"
+    val base = Seq(
+      ("London", "GB", 1L, 15.5, "2023-11-01"),
+      ("Tokyo", "JP", 1L, 22.3, "2023-11-02")
+    ).toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, base, dir, keys, "date")
+    // compactPartitioned's crash window: the partition renamed to its
+    // trash sibling, the compacted temp never promoted — the partition
+    // dir is ABSENT with its data stranded in hidden trash. The upsert's
+    // own txn repair does not know this discipline; without the
+    // compaction repair the pruned read would see an empty partition,
+    // the swap would write only the batch, and the next compaction's
+    // recovery would delete the stranded original as superseded.
+    val f = new java.io.File(s"$dir/date=2023-11-01")
+    assert(f.renameTo(new java.io.File(s"$dir/.date=2023-11-01.graft-compact-old")))
+    val batch = Seq(("Cairo", "EG", 1L, 30.0, "2023-11-01"))
+      .toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, batch, dir, keys, "date")
+    val cities = spark.read.parquet(dir).select("city").as[String].collect().sorted
+    assert(cities.toSeq == Seq("Cairo", "London", "Tokyo"),
+      "the stranded partition's rows must survive an upsert into it")
+  }
 }
