@@ -159,19 +159,92 @@ object Similarity {
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int): DataFrame = {
-    val spark = emb.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    val cs = graft.functions.GraftFunctions.cosineSim _
     val all = prepared(emb, idCol, vecCol).select("vec_id", "v")
     val cent = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    all.crossJoin(broadcast(cent))
+    assignTo(all, cent)
+  }
+
+  /** Nearest-centroid assignment of a (vec_id, v) relation against an
+    * arbitrary broadcast-sized centroid relation (cid, cv) — the
+    * shared aggregate under [[ivfAssign]] (seed centroids),
+    * [[trainedCentroids]]' refinement loop, and
+    * [[AnnIndex]]'s stored-model assignment: every (vector, centroid)
+    * pair is scored map-side against the broadcast centroids,
+    * projected to (vec_id, cid, ccos) BEFORE aggregating, and the
+    * winner picked with max_by over (ccos, -cid) — identical to a
+    * (ccos DESC, cid ASC) row_number but with map-side partial
+    * aggregation and a narrow (long, long, double) exchange.
+    * Returns (vec_id, bucket).
+    */
+  def assignTo(all: DataFrame, cent: DataFrame): DataFrame = {
+    val spark = all.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cs = graft.functions.GraftFunctions.cosineSim _
+    all.crossJoin(broadcast(cent.select("cid", "cv")))
       .select(col("vec_id"), col("cid"),
         cs(col("v"), col("cv")).as("ccos"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
         .as("bucket"))
   }
+
+  /** IVF centroids after `steps` quantized Lloyd refinements of the
+    * deterministic seed (the nCentroids lowest-id vectors) — the
+    * trained model [[ivfTopK]] and [[AnnIndex.build]] bucket with.
+    * Each step reassigns the corpus to the current centroids
+    * ([[assignTo]]) and recomputes every centroid as the
+    * PER-DIMENSION MEAN OF ITS MEMBERS' int8-QUANTIZED values
+    * ([[quantizeInt8]]): the sums are exact BIGINTs — no float
+    * accumulation-order drift between engines or partitionings — and
+    * the mean is one exact IEEE division, so the whole training run
+    * is bit-reproducible and each step mirrors as one oracle CTE
+    * pair. Cosine against a centroid is scale-free per side, so the
+    * quantized-space mean serves directly as the centroid vector.
+    *
+    * A centroid whose bucket empties drops out of the model (its
+    * vectors re-home deterministically next assignment) — same
+    * behavior both engines. Each refined centroid set is collected to
+    * the driver (bounded: nCentroids × dims doubles) and re-broadcast
+    * as a literal, so step t+1's plan never re-executes step t's
+    * aggregation. Cost: steps + 1 corpus scans — the one-time build
+    * pass an IVF index amortizes over every later probe.
+    * Returns (cid, cv, cnrm).
+    */
+  def trainedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                       nCentroids: Int, steps: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = prepared(emb, idCol, vecCol).select("vec_id", "v")
+    val q = quantizeInt8(emb, idCol, vecCol).select("vec_id", "q")
+    var cent = all.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to steps) {
+      val next = q.join(assignTo(all, cent), "vec_id")
+        .select(col("bucket").as("cid"),
+          posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("cid"), col("dim"),
+          (col("s").cast("double") / col("cnt").cast("double")).as("c"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          d => d.getField("c")).as("cv"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      cent = next.toIndexedSeq.toDF("cid", "cv")
+    }
+    cent.withColumn("cnrm", norm(col("cv")))
+  }
+
+  /** [[ivfAssign]] with `steps` Lloyd refinements of the seed
+    * centroids first ([[trainedCentroids]]). steps = 0 is exactly
+    * [[ivfAssign]]. Returns (vec_id, bucket).
+    */
+  def ivfAssignTrained(emb: DataFrame, idCol: String, vecCol: String,
+                       nCentroids: Int, steps: Int): DataFrame =
+    assignTo(prepared(emb, idCol, vecCol).select("vec_id", "v"),
+      trainedCentroids(emb, idCol, vecCol, nCentroids, steps))
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nCentroids: Int, probePred: Column, k: Int,
@@ -268,6 +341,38 @@ object Similarity {
     * near-linear on the same corpus. Recover recall by raising
     * nPlanes and nBands together, never by coarsening the key.
     */
+  /** Band-key bits sized for the corpus — the SCALING.md §3 rule as
+    * code instead of scaladoc: expected bucket population is
+    * n / 2^bits, so holding the per-vector-per-band candidate budget
+    * at 2^budgetBits needs bits ≥ ⌈log₂ n⌉ − budgetBits. The floor
+    * keeps small corpora at the measured-near-linear 8-bit setting
+    * (coarser keys are a recall tune, never a scale tune — recover
+    * recall by raising nPlanes and nBands together).
+    */
+  def autoBandBits(n: Long, budgetBits: Int = 7, minBits: Int = 8): Int = {
+    val ceilLog2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+    math.max(minBits, ceilLog2 - budgetBits)
+  }
+
+  /** [[lshPairs]] with the band-key width DERIVED from the corpus
+    * count via [[autoBandBits]] — the scale-safe default: a caller
+    * reaching for banded near-dup pairs gets buckets that track
+    * log₂ n instead of a fixed tune that turns quadratic past ~10⁴
+    * vectors (measured 20.6× wall at 10× data for 4-bit keys,
+    * SCALING.md §3). Costs one count() of the corpus — noise next to
+    * the band join it right-sizes. nPlanes = nBands × bits, so the
+    * hyperplane set grows with the corpus too (deterministic by
+    * (plane, dim) — a prefix of the larger set equals the smaller).
+    */
+  def lshPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                   nBands: Int = 2, threshold: Double = 0.35,
+                   dims: Int = 64, budgetBits: Int = 7): DataFrame = {
+    val bits = autoBandBits(emb.count(), budgetBits)
+    lshPairs(emb, idCol, vecCol, nPlanes = nBands * bits, nBands = nBands,
+      threshold = threshold, dims = dims)
+  }
+
   def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
                nPlanes: Int = 16, nBands: Int = 4,
                threshold: Double = 0.35, dims: Int = 64): DataFrame = {

@@ -172,22 +172,29 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.6)
         .select("doc_a", "doc_b").localCheckpoint(true))
 
-  /** Bands for the composed dedup's semantic edge: more, narrower
-    * bands (4×4 bits vs ann_lsh's 2×8) trade candidate volume for
-    * recall — the right default when the banding GATES which near-dups
-    * exist at all rather than merely pre-filtering an ANN re-rank.
-    * SCALE LABEL (SCALING.md §3): 4-bit band keys are a small-corpus
-    * recall tune — 16 buckets per band make candidates ~n²/512, 20.6×
-    * wall at 10× data; past ~10⁴ vectors size the key bits with
-    * log₂ n (raise nPlanes with the corpus).
+  /** Band count for the DEFAULT multi-signal semantic edge: 2 bands
+    * whose key width is derived from the corpus count
+    * ([[Similarity.autoBandBits]] — 8-bit floor, growing with
+    * log₂ n). At every gate scale the derived width is the 8-bit
+    * floor, so 2 bands × 8 bits = the 16 fixed oracle hyperplanes.
+    */
+  private val NBANDS_AUTO = 2
+
+  /** Bands for the RECALL-TUNED composed dedup: more, narrower bands
+    * (4×4 bits vs the default's 2×8) trade candidate volume for
+    * recall. SCALE LABEL (SCALING.md §3): 4-bit band keys are a
+    * small-corpus recall tune — 16 buckets per band make candidates
+    * ~n²/512, 20.6× wall at 10× data; the auto-banded default sizes
+    * key bits with log₂ n instead.
     */
   private val NBANDS_MS = 4
 
   /** The multi-signal dedup oracle, parameterized by the semantic
     * edge's band count (the hyperplanes are fixed — nBands only
     * decides how the 16 bits split into band keys). Shared by
-    * dedup_multi_signal (4×4-bit recall tune) and
-    * dedup_multi_signal_scaled (2×8-bit corpus-size tune).
+    * dedup_multi_signal (auto-banded default — 2×8 bits at gate
+    * scales) and dedup_multi_signal_recall_tune (4×4-bit small-corpus
+    * recall tune).
     */
   private def multiSignalSql(nBands: Int): String =
     s"""WITH RECURSIVE $cappedGramsCte,
@@ -949,36 +956,42 @@ object ExtensionQueries {
       * re-ranked by exact cosine ≥ 0.4). Components over the merged
       * edge set catch paraphrase clusters that either signal alone
       * splits — the production shape of corpus dedup. The semantic
-      * edge is sub-quadratic BY CONSTRUCTION: candidates come from
-      * equi-joins on (band, key), never an all-pairs cartesian, so the
-      * composition survives a 100-TB corpus. The banding is mirrored
-      * verbatim into the oracle SQL (same hyperplanes), so both
-      * engines gate the identical pair set. */
-    Q("dedup_multi_signal", multiSignalSql(NBANDS_MS)) { (s, dir) =>
+      * edge is sub-quadratic BY CONSTRUCTION twice over: candidates
+      * come from equi-joins on (band, key), never an all-pairs
+      * cartesian, AND the band-key width is derived from the corpus
+      * count ([[Similarity.autoBandBits]]: bits = max(8, ⌈log₂ n⌉ − 7)
+      * — SCALING.md §3's sizing rule as code), so bucket population
+      * stays bounded as the corpus grows instead of a fixed tune
+      * turning quadratic past ~10⁴ vectors. At the gate scales
+      * (500–20k vectors) the rule lands on the 8-bit floor ×
+      * NBANDS_AUTO bands = 16 planes — exactly the hyperplane set the
+      * static oracle mirrors; the derived width first exceeds 8 bits
+      * past 2^15 vectors. */
+    Q("dedup_multi_signal", multiSignalSql(NBANDS_AUTO)) { (s, dir) =>
       val lexical = trigramPairs(s, dir)
-      val semantic = Similarity.lshPairs(
+      val semantic = Similarity.lshPairsAuto(
           table(s, dir, "embeddings"), "vec_id", "embedding",
-          nPlanes = NPLANES, nBands = NBANDS_MS, threshold = 0.4)
+          nBands = NBANDS_AUTO, threshold = 0.4)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       graft.ops.Components.connectedComponents(
           lexical.unionByName(semantic), "doc_a", "doc_b")
         .orderBy("node")
     },
 
-    /** dedup_multi_signal_scaled — the SAME composed dedup with the
-      * semantic edge banded for corpus size instead of recall: 2 bands
-      * × 8-bit keys (ann_lsh's setting) keep bucket population n/256,
-      * so banded candidates stay near-linear where the 4-bit recall
-      * tune turns ~quadratic past ~10⁴ vectors (measured 20.6× wall at
-      * 10× data — SCALING.md §3). Narrower buckets trade some semantic
-      * recall (a candidate must agree on 8 consecutive bits), which is
-      * the documented sizing rule as a registered, oracle-mirrored
-      * row rather than a prose note. */
-    Q("dedup_multi_signal_scaled", multiSignalSql(2)) { (s, dir) =>
+    /** dedup_multi_signal_recall_tune — the SAME composed dedup with
+      * the semantic edge banded for small-corpus RECALL instead of
+      * scale: 4 bands × 4-bit keys find more cos ≥ 0.4 paraphrase
+      * pairs (a candidate only has to agree on 4 consecutive bits),
+      * at 16 buckets per band — candidates ~n²/512, measured 20.6×
+      * wall at 10× data (SCALING.md §3). Explicitly suffixed so the
+      * obvious key (dedup_multi_signal) carries the scale-safe
+      * auto-banded default and reaching for this one is a deliberate
+      * small-corpus choice. */
+    Q("dedup_multi_signal_recall_tune", multiSignalSql(NBANDS_MS)) { (s, dir) =>
       val lexical = trigramPairs(s, dir)
       val semantic = Similarity.lshPairs(
           table(s, dir, "embeddings"), "vec_id", "embedding",
-          nPlanes = NPLANES, nBands = 2, threshold = 0.4)
+          nPlanes = NPLANES, nBands = NBANDS_MS, threshold = 0.4)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       graft.ops.Components.connectedComponents(
           lexical.unionByName(semantic), "doc_a", "doc_b")

@@ -27,6 +27,39 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("autoBandBits: band-key bits track log₂ n with an 8-bit floor") {
+    // the floor: every gate scale stays at the measured-near-linear
+    // 8-bit keys (and thus at the fixed 16-plane oracle mirror)
+    assert(Similarity.autoBandBits(1L) == 8)
+    assert(Similarity.autoBandBits(500L) == 8)    // sf0.01 gate
+    assert(Similarity.autoBandBits(5000L) == 8)   // sf0.1 bench
+    assert(Similarity.autoBandBits(20000L) == 8)  // sf1 probe
+    assert(Similarity.autoBandBits(1L << 15) == 8)
+    // past the floor: bits = ⌈log₂ n⌉ − 7, so expected bucket
+    // population n / 2^bits never exceeds the 2^7 per-vector
+    // per-band candidate budget — the SCALING.md §3 rule
+    assert(Similarity.autoBandBits((1L << 15) + 1) == 9)
+    assert(Similarity.autoBandBits(1L << 20) == 13)
+    assert(Similarity.autoBandBits(1L << 30) == 23)
+    (10 to 40).foreach { e =>
+      val bits = Similarity.autoBandBits(1L << e)
+      assert((1L << e).toDouble / (1L << bits) <= 128.0,
+        s"candidate budget exceeded at n=2^$e: bits=$bits")
+    }
+    // at gate scale the auto call IS the explicit 2×8-bit call —
+    // same candidates, same re-ranked pairs
+    val emb = (0L until 50L)
+      .map(i => (i, Array.tabulate(64)(d => math.sin(i * 1.3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.lshPairsAuto(emb, "vec_id", "embedding",
+        nBands = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.lshPairs(emb, "vec_id", "embedding",
+        nPlanes = 16, nBands = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("df cap: boilerplate-gram corpus yields O(n) candidates, not O(n²)") {
     // every doc carries the same boilerplate trigram plus unique content —
     // the 100-TB scale-killer shape ("terms of service" in 10⁸ docs)

@@ -103,9 +103,9 @@ class PlansSpec extends SparkSpec {
     // the composed dedup routes cosine candidates through sign-LSH
     // banding (equi-joins on band keys) — an all-pairs cartesian here
     // never finishes on a 100-TB corpus
-    val semantic = graft.ops.Similarity.lshPairs(
+    val semantic = graft.ops.Similarity.lshPairsAuto(
       graft.io.Sources.table(spark, sf, "embeddings"), "vec_id", "embedding",
-      nPlanes = 16, nBands = 4, threshold = 0.4)
+      nBands = 2, threshold = 0.4)
     val p = semantic.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "semantic edge must not be all-pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), "semantic edge must be an equi-join")
