@@ -17,41 +17,49 @@ import org.apache.spark.sql.functions._
   *     vec_id ([[Layout.writeRangeSorted]]) so a probe-id predicate
   *     file-prunes instead of scanning every assignment;
   *   - `members/` — (vec_id, v, nrm) PARTITIONED BY bucket, so the
-  *     candidate fetch is directory-level partition pruning (Spark's
-  *     dynamic partition pruning turns the broadcast probed-bucket set
-  *     into a partition filter — no collect, no manual pruning);
-  *   - `centroids/` — (cid, cv, cnrm), the trained model, broadcast-
-  *     sized by construction (needed to bucket out-of-corpus queries;
-  *     in-corpus probes already know their bucket from `assignments`).
+  *     candidate fetch is directory-level partition pruning (the
+  *     probed-bucket set — bounded by the centroid count — becomes a
+  *     static IN filter on the partition column at plan time);
+  *   - `centroids/` — (cid, cv, cnrm), the trained model
+  *     ([[Similarity.trainedCentroids]]: seed + quantized Lloyd
+  *     steps, bit-reproducible), broadcast-sized by construction —
+  *     ranks each probe's nprobe nearest buckets and buckets
+  *     out-of-corpus queries and appended batches.
   *
   * Probe results are byte-identical to [[Similarity.ivfTopK]] on the
-  * same corpus/params — same deterministic centroid seed, same
-  * sequential-fold cosine — so the two share one DuckDB oracle.
+  * same corpus/params — same deterministic trained model, same
+  * multi-probe expansion, same sequential-fold cosine — so the two
+  * share one DuckDB oracle.
   */
 object AnnIndex {
 
-  /** Train + assign + lay out the index under `dir` (one corpus scan
-    * for assignment, one range shuffle + one partitioned write).
+  /** Train + assign + lay out the index under `dir`: the centroid
+    * model is the deterministic seed refined by `trainSteps`
+    * quantized Lloyd steps ([[Similarity.trainedCentroids]] — exact
+    * BIGINT sums, so the trained model is bit-reproducible; training
+    * balances bucket population, which is what keeps the bucket
+    * partitions hotspot-free at scale), then one corpus scan for
+    * assignment, one range shuffle + one partitioned write.
+    * trainedCentroids refuses a corpus smaller than nCentroids (an
+    * index with more centroids than vectors is a config error).
     */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-            nCentroids: Int, dir: String): Unit = {
+            nCentroids: Int, dir: String, trainSteps: Int = 2): Unit = {
     require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
     val spark = emb.sparkSession
     val all = Similarity.prepared(emb, idCol, vecCol)
-    val cent = all.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // an absent seed id would silently produce an empty, useless index
-    // (every probe would return 0 rows) — refuse loudly instead, the
-    // same precondition contract as pqTopK's codebook seeding. Count
-    // DISTINCT ids: duplicate seed ids must not mask a missing one
-    require(cent.agg(countDistinct(col("cid"))).head().getLong(0) == nCentroids,
-      s"centroid seeding needs vec ids 0..${nCentroids - 1} present in the corpus")
-    cent.write.mode("overwrite").parquet(s"$dir/centroids")
-    // the corpus-by-centroid assignment aggregate is the dominant build
-    // cost — materialize it ONCE (the assignments write) and derive the
-    // members layout from the written relation, so the two outputs are
-    // also guaranteed consistent with each other
-    val asg = Similarity.ivfAssign(emb, idCol, vecCol, nCentroids)
+    Similarity.trainedCentroids(emb, idCol, vecCol, nCentroids, trainSteps)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // assign against the STORED model (parquet round-trips doubles
+    // exactly), so the written assignments, a later append's
+    // assignments, and a probe's bucket ranking all read the one
+    // committed centroid relation. The corpus-by-centroid assignment
+    // aggregate is the dominant build cost — materialize it ONCE (the
+    // assignments write) and derive the members layout from the
+    // written relation, so the two outputs are also guaranteed
+    // consistent with each other
+    val asg = Similarity.assignTo(all.select("vec_id", "v"),
+      spark.read.parquet(s"$dir/centroids"))
     Layout.writeRangeSorted(asg, s"$dir/assignments", nFiles = 8, keyCol = "vec_id")
     spark.read.parquet(s"$dir/assignments").join(all, "vec_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/members")
@@ -141,16 +149,13 @@ object AnnIndex {
       return
     }
     val cent = spark.read.parquet(s"$dir/centroids").select("cid", "cv")
-    // same aggregate shape as ivfAssign: score map-side against the
-    // broadcast centroids, ids-only exchange, max_by winner
-    val asg = all.select("vec_id", "v").crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), cs(col("v"), col("cv")).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
-        .as("bucket"))
-      // one materialization feeds both writes: the assignment aggregate
-      // must not replan per sink, and the members write must never read
-      // assignments/ files mid-append
+    // the exact build-time assignment aggregate against the stored
+    // trained model — an appended vector lands in the same bucket a
+    // rebuild-with-these-centroids would give it.
+    // one materialization feeds both writes: the assignment aggregate
+    // must not replan per sink, and the members write must never read
+    // assignments/ files mid-append
+    val asg = Similarity.assignTo(all.select("vec_id", "v"), cent)
       .localCheckpoint(true)
     asg.sortWithinPartitions("vec_id")
       .write.mode("append").parquet(s"$dir/assignments")
@@ -182,12 +187,17 @@ object AnnIndex {
 
   /** Top-k cosine neighbors for the probe rows selected by
     * `probePred` (over vec_id), reading ONLY the index: probe lookup
-    * file-prunes the range-sorted assignments, the candidate fetch
-    * partition-prunes `members/` to probed buckets. Output schema and
-    * values match [[Similarity.ivfTopK]] exactly.
+    * file-prunes the range-sorted assignments, probe VECTORS come
+    * from the probes' own bucket partitions, and the candidate fetch
+    * statically partition-prunes `members/` to each probe's `nprobe`
+    * nearest buckets by cosine against the stored centroid model
+    * (rank 1 is always the probe's own bucket — assignment is argmax
+    * centroid cosine). Output schema and values match
+    * [[Similarity.ivfTopK]] exactly (same stored model, same
+    * multi-probe expansion).
     */
   def probe(spark: SparkSession, indexPath: String, probePred: Column,
-            k: Int, maxProbes: Long = 100000L): DataFrame = {
+            k: Int, maxProbes: Long = 100000L, nprobe: Int = 3): DataFrame = {
     // self-heal a crashed relayout before reading (driver-side listing
     // checks only; a stranded dir would otherwise fail the read)
     Layout.restoreIfCrashed(spark, s"$indexPath/assignments")
@@ -198,18 +208,44 @@ object AnnIndex {
     // assignment's LONG so the indexed and direct plans agree bit-wise
     val members = spark.read.parquet(s"$indexPath/members")
       .withColumn("bucket", col("bucket").cast("long"))
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+      .select("cid", "cv")
     val probeAsg = spark.read.parquet(s"$indexPath/assignments")
       .filter(probePred).localCheckpoint(true)
     val nProbes = probeAsg.count()
     require(nProbes <= maxProbes,
       s"probe: probePred selected $nProbes probes (> $maxProbes); " +
         "probes are broadcast, so the predicate must pick a small probe set")
-    val cand = members
-      .join(broadcast(probeAsg.select("bucket").distinct()), "bucket")
-    val probes = cand
+    // bucket lists are collected and pruned STATICALLY (an IN filter
+    // on the partition column, visible in the scan's PartitionFilters
+    // at plan time): distinct buckets are bounded by the centroid
+    // count — the model is broadcast-sized by construction — so the
+    // collect is bounded, and unlike dynamic pruning the pruning can
+    // never silently degrade to a full members scan when a heuristic
+    // declines (the probe relations are checkpointed RDDs, which
+    // Spark's DPP rule does not treat as a selective filter side)
+    val probeBuckets = probeAsg.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val probes = members
+      .filter(col("bucket").isin(probeBuckets: _*))
       .join(broadcast(probeAsg.select("vec_id")), "vec_id")
-      .select(col("vec_id").as("q_id"), col("bucket"), col("v").as("qv"))
-    val scored = cand.join(broadcast(probes), "bucket")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    // materialized eagerly: qb (probe-bounded) feeds both the probed-
+    // bucket pruning and the scoring join — without the barrier the
+    // centroid-ranking window would replan into each branch
+    val qb = probes.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("cid"),
+        cs(col("qv"), col("cv")).as("ccos"))
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cid").as("bucket"), col("qv"))
+      .localCheckpoint(true)
+    val candBuckets = qb.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = members.filter(col("bucket").isin(candBuckets: _*))
+    val scored = cand.join(broadcast(qb), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cs(col("qv"), col("v")))
     val wTop = Window.partitionBy(col("q_id"))

@@ -27,6 +27,23 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("banded jaccard: subset of exact relation, jaccard values exact, dup pair found") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val banded = Dedup.bandedJaccardPairs(docs, "doc_id", "text",
+        n = 3, k = 32, bandSize = 4, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every banded pair IS an exact pair with the identical jaccard —
+    // banding only filters candidates, the verification is exact
+    banded.foreach { case (k, j) =>
+      assert(exact.contains(k) && exact(k) == j,
+        s"banded pair $k -> $j not in/≠ exact relation") }
+    // the exact-dup pair collides in every band — always found
+    assert(banded((1L, 2L)) == 1.0)
+    // unrelated docs never pass exact verification
+    assert(!banded.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("autoBandBits: band-key bits track log₂ n with an 8-bit floor") {
     // the floor: every gate scale stays at the measured-near-linear
     // 8-bit keys (and thus at the fixed 16-plane oracle mirror)
@@ -526,13 +543,47 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ops.AnnIndex.probe(spark, dir, lit(true), k = 3, maxProbes = 5)
         .count())
-    // a corpus missing the seed ids would build an empty, useless
-    // index — build refuses instead
+    // seeding takes the lowest-id vectors present — an arbitrary id
+    // space builds fine (no dense 0..k-1 requirement) ...
     val shifted = emb.withColumn("vec_id", col("vec_id") + 1000L)
+    val shiftedDir = java.nio.file.Files
+      .createTempDirectory("ann_idx_shift").toString
+    graft.ops.AnnIndex.build(shifted, "vec_id", "embedding",
+      nCentroids = 4, dir = shiftedDir)
+    assert(graft.ops.AnnIndex.probe(spark, shiftedDir,
+      col("vec_id").between(1020, 1024), k = 3).count() > 0)
+    // ... but a corpus SMALLER than nCentroids is a config error —
+    // refused loudly instead of a silently-tiny model
     intercept[IllegalArgumentException](
-      graft.ops.AnnIndex.build(shifted, "vec_id", "embedding",
-        nCentroids = 4, dir = java.nio.file.Files
+      graft.ops.AnnIndex.build(emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", nCentroids = 4, dir = java.nio.file.Files
           .createTempDirectory("ann_idx_bad").toString))
+  }
+
+  test("ivfadc: all-buckets probe equals pqTopK exactly; nprobe bounds candidate buckets") {
+    val emb = (0L until 60L)
+      .map(i => (i, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probe = col("vec_id").between(20, 24)
+    // with EVERY bucket probed the IVF restriction is a no-op, so the
+    // composed ADC ranking must reproduce pqTopK bit for bit — pins
+    // that composing never perturbs the scoring half
+    val allBuckets = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        nCentroids = 4, probe, k = 3, m = 2, ksub = 16, dims = 6, nprobe = 4)
+      .select("q_id", "neighbor_id", "adc_dot", "rank")
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", probe, k = 3,
+      m = 2, ksub = 16, dims = 6)
+    assert(allBuckets.count() == pq.count())
+    assert(allBuckets.except(pq).count() == 0 && pq.except(allBuckets).count() == 0,
+      "all-buckets ivfadc must equal pqTopK exactly")
+    // with nprobe = 1 every probe's candidates come from exactly one
+    // bucket — the IVF restriction is real
+    val one = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      nCentroids = 4, probe, k = 3, m = 2, ksub = 16, dims = 6, nprobe = 1)
+    val bucketsPerProbe = one.groupBy("q_id")
+      .agg(countDistinct(col("bucket")).as("nb"))
+      .agg(max(col("nb"))).head().getLong(0)
+    assert(bucketsPerProbe == 1L, "nprobe=1 must restrict to one bucket per probe")
   }
 
   test("AnnIndex.append: no rebuild, only appended buckets written, probe exact") {
@@ -571,10 +622,13 @@ class OpsSpec extends SparkSpec {
         s"appended bucket $b gained no files"))
 
     // probing the appended index is byte-identical to the direct
-    // computation over the COMBINED corpus (probe ids include appended
-    // vectors: 29 % 10 = 9 came in via append)
+    // computation over the COMBINED corpus with the model TRAINED ON
+    // THE BASE — appended vectors serve from the stored centroids
+    // (probe ids include appended vectors: 29 % 10 = 9 came in via
+    // append)
     val direct = Similarity.ivfTopK(full, "vec_id", "embedding",
-      nCentroids = 4, col("vec_id").between(25, 30), k = 3)
+      nCentroids = 4, col("vec_id").between(25, 30), k = 3,
+      trainOn = base)
     val probed = graft.ops.AnnIndex.probe(spark, dir,
       col("vec_id").between(25, 30), k = 3)
     assert(direct.count() == probed.count())
@@ -643,7 +697,8 @@ class OpsSpec extends SparkSpec {
     // probe equals a from-scratch build over the combined corpus
     graft.ops.AnnIndex.append(batch, "vec_id", "embedding", dir)
     val direct = Similarity.ivfTopK(base.unionByName(batch), "vec_id",
-      "embedding", nCentroids = 4, col("vec_id").between(38, 42), k = 3)
+      "embedding", nCentroids = 4, col("vec_id").between(38, 42), k = 3,
+      trainOn = base)
     val probed = graft.ops.AnnIndex.probe(spark, dir,
       col("vec_id").between(38, 42), k = 3)
     assert(probed.except(direct).count() == 0 &&

@@ -216,7 +216,7 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("ann_ivf_indexed: probes read only the index, members partition-pruned dynamically") {
+  test("ann_ivf_indexed: probes read only the index, members partition-pruned statically") {
     val embDir = java.nio.file.Files
       .createTempDirectory("graft_plan_emb").toString
     val idxDir = java.nio.file.Files
@@ -235,10 +235,21 @@ class PlansSpec extends SparkSpec {
       "expected the index tables in the scan set")
     assert(!p.contains(new java.io.File(embDir).getName),
       "the embeddings corpus must NOT be scanned by the indexed probe")
-    // the candidate fetch is directory-level dynamic partition pruning
-    // on the probed buckets, not a full members scan
-    assert(p.contains("dynamicpruning"),
-      s"expected dynamic partition pruning on members:\n$p")
+    // the candidate fetch is directory-level STATIC partition pruning:
+    // the probed-bucket set (bounded by the centroid count) becomes an
+    // IN filter on the partition column at plan time — unlike DPP, it
+    // can never silently decline into a full members scan
+    assert(p.contains("bucket#") &&
+        (p.contains(" IN (") || p.contains(" INSET ") || p.contains(" = ")),
+      s"expected a static bucket partition filter on members:\n$p")
+    // and the pruning really reaches the scan: every members scan (the
+    // ones with a bucket partition filter section) prunes beyond
+    // isnotnull
+    val scanFilters = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
+      .findAllIn(p).toSeq
+    assert(scanFilters.nonEmpty && scanFilters.forall(f =>
+        f.contains("IN") || f.contains("=")),
+      s"every members scan must carry a bucket-pruning partition filter:\n$p")
   }
 
   test("text_bpe_pairs: map-side partial counts, top-k without a global sort") {
