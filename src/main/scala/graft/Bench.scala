@@ -86,6 +86,22 @@ object Bench {
       * not a number to trust silently).
       */
     def inflated(ratio: Option[Double]): Boolean = ratio.exists(_ > 1.25)
+    /** The fixed-floor families: streaming-engine rows (RocksDB state
+      * + AvailableNow micro-batch startup — scales with state, not
+      * corpus) and sink/write-protocol rows (JDBC round trips, staged
+      * swaps — bounded by the protocol they demonstrate). Their sum is
+      * emitted as `fixed_floor_seconds` so round-over-round totals
+      * separate floor growth (new protocol rows) from compute growth
+      * (a query getting slower).
+      */
+    def isFixedFloor(name: String): Boolean =
+      name.startsWith("stream_") || name.startsWith("sink_")
+    /** Sum of successful fixed-floor query times (errors excluded —
+      * they are already surfaced in `errors`, a -1 must not deflate
+      * the floor).
+      */
+    def fixedFloorSeconds(times: Map[String, Double]): Double =
+      times.collect { case (k, v) if isFixedFloor(k) && v >= 0 => v }.sum
   }
 
   /** Extract the per-query seconds map out of a bench artifact line
@@ -218,9 +234,10 @@ object Bench {
       s""""retry_times":$retryTimes,""" +
       s""""baseline_common_ratio":${ratio.map(_.toString).getOrElse("null")},""" +
       s""""gc_ms":${gcMs1 - gcMs0},"gc_count":${gcN1 - gcN0}}"""
+    val fixedFloor = Guards.fixedFloorSeconds(curTimes)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,""" +
-        s""""inflated":$inflated,""" +
+        s""""inflated":$inflated,"fixed_floor_seconds":$fixedFloor,""" +
         s""""queries":$qs,"errors":$errors,"sf":"$sfDir",$env}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")

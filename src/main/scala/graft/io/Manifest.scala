@@ -1,0 +1,244 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned file manifests — snapshot-isolated READS for the
+  * rename-swap write family ([[Sinks.upsertPartitioned]],
+  * [[graft.ops.Compaction.compactPartitioned]],
+  * [[graft.ops.Layout.rewriteInPlace]] and the index relayouts built
+  * on it).
+  *
+  * The swap protocols made WRITERS crash-atomic (stage → txn marker →
+  * rename swap, roll-forward repair), but a reader listing directories
+  * mid-swap could still observe a partition directory vanished between
+  * the two renames — plain parquet has no snapshot isolation. This
+  * closes that hole the way production table formats do, with a
+  * version-pointer read path:
+  *
+  *  - every completed swap-family write COMMITS a manifest: the
+  *    root-relative list of the table's data files (+ lengths), written
+  *    to `_graft_manifest/v{N}.list` via write-tmp-then-RENAME — one
+  *    atomic metadata op is the commit point, so a reader listing the
+  *    manifest dir sees version N fully or not at all;
+  *  - readers resolve a COMMITTED file list ([[read]]/[[readVersion]])
+  *    instead of listing data directories: the files named by the
+  *    resolved manifest are located at their committed paths or — the
+  *    mid-swap window — in the swap's deterministic hidden trash
+  *    sibling (`.{dir}.graft-{upsert,compact}-old` beside a partition,
+  *    `.{table}.graft-relayout-old` beside the table root). The swap
+  *    family RETAINS those trash siblings until the next maintenance
+  *    pass (its repair/recovery sweeps them), so the previous snapshot
+  *    stays readable through the entire swap, not just between the two
+  *    renames;
+  *  - a manifest whose files were vacuumed (retention has passed) is
+  *    refused LOUDLY with the version that no longer resolves — a
+  *    stale reader gets an error naming the fix (re-resolve latest),
+  *    never a silently partial table.
+  *
+  * Scale: commit cost is one recursive driver-side listing (the same
+  * metadata walk compaction already does) + one small file write;
+  * resolution cost is one `listStatus` per manifest directory-group
+  * (batched — never a per-file RPC). The manifest itself stays small:
+  * file COUNT, not bytes, and a compacted 100-TB table is sized by
+  * `targetBytes` precisely so that count stays low. Manifests older
+  * than [[KeepVersions]] commits are vacuumed with the same rename-is-
+  * commit discipline. Single writer per table assumed, as everywhere
+  * in this family.
+  *
+  * Partition columns: the common (all-live) case reads through Spark's
+  * normal partition discovery (`basePath` + explicit file paths), so
+  * types and values are identical to a plain directory read. Files
+  * resolved through a trash sibling lose that discovery (hidden dirs
+  * do not parse as `col=value`), so their partition values are
+  * re-attached from the manifest's relative path and CAST to the
+  * live side's discovered types — when every partition of the snapshot
+  * is mid-swap at once (no live side), they surface as strings.
+  */
+object Manifest {
+
+  val DirName = "_graft_manifest"
+
+  /** Committed snapshots retained; older manifests are vacuumed at
+    * commit. Retention of the superseded DATA files is governed by the
+    * writers' trash sweep (next maintenance pass), not by this count.
+    */
+  val KeepVersions = 10
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nameOf(v: Long) = f"v$v%012d.list"
+  private val NameRe = "^v(\\d{12})\\.list$".r
+
+  /** The manifest directory, resolved live or — the window inside a
+    * [[graft.ops.Layout.rewriteInPlace]] swap where the whole root
+    * (history included) sits in the relayout trash — from the trash
+    * sibling. None when neither exists.
+    */
+  private def resolveManifestDir(fs: FileSystem, root: Path): Option[Path] = {
+    val live = new Path(root, DirName)
+    if (fs.exists(live)) Some(live)
+    else {
+      val inTrash = new Path(
+        new Path(root.getParent, s".${root.getName}.graft-relayout-old"),
+        DirName)
+      if (fs.exists(inTrash)) Some(inTrash) else None
+    }
+  }
+
+  /** Committed versions, ascending (empty when no manifest yet). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    resolveManifestDir(fs, root).map { md =>
+      fs.listStatus(md).toSeq.flatMap(s => s.getPath.getName match {
+        case NameRe(d) => Some(d.toLong)
+        case _ => None
+      }).sorted
+    }.getOrElse(Seq.empty)
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  /** Root-relative (dir, name, len) of every VISIBLE data file —
+    * dot/underscore names (trash, stage, markers, the manifest dir
+    * itself, _SUCCESS) are excluded at every level.
+    */
+  private def dataFiles(fs: FileSystem, root: Path): Seq[(String, String, Long)] = {
+    val rootUri = fs.makeQualified(root).toUri
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    def walk(dir: Path): Seq[(String, String, Long)] =
+      fs.listStatus(dir).toSeq.filter(s => visible(s.getPath.getName))
+        .flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else {
+            val rel = rootUri
+              .relativize(fs.makeQualified(s.getPath.getParent).toUri)
+              .getPath.stripSuffix("/")
+            Seq((rel, s.getPath.getName, s.getLen))
+          }
+        }
+    walk(root)
+  }
+
+  /** Snapshot the table's CURRENT committed file set as version
+    * latest+1. Called by the swap-family writers after their mutation
+    * completes; callable standalone to checkpoint a table mutated by
+    * plain appends. Returns the committed version.
+    */
+  def commit(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    require(fs.exists(root), s"Manifest.commit: no table at $path")
+    val md = new Path(root, DirName)
+    fs.mkdirs(md)
+    val v = latestVersion(spark, path).getOrElse(0L) + 1
+    val body = dataFiles(fs, root)
+      .sortBy { case (d, n, _) => (d, n) }
+      .map { case (d, n, l) => s"$l\t${if (d.isEmpty) n else s"$d/$n"}" }
+      .mkString("\n")
+    val tmp = new Path(md, nameOf(v) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(md, nameOf(v))),
+      s"Manifest.commit: rename to ${nameOf(v)} failed")
+    versions(spark, path).dropRight(KeepVersions)
+      .foreach(old => fs.delete(new Path(md, nameOf(old)), false))
+    v
+  }
+
+  /** The latest committed snapshot as a DataFrame. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"Manifest.read: no committed manifest under $path — run a " +
+          "swap-family write or Manifest.commit first"))
+    readVersion(spark, path, v)
+  }
+
+  /** Snapshot `version` as a DataFrame: exactly the manifest's files,
+    * resolved at their committed paths or in the swap family's hidden
+    * trash siblings (the mid-swap / retained-previous-version window).
+    * Throws IllegalStateException when a listed file is found nowhere
+    * (or with a different length) — the snapshot has been vacuumed.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val mf = resolveManifestDir(fs, root).map(new Path(_, nameOf(version)))
+      .filter(fs.exists)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Manifest.readVersion: no manifest v$version under $path"))
+    val in = fs.open(mf)
+    val entries = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map { line =>
+        val Array(len, rel) = line.split("\t", 2)
+        val i = rel.lastIndexOf('/')
+        (if (i < 0) "" else rel.substring(0, i),
+          if (i < 0) rel else rel.substring(i + 1), len.toLong)
+      }.toList finally in.close()
+    if (entries.isEmpty)
+      throw new IllegalStateException(
+        s"Manifest.readVersion: snapshot v$version of $path is empty")
+
+    // one listing per (relDir, candidate location): batched metadata
+    // calls, never a per-file exists() RPC
+    def listing(dir: Path): Map[String, Long] =
+      try fs.listStatus(dir).filter(_.isFile)
+        .map(s => s.getPath.getName -> s.getLen).toMap
+      catch { case _: java.io.FileNotFoundException => Map.empty }
+
+    val rootTrash = new Path(root.getParent,
+      s".${root.getName}.graft-relayout-old")
+    val live = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val fallback =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[Path]]
+    entries.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (relDir, group) =>
+      val liveDir = if (relDir.isEmpty) root else new Path(root, relDir)
+      val liveLs = listing(liveDir)
+      // trash candidates for this directory-group, lazily listed once
+      val leafName = relDir.split('/').last
+      val leafParent = liveDir.getParent
+      lazy val trashDirs = (
+        (if (relDir.isEmpty) Seq.empty[Path]
+         else Seq(new Path(leafParent, s".$leafName.graft-upsert-old"),
+           new Path(leafParent, s".$leafName.graft-compact-old"))) :+
+          (if (relDir.isEmpty) rootTrash else new Path(rootTrash, relDir))
+        ).map(d => d -> listing(d))
+      group.foreach { case (_, name, len) =>
+        if (liveLs.get(name).contains(len)) live += new Path(liveDir, name)
+        else trashDirs.find(_._2.get(name).contains(len)) match {
+          case Some((d, _)) =>
+            fallback(relDir) = fallback.getOrElse(relDir, Vector.empty) :+
+              new Path(d, name)
+          case None => throw new IllegalStateException(
+            s"Manifest.readVersion: snapshot v$version of $path is no " +
+              s"longer readable — '$relDir/$name' was vacuumed by a later " +
+              "maintenance pass; re-resolve the latest version")
+        }
+      }
+    }
+
+    val liveDf = if (live.isEmpty) None
+      else Some(spark.read.option("basePath", root.toString)
+        .parquet(live.map(_.toString).toSeq: _*))
+    val partType = (c: String) => liveDf
+      .flatMap(df => df.schema.fields.find(_.name == c).map(_.dataType))
+    val trashDfs = fallback.toSeq.map { case (relDir, paths) =>
+      val base = spark.read.parquet(paths.map(_.toString): _*)
+      // re-attach partition values from the manifest's relative path
+      // (hidden trash dirs do not parse as col=value); Hive-escaped
+      // values are URL-decoded, the Hive null sentinel maps to NULL
+      relDir.split('/').filter(_.nonEmpty).foldLeft(base) { (df, seg) =>
+        val Array(k, raw) = seg.split("=", 2)
+        val v = java.net.URLDecoder.decode(raw, "UTF-8")
+        val lit0 = if (v == "__HIVE_DEFAULT_PARTITION__") lit(null) else lit(v)
+        df.withColumn(k, partType(k).map(lit0.cast).getOrElse(lit0))
+      }
+    }
+    (liveDf.toSeq ++ trashDfs).reduce(_.unionByName(_))
+  }
+}

@@ -435,6 +435,7 @@ object Sinks {
       partitioned(upsert(updates.limit(0), updates, keys, updatePriority))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(path)
+      Manifest.commit(spark, path)
     } else {
       val touched = updates.select(col(partitionCol)).distinct()
         .collect().map(_.get(0))
@@ -475,9 +476,14 @@ object Sinks {
       try out.write(staged.mkString("\n").getBytes("UTF-8")) finally out.close()
       require(fs.rename(markerTmp, marker),
         s"upsertPartitioned: txn marker commit $markerTmp -> $marker failed")
-      staged.foreach(swapStagedPartition(fs, root, stage, _))
+      // retainTrash: the superseded partition contents stay in their
+      // hidden trash siblings until the next upsert's repair pass, so
+      // a Manifest reader pinned to the pre-merge snapshot survives
+      // the whole swap (snapshot isolation with one-version retention)
+      staged.foreach(swapStagedPartition(fs, root, stage, _, retainTrash = true))
       fs.delete(stage, true)
       fs.delete(marker, false)
+      Manifest.commit(spark, path)
     }
   }
 
@@ -486,14 +492,19 @@ object Sinks {
   private val UpsertTrashSuffix = ".graft-upsert-old"
 
   /** Swap one staged partition into place: old → hidden trash sibling,
-    * staged → partition, trash deleted. Idempotent given a complete
-    * stage: every step checks what already happened, so recovery can
-    * re-drive it from any crash point.
+    * staged → partition. Idempotent given a complete stage: every step
+    * checks what already happened, so recovery can re-drive it from
+    * any crash point. A COMPLETED write retains the trash sibling
+    * (`retainTrash`) so [[Manifest]] readers pinned to the previous
+    * snapshot stay consistent through and after the swap — the next
+    * upsert's repair sweeps it; crash-recovery re-drives delete it
+    * immediately (recovery is already a maintenance pass).
     */
   private def swapStagedPartition(fs: org.apache.hadoop.fs.FileSystem,
                                   root: org.apache.hadoop.fs.Path,
                                   stage: org.apache.hadoop.fs.Path,
-                                  name: String): Unit = {
+                                  name: String,
+                                  retainTrash: Boolean = false): Unit = {
     val part = new org.apache.hadoop.fs.Path(root, name)
     val staged = new org.apache.hadoop.fs.Path(stage, name)
     val trash = new org.apache.hadoop.fs.Path(root, s".$name$UpsertTrashSuffix")
@@ -506,7 +517,7 @@ object Sinks {
       require(fs.rename(staged, part),
         s"upsertPartitioned: rename $staged -> $part failed")
     }
-    if (fs.exists(trash)) fs.delete(trash, true)
+    if (!retainTrash && fs.exists(trash)) fs.delete(trash, true)
   }
 
   /** Crash recovery for [[upsertPartitioned]] — run automatically at
@@ -538,6 +549,10 @@ object Sinks {
       names.foreach(swapStagedPartition(fs, root, stage, _))
       fs.delete(stage, true)
       fs.delete(marker, false)
+      // the roll-forward completed a committed merge: record it — the
+      // pre-merge snapshot's trash was swept by the recovery re-drive,
+      // so a reader pinned there now gets the loud vacuumed refusal
+      Manifest.commit(spark, path)
     } else {
       fs.delete(stage, true)
       fs.listStatus(root).filter(s => s.isDirectory &&

@@ -143,10 +143,15 @@ object Compaction {
     * localCheckpoint would not give this: checkpoint blocks live on
     * executors, so an executor loss mid-overwrite would leave the
     * partition partially deleted and unrecomputable — lineage
-    * truncation is not durability. (Readers racing the swap itself can
+    * truncation is not durability.
+    *
+    * Readers: a directory-listing reader racing the swap can still
     * observe the partition briefly absent between the two renames —
-    * run maintenance when the partition is not being queried, as with
-    * any non-transactional table format.)
+    * snapshot-consistent reads go through [[graft.io.Manifest]]: each
+    * run commits a manifest after its rewrites, and the trashed
+    * originals are RETAINED until the next run's recovery sweep, so a
+    * reader pinned to the previous snapshot resolves its files (live
+    * or trash) at every instant of the swap.
     *
     * Returns (root-relative partition path, output file count) for each
     * partition that was rewritten.
@@ -159,15 +164,14 @@ object Compaction {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(root).toUri
     recoverOrphans(fs, root)
-    leafPartitionDirs(fs, root).flatMap { d =>
+    val done = leafPartitionDirs(fs, root).flatMap { d =>
       val (bytes, nFiles) = fileStats(spark, d.toString)
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (nFiles <= math.max(minFiles, nOut)) None
       else {
         // dot-prefixed siblings are invisible to Spark's file listing,
         // so readers never see the temp or the trashed originals as
-        // DATA (the swap window itself is not reader-atomic — see the
-        // scaladoc)
+        // DATA
         val tmp = new Path(d.getParent, s".${d.getName}$TmpSuffix")
         val trash = new Path(d.getParent, s".${d.getName}$TrashSuffix")
         fs.delete(tmp, true); fs.delete(trash, true)
@@ -175,11 +179,19 @@ object Compaction {
           .write.mode("overwrite").parquet(tmp.toString)
         require(fs.rename(d, trash), s"compactPartitioned: rename $d -> $trash failed")
         require(fs.rename(tmp, d), s"compactPartitioned: rename $tmp -> $d failed")
-        fs.delete(trash, true)
+        // trash RETAINED (swept by the next run's recoverOrphans):
+        // a Manifest reader pinned to the pre-compaction snapshot
+        // resolves the original files there through and after the swap
         val rel = rootUri.relativize(fs.makeQualified(d).toUri).getPath
           .stripSuffix("/")
         Some(rel -> nOut)
       }
     }
+    // record the new file set once per maintenance run (first run also
+    // commits even when nothing needed rewriting, so the manifest read
+    // path exists for the table from then on)
+    if (done.nonEmpty || graft.io.Manifest.latestVersion(spark, path).isEmpty)
+      graft.io.Manifest.commit(spark, path)
+    done
   }
 }

@@ -43,6 +43,12 @@ object Layout {
     * eager checkpoint would NOT give this: checkpoint blocks live on
     * executors — lineage truncation is not durability, per
     * [[Compaction.compactPartitioned]]'s contract.)
+    *
+    * The trash sibling is RETAINED after the swap (the next rewrite on
+    * the same path sweeps it) and a [[graft.io.Manifest]] version is
+    * committed after completion: snapshot readers pinned to the
+    * pre-rewrite manifest resolve the original files — live, then in
+    * trash — at every instant of the rewrite.
     */
   def rewriteInPlace(spark: SparkSession, path: String)
                     (write: String => Unit): Unit = {
@@ -57,7 +63,16 @@ object Layout {
     write(tmp.toString)
     require(fs.rename(target, trash), s"rewriteInPlace: $target -> $trash failed")
     require(fs.rename(tmp, target), s"rewriteInPlace: $tmp -> $target failed")
-    fs.delete(trash, true)
+    // the version history rode into the trash with the old root — move
+    // it back over the fresh rewrite before committing the new version
+    // (readers resolving inside this window fall back to the trash
+    // copy, Manifest.versions' relayout-trash fallback)
+    val oldMd = new org.apache.hadoop.fs.Path(trash, graft.io.Manifest.DirName)
+    if (fs.exists(oldMd))
+      require(fs.rename(oldMd,
+        new org.apache.hadoop.fs.Path(target, graft.io.Manifest.DirName)),
+        s"rewriteInPlace: manifest history restore failed for $target")
+    graft.io.Manifest.commit(spark, path)
   }
 
   /** Restore a directory stranded by a crash between

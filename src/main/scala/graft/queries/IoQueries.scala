@@ -52,6 +52,64 @@ object IoQueries {
     finally conn.close()
   }
 
+  /** Shared oracle for sink_upsert_partitioned AND
+    * sink_upsert_manifest — the snapshot read path must reproduce the
+    * directory read bit for bit, so both registrations state the same
+    * SQL (the AnnIndex direct/indexed pairing discipline).
+    */
+  private val upsertPartitionedSql: String =
+    """WITH base AS (
+      |  SELECT event_id, ts, user_id, event_type, value
+      |  FROM events WHERE event_id % 50 = 0),
+      |merged AS (
+      |  SELECT event_id, ts, user_id, event_type,
+      |    CASE WHEN event_id % 500 = 0 THEN value + 1000.0 ELSE value END AS value
+      |  FROM base
+      |  UNION ALL
+      |  SELECT event_id + 10000000, ts + INTERVAL 90 DAY, user_id, event_type, value
+      |  FROM base WHERE event_id % 500 = 50)
+      |SELECT event_id, ts, user_id, event_type, value, CAST(ts AS DATE) AS d
+      |FROM merged ORDER BY event_id""".stripMargin
+
+  /** The partitioned-merge round trip behind both upsert rows: build
+    * the standing table, merge one batch (updates + new-partition
+    * inserts), read back — via directory listing or via the committed
+    * manifest snapshot.
+    */
+  private def runUpsertPartitioned(s: org.apache.spark.sql.SparkSession,
+                                   dir: String, viaManifest: Boolean) = {
+    val base = table(s, dir, "events")
+      .filter(col("event_id") % 50 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withColumn("d", to_date(col("ts")))
+    val out = tmp("sink_upsert_part") + "/t"
+    try {
+      // standing table via a plain partitioned write (event_id is
+      // unique, nothing to merge); the first-batch branch of
+      // upsertPartitioned is exercised in SinksSpec — this row times
+      // the MERGE path
+      base.repartition(col("d")).write.partitionBy("d").parquet(out)
+      val changed = base.filter(col("event_id") % 500 === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val inserted = base.filter(col("event_id") % 500 === 50)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("ts", col("ts") + expr("INTERVAL 90 DAYS"))
+        .withColumn("d", to_date(col("ts")))
+      Sinks.upsertPartitioned(s, changed.unionByName(inserted), out,
+        Seq("event_id"), "d")
+      val back = if (viaManifest) graft.io.Manifest.read(s, out)
+                 else s.read.parquet(out)
+      back
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("d").cast("date").as("d"))
+        .orderBy("event_id")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out).getParentFile)
+  }
+
   /** OpenWeatherMap-shaped fixture (reference: tests/conftest.py:122-145)
     * served over file:// for the DSv2 source round trip.
     */
@@ -148,47 +206,22 @@ object IoQueries {
       * across them, crash recovery rolls forward (pinned in
       * SinksSpec); the read-back proves the on-disk table equals the
       * set-based merge the oracle states. */
-    Q("sink_upsert_partitioned",
-      """WITH base AS (
-        |  SELECT event_id, ts, user_id, event_type, value
-        |  FROM events WHERE event_id % 50 = 0),
-        |merged AS (
-        |  SELECT event_id, ts, user_id, event_type,
-        |    CASE WHEN event_id % 500 = 0 THEN value + 1000.0 ELSE value END AS value
-        |  FROM base
-        |  UNION ALL
-        |  SELECT event_id + 10000000, ts + INTERVAL 90 DAY, user_id, event_type, value
-        |  FROM base WHERE event_id % 500 = 50)
-        |SELECT event_id, ts, user_id, event_type, value, CAST(ts AS DATE) AS d
-        |FROM merged ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val base = table(s, dir, "events")
-        .filter(col("event_id") % 50 === 0)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .withColumn("d", to_date(col("ts")))
-      val out = tmp("sink_upsert_part") + "/t"
-      try {
-        // standing table via a plain partitioned write (event_id is
-        // unique, nothing to merge); the first-batch branch of
-        // upsertPartitioned is exercised in SinksSpec — this row times
-        // the MERGE path
-        base.repartition(col("d")).write.partitionBy("d").parquet(out)
-        val changed = base.filter(col("event_id") % 500 === 0)
-          .withColumn("value", col("value") + 1000.0)
-        val inserted = base.filter(col("event_id") % 500 === 50)
-          .withColumn("event_id", col("event_id") + 10000000L)
-          .withColumn("ts", col("ts") + expr("INTERVAL 90 DAYS"))
-          .withColumn("d", to_date(col("ts")))
-        Sinks.upsertPartitioned(s, changed.unionByName(inserted), out,
-          Seq("event_id"), "d")
-        s.read.parquet(out)
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("d").cast("date").as("d"))
-          .orderBy("event_id")
-          .localCheckpoint(true)
-      } finally
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(out).getParentFile)
+    Q("sink_upsert_partitioned", upsertPartitionedSql) { (s, dir) =>
+      runUpsertPartitioned(s, dir, viaManifest = false)
+    },
+
+    /** sink_upsert_manifest — the SAME partitioned merge read back
+      * through the snapshot path (graft.io.Manifest.read): the write
+      * commits a versioned file manifest, and the reader resolves that
+      * committed file list instead of listing directories — the
+      * mid-swap vanished-partition window a directory reader can hit
+      * is closed by construction (pinned in ManifestSpec, including
+      * trash-fallback resolution and the loud vacuumed refusal).
+      * Shares sink_upsert_partitioned's oracle: the snapshot read of
+      * the just-committed version must equal the directory read
+      * byte for byte. */
+    Q("sink_upsert_manifest", upsertPartitionedSql) { (s, dir) =>
+      runUpsertPartitioned(s, dir, viaManifest = true)
     },
 
     /** sink_jdbc_insert (reference: src/load.py:319-343): nation →

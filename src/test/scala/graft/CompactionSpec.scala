@@ -74,7 +74,14 @@ class CompactionSpec extends SparkSpec {
     // exactly-minFiles partition untouched, byte-identical
     assert(Compaction.fileStats(spark, s"$root/date=a/hour=2") == a2Before)
     assert(new java.io.File(s"$root/date=a/hour=2").list().sorted.toSeq == a2Names)
-    // the temp/trash siblings of the swap were cleaned up
+    // the swap temp is gone; the trashed originals are RETAINED for
+    // snapshot readers (hidden — the live read below never sees them)
+    // and swept by the next maintenance pass
+    assert(!new java.io.File(s"$root/date=a").list()
+      .exists(_.endsWith("graft-compact-tmp")))
+    assert(new java.io.File(s"$root/date=a").list()
+      .count(_.endsWith("graft-compact-old")) == 1)
+    Compaction.repairPartitioned(spark, root)
     assert(!new java.io.File(s"$root/date=a").list()
       .exists(_.contains("graft-compact")))
     // every row survived, both partition columns still read back
@@ -105,10 +112,18 @@ class CompactionSpec extends SparkSpec {
     // recovery restored date=a BEFORE the walk, so the run then saw its
     // 20 fragments and compacted both partitions normally
     assert(done.map(_._1).sorted == Seq("date=a", "date=b"))
-    assert(!new java.io.File(root).list().exists(_.contains("graft-compact")))
+    // the trashed originals are RETAINED after the swap (snapshot
+    // readers pinned to the previous manifest resolve them there) —
+    // hidden, so the live read never sees them as data ...
+    assert(new java.io.File(root).list().count(_.endsWith("graft-compact-old")) == 2)
+    assert(!new java.io.File(root).list().exists(_.endsWith("graft-compact-tmp")))
     val back = spark.read.parquet(root)
     assert(back.count() == 500)
     assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 500L))
+    // ... and the NEXT maintenance pass sweeps them
+    Compaction.repairPartitioned(spark, root)
+    assert(!new java.io.File(root).list().exists(_.contains("graft-compact")))
+    assert(spark.read.parquet(root).count() == 500)
   }
 
   test("orphan recovery: post-swap trash leftovers are swept without touching the live partition") {

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.{Manifest, Sinks}
+import graft.ops.{Compaction, Layout}
+
+/** Snapshot-isolated reads over the rename-swap write family: readers
+  * resolve a COMMITTED manifest (version pointer committed by one
+  * rename) instead of listing directories, and the writers retain the
+  * swapped-out originals until the next maintenance pass — so a reader
+  * pinned to the previous snapshot stays consistent through the swap
+  * window where a directory-listing reader observes a vanished
+  * partition.
+  */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("city", "country", "ts")
+
+  private def temps(dir: String): Map[String, Double] =
+    spark.read.parquet(dir).select("city", "temp")
+      .as[(String, Double)].collect().toMap
+  private def mtemps(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+    df.select("city", "temp").as[(String, Double)].collect().toMap
+
+  test("upsert commits versions; pinned reader survives the swap; vacuumed snapshot refuses loudly") {
+    val dir = Files.createTempDirectory("graft_manifest_up").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    val base = Seq(
+      ("London", "GB", 1L, 15.5, "2023-11-01"),
+      ("Tokyo", "JP", 1L, 22.3, "2023-11-02")
+    ).toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, base, dir, keys, "date")
+    assert(Manifest.latestVersion(spark, dir).contains(1L))
+    assert(mtemps(Manifest.read(spark, dir)) ==
+      Map("London" -> 15.5, "Tokyo" -> 22.3))
+
+    // v2 merge touches only date=2023-11-02; its old file is retained
+    // in the hidden trash sibling
+    val batch = Seq(("Tokyo", "JP", 1L, 30.0, "2023-11-02"))
+      .toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, batch, dir, keys, "date")
+    assert(Manifest.latestVersion(spark, dir).contains(2L))
+    assert(mtemps(Manifest.read(spark, dir)) ==
+      Map("London" -> 15.5, "Tokyo" -> 30.0))
+    // the PREVIOUS snapshot still resolves — its superseded file is in
+    // the retained trash, its untouched file still live
+    assert(mtemps(Manifest.readVersion(spark, dir, 1L)) ==
+      Map("London" -> 15.5, "Tokyo" -> 22.3),
+      "v1 must stay readable after the v2 swap (trash retained)")
+    // schema parity: the fallback path re-attaches the partition column
+    // with the live side's discovered type
+    assert(Manifest.readVersion(spark, dir, 1L).schema ==
+      spark.read.parquet(dir).schema)
+
+    // the vanished-dir window: partition renamed to trash, replacement
+    // not yet in place. A directory-listing reader loses the partition;
+    // the manifest reader resolves it from the trash sibling.
+    fs.delete(p(".date=2023-11-02.graft-upsert-old"), true) // drop v1's retained copy
+    require(fs.rename(p("date=2023-11-02"), p(".date=2023-11-02.graft-upsert-old")))
+    assert(temps(dir) == Map("London" -> 15.5),
+      "precondition: the naive reader observes the vanished partition")
+    assert(mtemps(Manifest.readVersion(spark, dir, 2L)) ==
+      Map("London" -> 15.5, "Tokyo" -> 30.0),
+      "the manifest reader must stay consistent mid-swap")
+    // v1 was vacuumed above — refused with the version named, never a
+    // silently partial table
+    val e = intercept[IllegalStateException](
+      Manifest.readVersion(spark, dir, 1L).count())
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("vacuumed"))
+
+    // repair restores the stranded partition; reads agree again
+    Sinks.repairPartitionedUpsert(spark, dir)
+    assert(temps(dir) == mtemps(Manifest.read(spark, dir)))
+  }
+
+  test("compaction snapshots: pinned reader sees pre-compaction files through the rewrite") {
+    val root = Files.createTempDirectory("graft_manifest_comp").toString
+    (1 to 100).map(i => (i.toLong, "a")).toDF("id", "date")
+      .coalesce(1).write.partitionBy("date").mode("overwrite").parquet(root)
+    // first maintenance run: nothing to rewrite, but the manifest read
+    // path is established (v1 = the single file)
+    assert(Compaction.compactPartitioned(spark, root, targetBytes = 64L << 20).isEmpty)
+    assert(Manifest.latestVersion(spark, root).contains(1L))
+
+    (101 to 200).map(i => (i.toLong, "a")).toDF("id", "date")
+      .coalesce(1).write.partitionBy("date").mode("append").parquet(root)
+    val done = Compaction.compactPartitioned(spark, root,
+      targetBytes = 64L << 20, minFiles = 1)
+    assert(done.map(_._1) == Seq("date=a"))
+    assert(Manifest.latestVersion(spark, root).contains(2L))
+    // the latest snapshot is the compacted table; the PINNED v1 reader
+    // resolves its one original file inside the retained trash and sees
+    // exactly the pre-append, pre-compaction content
+    assert(Manifest.read(spark, root).count() == 200)
+    val v1 = Manifest.readVersion(spark, root, 1L)
+    assert(v1.count() == 100 &&
+      v1.select(max(col("id"))).head().getLong(0) == 100L,
+      "v1 must be the snapshot at its commit, not the current table")
+    // next maintenance pass sweeps the trash: v1 then refuses loudly
+    Compaction.repairPartitioned(spark, root)
+    intercept[IllegalStateException](Manifest.readVersion(spark, root, 1L).count())
+  }
+
+  test("rewriteInPlace: manifest survives the root swap and reads resolve while the root is vanished") {
+    val parent = Files.createTempDirectory("graft_manifest_rl").toString
+    val dir = s"$parent/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 50L).toDF("id").write.parquet(dir)
+    Manifest.commit(spark, dir)
+    Layout.rewriteInPlace(spark, dir) { tmp =>
+      Layout.writeRangeSorted(spark.read.parquet(dir), tmp, nFiles = 2,
+        keyCol = "id")
+    }
+    // history preserved across the root swap, new version committed
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L))
+    // pinned pre-rewrite reader resolves the old root's files in the
+    // retained relayout trash
+    assert(Manifest.readVersion(spark, dir, 1L)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 50L))
+
+    // the rewrite family's vanished-ROOT window: target renamed away,
+    // replacement not yet renamed in. The naive reader has no path to
+    // read; the manifest reader resolves versions AND files from the
+    // trash sibling.
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val trash = new org.apache.hadoop.fs.Path(parent, ".t.graft-relayout-old")
+    fs.delete(trash, true) // drop the retained previous version
+    require(fs.rename(target, trash))
+    assert(!fs.exists(target))
+    assert(Manifest.read(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 50L),
+      "the manifest reader must resolve through the mid-rewrite window")
+    // crash recovery restores, reads agree again
+    assert(Layout.restoreIfCrashed(spark, dir))
+    assert(Manifest.read(spark, dir).count() == 50L)
+  }
+
+  test("snapshot reads exclude files appended after the commit") {
+    val root = Files.createTempDirectory("graft_manifest_app").toString + "/t"
+    (1L to 10L).toDF("id").write.parquet(root)
+    Manifest.commit(spark, root)
+    (11L to 20L).toDF("id").write.mode("append").parquet(root)
+    // the directory reader sees the append; the committed snapshot
+    // does not — it is a FILE list, not a directory pointer
+    assert(spark.read.parquet(root).count() == 20L)
+    assert(Manifest.read(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 10L))
+    Manifest.commit(spark, root)
+    assert(Manifest.read(spark, root).count() == 20L)
+  }
+}
