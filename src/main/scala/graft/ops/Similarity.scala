@@ -268,13 +268,20 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nCentroids: Int, probePred: Column, k: Int,
               maxProbes: Long = 100000L, trainSteps: Int = 2,
-              nprobe: Int = 3, trainOn: DataFrame = null): DataFrame = {
+              nprobe: Int = 3, trainOn: DataFrame = null,
+              model: DataFrame = null): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val cs = graft.functions.GraftFunctions.cosineSim _
     val all = prepared(emb, idCol, vecCol).select("vec_id", "v")
-    val cent = trainedCentroids(Option(trainOn).getOrElse(emb),
-      idCol, vecCol, nCentroids, trainSteps).select("cid", "cv")
+    // `model` short-circuits training with an ALREADY-TRAINED (cid, cv)
+    // relation — the serving shape (an index stores its model once;
+    // callers serving several probes against one corpus train once and
+    // reuse), and what keeps repeated invocations from re-paying the
+    // trainSteps corpus scans
+    val cent = Option(model).map(_.select("cid", "cv")).getOrElse(
+      trainedCentroids(Option(trainOn).getOrElse(emb),
+        idCol, vecCol, nCentroids, trainSteps).select("cid", "cv"))
     val asg = assignTo(all, cent)
     // probeAsg is materialized eagerly: it feeds downstream joins (so
     // the assignment aggregate would otherwise replan twice), and the
@@ -617,15 +624,18 @@ object Similarity {
                 nCentroids: Int, probePred: Column, k: Int,
                 m: Int = 8, ksub: Int = 256, dims: Int = 64,
                 maxProbes: Long = 100000L, trainSteps: Int = 2,
-                nprobe: Int = 3, trainOn: DataFrame = null): DataFrame = {
+                nprobe: Int = 3, trainOn: DataFrame = null,
+                model: DataFrame = null): DataFrame = {
     require(m > 0 && dims % m == 0,
       s"ivfPqTopK: dims ($dims) must split evenly into m ($m) subspaces")
     val dsub = dims / m
     val spark = emb.sparkSession
     import spark.implicits._
-    // trained centroid model, collected (bounded: nCentroids × dims)
-    val cent = trainedCentroids(Option(trainOn).getOrElse(emb),
-      idCol, vecCol, nCentroids, trainSteps)
+    // trained centroid model (or the caller's pre-trained `model` —
+    // same contract as ivfTopK), collected (bounded: nCentroids × dims)
+    val cent = Option(model).getOrElse(
+      trainedCentroids(Option(trainOn).getOrElse(emb),
+        idCol, vecCol, nCentroids, trainSteps))
       .select("cid", "cv").as[(Long, Array[Double])].collect().sortBy(_._1)
     val asg = assignTo(prepared(emb, idCol, vecCol).select("vec_id", "v"),
       cent.toIndexedSeq.toDF("cid", "cv"))
@@ -695,10 +705,11 @@ object Similarity {
   def recallAtK(emb: DataFrame, idCol: String, vecCol: String,
                 probePred: Column, k: Int, nCentroids: Int,
                 nPlanes: Int, nBands: Int, threshold: Double,
-                dims: Int = 64): DataFrame = {
+                dims: Int = 64, model: DataFrame = null): DataFrame = {
     val exact = cosineTopK(emb, idCol, vecCol, probePred, k)
       .select(col("q_id"), col("neighbor_id"))
-    val ivf = ivfTopK(emb, idCol, vecCol, nCentroids, probePred, k)
+    val ivf = ivfTopK(emb, idCol, vecCol, nCentroids, probePred, k,
+        model = model)
       .select(col("q_id"), col("neighbor_id"))
     val pairs = lshPairs(emb, idCol, vecCol, nPlanes, nBands, threshold, dims)
     // LSH emits undirected prefiltered pairs — direct them both ways,
@@ -723,7 +734,7 @@ object Similarity {
     val pq = pqTopK(emb, idCol, vecCol, probePred, k, dims = dims)
       .select(col("q_id"), col("neighbor_id"))
     val ivfadc = ivfPqTopK(emb, idCol, vecCol, nCentroids, probePred, k,
-        dims = dims)
+        dims = dims, model = model)
       .select(col("q_id"), col("neighbor_id"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     def row(method: String, approx: DataFrame): DataFrame =

@@ -226,6 +226,23 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.6)
         .select("doc_a", "doc_b").localCheckpoint(true))
 
+  /** The trained IVF model shared by ann_ivf / ann_ivf_pq /
+    * ann_recall — one (application, sf dir) trains ONCE
+    * ([[Similarity.trainedCentroids]], 16 centroids × 2 quantized
+    * Lloyd steps) and every consumer probes against the cached
+    * relation, exactly as a serving deployment trains an index model
+    * once and reuses it per query (the persisted-index twins already
+    * do this through the index's stored centroids/). Keyed like the
+    * pair cache so a new application retrains.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
+  private def ivfModel(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    modelCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ =>
+      Similarity.trainedCentroids(table(s, dir, "embeddings"),
+        "vec_id", "embedding", NCENT_IVF, steps = 2).localCheckpoint(true))
+
   /** Band count for the DEFAULT multi-signal semantic edge: 2 bands
     * whose key width is derived from the corpus count
     * ([[Similarity.autoBandBits]] — 8-bit floor, growing with
@@ -848,7 +865,8 @@ object ExtensionQueries {
          |ORDER BY method""".stripMargin) { (s, dir) =>
       Similarity.recallAtK(table(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, nCentroids = NCENT_IVF,
-          nPlanes = NPLANES, nBands = 4, threshold = 0.25)
+          nPlanes = NPLANES, nBands = 4, threshold = 0.25,
+          model = ivfModel(s, dir))
         .orderBy("method")
     },
 
@@ -895,7 +913,8 @@ object ExtensionQueries {
       * (ann_recall) at ~n/5 scored candidates per query. */
     Q("ann_ivf", annIvfSql("TRUE")) { (s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
-          nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3)
+          nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3,
+          model = ivfModel(s, dir))
         .orderBy("q_id", "rank")
     },
 
@@ -1004,7 +1023,8 @@ object ExtensionQueries {
          |  FROM scored) WHERE rank <= 3
          |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
       Similarity.ivfPqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
-          nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3)
+          nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3,
+          model = ivfModel(s, dir))
         .orderBy("q_id", "rank")
     },
 
