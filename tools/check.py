@@ -32,10 +32,16 @@ def norm(v):
     return v
 
 passed, failed, skipped = [], [], []
+import sys as _sys, time as _time
 for name in sorted(os.listdir(OUT_DIR)):
     d = os.path.join(OUT_DIR, name)
     if not os.path.isdir(d):
         continue
+    # progress to stderr (stdout keeps the machine-readable verdicts):
+    # heavyweight oracles at large sf run for minutes — a silent check
+    # is indistinguishable from a hung one
+    print(f"[check] {name} @ {_time.strftime('%H:%M:%S')}",
+          file=_sys.stderr, flush=True)
     try:
         got_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
