@@ -256,6 +256,131 @@ object AnnIndex {
         col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** PQ sidecar for a built index — the IVFADC serving layout: every
+    * member encoded as m one-byte codebook indices, written as
+    * `codes/` PARTITIONED BY bucket (the probe's candidate read is
+    * partition-pruned 8-byte codes — at 100 TB this is what makes the
+    * re-rank memory-bandwidth-bound instead of I/O-bound), plus
+    * `pqseed/` — the ksub lowest-id member vectors the codebook
+    * derives from (bounded: ksub × dims doubles). Probe results are
+    * byte-identical to [[Similarity.ivfPqTopK]] on the same
+    * corpus/params: same stored trained model, same codebook seeding
+    * rule, same encode/ADC kernels — so the direct and indexed rows
+    * share one oracle (the ann_ivf / ann_ivf_indexed discipline).
+    */
+  def buildPq(spark: SparkSession, dir: String, m: Int = 8,
+              ksub: Int = 256, dims: Int = 64): Unit = {
+    require(m > 0 && dims % m == 0,
+      s"buildPq: dims ($dims) must split evenly into m ($m) subspaces")
+    val dsub = dims / m
+    Compaction.repairPartitioned(spark, s"$dir/members")
+    import spark.implicits._
+    val members = spark.read.parquet(s"$dir/members")
+      .withColumn("bucket", col("bucket").cast("long"))
+    // codebook = sub-vectors of the ksub lowest-id members (the pqTopK
+    // seeding rule applied to the indexed corpus)
+    val cb = Similarity.pqCodebook(members.select("vec_id", "v"),
+      "vec_id", "v", m, ksub, dsub)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    members.select("vec_id", "bucket", "v")
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { rows =>
+        val cbv = bcCb.value
+        rows.map { case (id, b, v) =>
+          (id, b, Similarity.pqEncodeK(id, v, cbv, m, ksub, dsub)) }
+      }
+      .toDF("vec_id", "bucket", "code")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/codes")
+    members.filter(col("vec_id") < ksub).select("vec_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqseed")
+  }
+
+  /** IVFADC probe reading ONLY the index: probe vectors from their own
+    * bucket partitions, bucket ranking against the stored trained
+    * model, candidates read as partition-pruned PQ CODES (~8 bytes
+    * each — the corpus vectors are never touched), scored by ADC
+    * lookups. Output schema and values match [[Similarity.ivfPqTopK]]
+    * exactly.
+    */
+  def probePq(spark: SparkSession, indexPath: String, probePred: Column,
+              k: Int, maxProbes: Long = 100000L, nprobe: Int = 3,
+              m: Int = 8, ksub: Int = 256): DataFrame = {
+    Layout.restoreIfCrashed(spark, s"$indexPath/assignments")
+    Compaction.repairPartitioned(spark, s"$indexPath/members")
+    import spark.implicits._
+    val members = spark.read.parquet(s"$indexPath/members")
+      .withColumn("bucket", col("bucket").cast("long"))
+    val probeAsg = spark.read.parquet(s"$indexPath/assignments")
+      .filter(probePred).localCheckpoint(true)
+    val nProbes = probeAsg.count()
+    require(nProbes <= maxProbes,
+      s"probePq: probePred selected $nProbes probes (> $maxProbes); " +
+        "probes are collected and broadcast, so the predicate must pick " +
+        "a small probe set")
+    val probeBuckets = probeAsg.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // probe vectors: statically pruned to the probes' own buckets,
+    // collected (bounded by the maxProbes guard)
+    val probes = members.filter(col("bucket").isin(probeBuckets: _*))
+      .join(broadcast(probeAsg.select("vec_id")), "vec_id")
+      .select("vec_id", "v").as[(Long, Array[Double])].collect()
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+      .select("cid", "cv").as[(Long, Array[Double])].collect().sortBy(_._1)
+    val seed = spark.read.parquet(s"$indexPath/pqseed")
+      .select("vec_id", "v").as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(seed.length == ksub,
+      s"probePq: pqseed has ${seed.length} rows, expected $ksub — " +
+        "run buildPq on this index first")
+    val dims = seed(0)._2.length
+    require(m > 0 && dims % m == 0,
+      s"probePq: stored dims ($dims) do not split into m ($m) subspaces")
+    val dsub = dims / m
+    val cb = Array.tabulate(m, ksub, dsub)((mm, c, d) => seed(c)._2(mm * dsub + d))
+    // per-probe nprobe nearest buckets + ADC LUT, driver-side over the
+    // bounded model — identical rule and arithmetic to ivfPqTopK
+    val centN = cent.map { case (cid, cv) => (cid, cv, Similarity.normK(cv)) }
+    val plan = probes.map { case (qid, qv) =>
+      val nq = Similarity.normK(qv)
+      val buckets = centN
+        .map { case (cid, cv, cn) => (cid, Similarity.dotK(qv, cv) / (nq * cn)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(nprobe).map(_._1)
+      (qid, buckets.toSet, Similarity.adcLutK(qv, cb, m, ksub, dsub))
+    }
+    val bcPlan = spark.sparkContext.broadcast(plan)
+    val allowed = plan.flatMap(_._2).distinct.sorted
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .withColumn("bucket", col("bucket").cast("long"))
+      .filter(col("bucket").isin(allowed: _*))
+      .select("vec_id", "bucket", "code").as[(Long, Long, Array[Int])]
+    val scored = codes.mapPartitions { rows =>
+      val qs = bcPlan.value
+      rows.flatMap { case (id, bucket, code) =>
+        qs.iterator.collect {
+          case (qid, bks, lut) if qid != id && bks(bucket) =>
+            (qid, id, bucket, Similarity.adcSumK(lut, code, m))
+        }
+      }
+    }.toDF("q_id", "neighbor_id", "bucket", "adc_dot")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("bucket"),
+        col("adc_dot"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Build the PQ sidecar once per index dir (idempotent — presence of
+    * `codes/` is the marker; the sidecar is rewritten by [[buildPq]]
+    * callers after appends/relayouts that change members).
+    */
+  def ensurePq(spark: SparkSession, dir: String, m: Int = 8,
+               ksub: Int = 256, dims: Int = 64): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) buildPq(spark, dir, m, ksub, dims)
+  }
+
   /** One built index per (application, cache key) — same memoization
     * contract as DedupIndex.ensureBuilt: the registry query's repeated
     * bench invocations pay the build once and probe thereafter.

@@ -37,12 +37,12 @@ object Similarity {
     * to [[dot]]/[[norm]] (and the oracle's list_reduce), so results are
     * bit-identical, but ~100× faster than interpreted HOF evaluation.
     */
-  private def dotK(a: Array[Double], b: Array[Double]): Double = {
+  private[ops] def dotK(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
-  private def normK(a: Array[Double]): Double = {
+  private[ops] def normK(a: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i) * a(i); i += 1 }
     math.sqrt(acc)
@@ -535,7 +535,7 @@ object Similarity {
     * collected to the driver (bounded: ksub × dims doubles) and
     * broadcast by callers.
     */
-  private def pqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+  private[ops] def pqCodebook(emb: DataFrame, idCol: String, vecCol: String,
                          m: Int, ksub: Int,
                          dsub: Int): Array[Array[Array[Double]]] = {
     val cbRows = typed(emb.filter(col(idCol) < ksub), idCol, vecCol)
@@ -549,7 +549,7 @@ object Similarity {
     * subspace, strict < keeping the LOWEST centroid id on exact ties —
     * mirrors the oracle's (d2 ASC, cid ASC) row_number.
     */
-  private def pqEncodeK(id: Long, v: Array[Double],
+  private[ops] def pqEncodeK(id: Long, v: Array[Double],
                         cbv: Array[Array[Array[Double]]],
                         m: Int, ksub: Int, dsub: Int): Array[Int] = {
     require(v.length == m * dsub,
@@ -576,7 +576,7 @@ object Similarity {
   /** ADC lookup table for one probe: lut(m)(c) = ⟨q_m, codebook_m[c]⟩,
     * i-ascending — identical arithmetic to the oracle's per-m dot.
     */
-  private def adcLutK(qv: Array[Double], cbv: Array[Array[Array[Double]]],
+  private[ops] def adcLutK(qv: Array[Double], cbv: Array[Array[Array[Double]]],
                       m: Int, ksub: Int, dsub: Int): Array[Array[Double]] =
     Array.tabulate(m, ksub) { (mm, c) =>
       var acc = 0.0
@@ -586,7 +586,7 @@ object Similarity {
     }
 
   /** m-ascending ADC sum — the oracle's list(pd ORDER BY m) reduce. */
-  private def adcSumK(lut: Array[Array[Double]], code: Array[Int],
+  private[ops] def adcSumK(lut: Array[Array[Double]], code: Array[Int],
                       m: Int): Double = {
     var acc = 0.0
     var mm = 0

@@ -226,6 +226,49 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.6)
         .select("doc_a", "doc_b").localCheckpoint(true))
 
+  /** Shared oracle for ann_ivf_pq AND ann_ivf_pq_indexed — trained
+    * model + multi-probe bucketing + PQ encode + ADC scoring; the
+    * persisted-codes probe must be byte-identical to the direct
+    * computation, so both registrations state the same SQL.
+    */
+  private lazy val annIvfPqSql: String =
+    s"""WITH $embCte,
+       |${ivfTrainedCtes("TRUE")},
+       |qb AS (SELECT q_id, bucket FROM (
+       |  SELECT p.vec_id AS q_id, c.cid AS bucket, row_number() OVER (
+       |    PARTITION BY p.vec_id
+       |    ORDER BY ${dotSql("p.v", "c.cv")} / (p.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n p CROSS JOIN centv c
+       |  WHERE p.vec_id BETWEEN 100 AND 109) WHERE rn <= 3),
+       |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+       |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+       |  FROM e, UNNEST(range(0, 8)) AS r(m)),
+       |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 256),
+       |dist AS (SELECT s.vec_id, s.m, c.cid,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
+       |  FROM sub s JOIN cb c USING (m)),
+       |codes AS (SELECT vec_id, m, cid FROM (
+       |  SELECT vec_id, m, cid, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+       |  FROM dist) WHERE rn = 1),
+       |md AS (SELECT qb.q_id, c.vec_id AS neighbor_id, ma.bucket, c.m,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
+       |  FROM qb JOIN asg ma ON ma.bucket = qb.bucket
+       |  JOIN codes c ON c.vec_id = ma.vec_id
+       |  JOIN cb b ON b.m = c.m AND b.cid = c.cid
+       |  JOIN sub q ON q.m = c.m AND q.vec_id = qb.q_id
+       |  WHERE c.vec_id <> qb.q_id),
+       |scored AS (SELECT q_id, neighbor_id, bucket,
+       |    list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc_dot
+       |  FROM md GROUP BY q_id, neighbor_id, bucket)
+       |SELECT q_id, neighbor_id, bucket, adc_dot, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dot DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   /** The trained IVF model shared by ann_ivf / ann_ivf_pq /
     * ann_recall — one (application, sf dir) trains ONCE
     * ([[Similarity.trainedCentroids]], 16 centroids × 2 quantized
@@ -985,46 +1028,27 @@ object ExtensionQueries {
       * ivf's exact-cosine 0.88). The oracle composes the
       * trained-model CTEs with the PQ encode/ADC CTEs; scores are
       * bit-identical. */
-    Q("ann_ivf_pq",
-      s"""WITH $embCte,
-         |${ivfTrainedCtes("TRUE")},
-         |qb AS (SELECT q_id, bucket FROM (
-         |  SELECT p.vec_id AS q_id, c.cid AS bucket, row_number() OVER (
-         |    PARTITION BY p.vec_id
-         |    ORDER BY ${dotSql("p.v", "c.cv")} / (p.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM n p CROSS JOIN centv c
-         |  WHERE p.vec_id BETWEEN 100 AND 109) WHERE rn <= 3),
-         |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
-         |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
-         |  FROM e, UNNEST(range(0, 8)) AS r(m)),
-         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 256),
-         |dist AS (SELECT s.vec_id, s.m, c.cid,
-         |    list_reduce(list_transform(range(1, 9),
-         |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
-         |  FROM sub s JOIN cb c USING (m)),
-         |codes AS (SELECT vec_id, m, cid FROM (
-         |  SELECT vec_id, m, cid, row_number() OVER (
-         |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
-         |  FROM dist) WHERE rn = 1),
-         |md AS (SELECT qb.q_id, c.vec_id AS neighbor_id, ma.bucket, c.m,
-         |    list_reduce(list_transform(range(1, 9),
-         |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
-         |  FROM qb JOIN asg ma ON ma.bucket = qb.bucket
-         |  JOIN codes c ON c.vec_id = ma.vec_id
-         |  JOIN cb b ON b.m = c.m AND b.cid = c.cid
-         |  JOIN sub q ON q.m = c.m AND q.vec_id = qb.q_id
-         |  WHERE c.vec_id <> qb.q_id),
-         |scored AS (SELECT q_id, neighbor_id, bucket,
-         |    list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc_dot
-         |  FROM md GROUP BY q_id, neighbor_id, bucket)
-         |SELECT q_id, neighbor_id, bucket, adc_dot, rank FROM (
-         |  SELECT *, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY adc_dot DESC, neighbor_id) AS rank
-         |  FROM scored) WHERE rank <= 3
-         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    Q("ann_ivf_pq", annIvfPqSql) { (s, dir) =>
       Similarity.ivfPqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
           nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3,
           model = ivfModel(s, dir))
+        .orderBy("q_id", "rank")
+    },
+
+    /** ann_ivf_pq_indexed — IVFADC served entirely from the persisted
+      * index (AnnIndex.buildPq/probePq): members are PQ-encoded once
+      * into `codes/` partitioned by bucket, and the probe reads
+      * bucket-pruned 8-byte codes — never the corpus vectors — with
+      * the ADC plan (bucket ranking + LUTs) built from the stored
+      * trained model and codebook seed. Byte-identical to ann_ivf_pq
+      * (shared oracle) — the ann_ivf / ann_ivf_indexed pairing
+      * discipline applied to the composed path. */
+    Q("ann_ivf_pq_indexed", annIvfPqSql) { (s, dir) =>
+      val idx = graft.ops.AnnIndex.ensureBuilt(s, dir,
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        nCentroids = NCENT_IVF)
+      graft.ops.AnnIndex.ensurePq(s, idx)
+      graft.ops.AnnIndex.probePq(s, idx, col("vec_id").between(100, 109), k = 3)
         .orderBy("q_id", "rank")
     },
 

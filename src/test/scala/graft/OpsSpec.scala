@@ -586,6 +586,29 @@ class OpsSpec extends SparkSpec {
     assert(bucketsPerProbe == 1L, "nprobe=1 must restrict to one bucket per probe")
   }
 
+  test("indexed IVFADC: probePq from stored codes matches the direct ivfPqTopK exactly") {
+    val emb = (0L until 60L)
+      .map(i => (i, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_pq").toString
+    graft.ops.AnnIndex.build(emb, "vec_id", "embedding", nCentroids = 4, dir = dir)
+    graft.ops.AnnIndex.buildPq(spark, dir, m = 2, ksub = 16, dims = 6)
+    val direct = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      nCentroids = 4, col("vec_id").between(20, 24), k = 3,
+      m = 2, ksub = 16, dims = 6)
+    val indexed = graft.ops.AnnIndex.probePq(spark, dir,
+      col("vec_id").between(20, 24), k = 3, m = 2, ksub = 16)
+    assert(direct.count() == indexed.count())
+    assert(indexed.except(direct).count() == 0 &&
+      direct.except(indexed).count() == 0,
+      "stored-codes probe must reproduce the direct IVFADC bit for bit")
+    // a sidecar-less index refuses the codes probe loudly
+    val bare = java.nio.file.Files.createTempDirectory("ann_idx_nopq").toString
+    graft.ops.AnnIndex.build(emb, "vec_id", "embedding", nCentroids = 4, dir = bare)
+    intercept[Exception](graft.ops.AnnIndex.probePq(spark, bare,
+      col("vec_id").between(20, 24), k = 3, m = 2, ksub = 16).count())
+  }
+
   test("AnnIndex.append: no rebuild, only appended buckets written, probe exact") {
     val mk = (r: Range) => r
       .map(i => (i.toLong, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))
