@@ -293,6 +293,43 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/codes")
     members.filter(col("vec_id") < ksub).select("vec_id", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqseed")
+    writePqMeta(spark, dir, m, ksub, dims)
+  }
+
+  /** The PQ sidecar's (m, ksub, dims) — persisted by [[buildPq]] and
+    * validated by [[probePq]]/[[ensurePq]]. Without it a probe called
+    * with a DIFFERENT m than the codes were encoded with (both
+    * dividing dims, so every shape check passes) would sum a
+    * truncated/overrun LUT against differently-shaped codes and
+    * return plausible wrong ranks — the silent-corruption case this
+    * family refuses loudly everywhere else.
+    */
+  private val PqMetaName = "_pq_meta"
+
+  private def writePqMeta(spark: SparkSession, dir: String,
+                          m: Int, ksub: Int, dims: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$PqMetaName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"m=$m\nksub=$ksub\ndims=$dims\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (m, ksub, dims) as persisted by [[buildPq]]; None for an index
+    * whose sidecar predates the meta file (or has none at all).
+    */
+  def readPqMeta(spark: SparkSession, dir: String): Option[(Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$PqMetaName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val kv = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); k -> v.toInt
+        }.toMap finally in.close()
+      Some((kv("m"), kv("ksub"), kv("dims")))
+    }
   }
 
   /** IVFADC probe reading ONLY the index: probe vectors from their own
@@ -326,6 +363,21 @@ object AnnIndex {
       .select("vec_id", "v").as[(Long, Array[Double])].collect()
     val cent = spark.read.parquet(s"$indexPath/centroids")
       .select("cid", "cv").as[(Long, Array[Double])].collect().sortBy(_._1)
+    // the stored encoding's parameters are AUTHORITATIVE: a caller m
+    // that merely divides dims would pass every shape check below yet
+    // sum mis-shaped LUT entries against the persisted codes —
+    // validate against the buildPq-persisted meta before any scoring
+    readPqMeta(spark, indexPath) match {
+      case None => throw new IllegalStateException(
+        s"probePq: no $PqMetaName under $indexPath — run buildPq on " +
+          "this index first (codes without their (m, ksub, dims) meta " +
+          "cannot be safely decoded)")
+      case Some((sm, sk, _)) =>
+        require(sm == m && sk == ksub,
+          s"probePq: index was encoded with (m=$sm, ksub=$sk) but the " +
+            s"probe requested (m=$m, ksub=$ksub) — re-run buildPq or " +
+            "probe with the stored parameters")
+    }
     val seed = spark.read.parquet(s"$indexPath/pqseed")
       .select("vec_id", "v").as[(Long, Array[Double])].collect().sortBy(_._1)
     require(seed.length == ksub,
@@ -379,6 +431,17 @@ object AnnIndex {
     val p = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) buildPq(spark, dir, m, ksub, dims)
+    else readPqMeta(spark, dir) match {
+      // codes from a pre-meta build: re-encode so the sidecar's
+      // parameters become self-describing
+      case None => buildPq(spark, dir, m, ksub, dims)
+      case Some((sm, sk, sd)) =>
+        require(sm == m && sk == ksub && sd == dims,
+          s"ensurePq: index already encoded with (m=$sm, ksub=$sk, " +
+            s"dims=$sd) but caller requested (m=$m, ksub=$ksub, " +
+            s"dims=$dims) — rebuild the sidecar explicitly with buildPq " +
+            "rather than silently serving a different encoding")
+    }
   }
 
   /** One built index per (application, cache key) — same memoization

@@ -607,6 +607,20 @@ class OpsSpec extends SparkSpec {
     graft.ops.AnnIndex.build(emb, "vec_id", "embedding", nCentroids = 4, dir = bare)
     intercept[Exception](graft.ops.AnnIndex.probePq(spark, bare,
       col("vec_id").between(20, 24), k = 3, m = 2, ksub = 16).count())
+    // a probe m that MERELY divides dims (m=1 here, codes built m=2)
+    // would pass every shape check and silently mis-score — the
+    // persisted (m, ksub) meta must refuse it loudly instead
+    val eM = intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.probePq(spark, dir,
+        col("vec_id").between(20, 24), k = 3, m = 1, ksub = 16).count())
+    assert(eM.getMessage.contains("encoded with"))
+    // ensurePq with conflicting parameters refuses rather than serving
+    // the differently-encoded sidecar
+    val eE = intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.ensurePq(spark, dir, m = 3, ksub = 16, dims = 6))
+    assert(eE.getMessage.contains("already encoded"))
+    // matching parameters remain an idempotent no-op
+    graft.ops.AnnIndex.ensurePq(spark, dir, m = 2, ksub = 16, dims = 6)
   }
 
   test("AnnIndex.append: no rebuild, only appended buckets written, probe exact") {
