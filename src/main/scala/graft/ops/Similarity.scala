@@ -99,17 +99,33 @@ object Similarity {
   }
 
   /** All-pairs cosine near-duplicates above a threshold — the exact
-    * baseline, declared as a self-join on `vec_a < vec_b` scored by the
+    * BASELINE, declared as a self-join on `vec_a < vec_b` scored by the
     * codegen'd [[graft.functions.CosineSimilarity]] expression. No
     * driver-side state: Spark plans a BroadcastNestedLoopJoin while one
     * side fits the broadcast threshold and a distributed
     * CartesianProduct (partition-pair tasks) beyond it, so the
     * inherently O(n²) compare work spreads across executors at any
-    * scale. For sub-quadratic near-dup search at corpus scale, use
-    * [[lshPairs]] (banded candidates + the same exact re-rank).
+    * scale — but it IS O(n²) (measured 60× wall at 10× data,
+    * SCALING.md §1): for sub-quadratic near-dup search at corpus
+    * scale, use [[lshPairs]] (banded candidates + the same exact
+    * re-rank — 2.6 s where this takes 38 s at 2×10⁴ vectors).
+    *
+    * The quadratic blowup is therefore FENCED, not merely documented:
+    * a corpus beyond `maxExactCorpus` rows is refused loudly with the
+    * scale path named, so nobody reaches a cartesian by default. Raise
+    * the cap explicitly to run the baseline on a bigger corpus — the
+    * override is the documented "yes, I want n² compares" switch.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double,
+                  maxExactCorpus: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxExactCorpus,
+      s"cosinePairs: corpus has $n vectors (> $maxExactCorpus) — this is " +
+        "the exact all-pairs baseline (O(n²) compares; ~60x wall at 10x " +
+        "data, SCALING.md §1). Use lshPairs for sub-quadratic near-dup " +
+        "search, or pass maxExactCorpus explicitly to insist on the " +
+        "exact baseline")
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val dp = graft.functions.GraftFunctions.dotProduct _

@@ -701,8 +701,13 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    /** Embedding-cosine near-dup pairs (brute-force baseline, ≥ 0.4). */
-    Q("dedup_embed_cosine",
+    /** Embedding-cosine near-dup pairs — the EXACT ALL-PAIRS baseline
+      * (≥ 0.4), suffixed so nobody reaches the O(n²) relation by
+      * default: the scale path is ann_lsh / Similarity.lshPairs
+      * (banded candidates + the same exact re-rank), and
+      * Similarity.cosinePairs refuses corpora beyond its explicit cap
+      * (the override is the deliberate "yes, n² compares" switch). */
+    Q("dedup_embed_cosine_exact_baseline",
       s"""WITH $embCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos

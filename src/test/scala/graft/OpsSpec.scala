@@ -185,6 +185,12 @@ class OpsSpec extends SparkSpec {
     val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((0L, 1L)))
+    // the exact-baseline cartesian is fenced: a corpus past the cap is
+    // refused loudly with the scale path named, never silently n²
+    val e = intercept[IllegalArgumentException](
+      Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9,
+        maxExactCorpus = 2L))
+    assert(e.getMessage.contains("lshPairs"))
   }
 
   test("text ops: counts, quality, fingerprint equality") {

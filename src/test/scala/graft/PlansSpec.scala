@@ -58,8 +58,8 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("Partial"), "expected map-side partial top-k")
   }
 
-  test("dedup_embed_cosine: distributed pair join, no driver-side corpus") {
-    val p = plan("dedup_embed_cosine")
+  test("dedup_embed_cosine_exact_baseline: distributed pair join, no driver-side corpus") {
+    val p = plan("dedup_embed_cosine_exact_baseline")
     // the pair space must come from a JOIN Spark can distribute (BNLJ
     // while a side is broadcastable, CartesianProduct beyond) — never
     // from a collected corpus re-parallelized on the driver

@@ -26,7 +26,7 @@ class RegistrySpec extends SparkSpec {
 
   test("every query executes on sf0.001 and the expected ones are non-empty") {
     // ops whose correct result may legitimately be empty at tiny scale
-    val mayBeEmpty = Set("ann_lsh", "dedup_embed_cosine", "dedup_simhash",
+    val mayBeEmpty = Set("ann_lsh", "dedup_embed_cosine_exact_baseline", "dedup_simhash",
       "dedup_minhash", "dedup_ngram_jaccard", "join_anti",
       "set_intersect", "set_except")
     SparkEntry.queries.foreach { case (name, fn) =>
