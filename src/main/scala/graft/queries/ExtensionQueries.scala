@@ -226,6 +226,61 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text", 3, 0.6)
         .select("doc_a", "doc_b").localCheckpoint(true))
 
+  /** The cluster family's DEFAULT lexical edge: construction
+    * auto-selected from corpus statistics ([[Dedup.jaccardPairsAuto]]
+    * — exact gram join while its predicted candidate volume is O(n),
+    * MinHash-banded exact-verify once the gram space saturates). On
+    * the gate corpora the rule lands on BANDED at every graded scale
+    * (28–253 predicted candidates/doc vs the 8/doc budget — the fixed
+    * 31-word vocabulary saturates immediately), so the static oracles
+    * state the banded edge; the flip point is a corpus whose
+    * vocabulary grows with the data. Cached per (application, sf dir)
+    * like the exact relation — a pair relation is a pipeline
+    * artifact, not recomputed per consumer.
+    */
+  private val autoPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
+  private def lexicalEdgeAuto(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    autoPairCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ =>
+      Dedup.jaccardPairsAuto(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6, k = K, bandSize = 4)
+        .select("doc_a", "doc_b").localCheckpoint(true))
+
+  /** Banded-edge CTE block shared by the cluster family's oracles
+    * (dedup_cluster, dedup_cluster_banded, dedup_near_corpus):
+    * MinHash-banded candidates verified by exact df-capped Jaccard —
+    * the SQL mirror of [[Dedup.bandedJaccardPairs]]. Ends with
+    * `jac(da, db)`, the ≥ 0.6 edge relation.
+    */
+  private lazy val bandedJacCtes: String =
+    s"""$minhashSigSql,
+       |$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM cgrams GROUP BY 1),
+       |inter AS (SELECT c.da, c.db, COUNT(*) AS ni
+       |  FROM cand c JOIN cgrams a ON a.doc_id = c.da
+       |  JOIN cgrams b ON b.doc_id = c.db AND b.g = a.g
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT da, db
+       |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |  WHERE CAST(ni AS DOUBLE) / CAST(sa.nn + sb.nn - ni AS DOUBLE) >= 0.6::DOUBLE)""".stripMargin
+
+  /** Transitive-closure + component CTEs over `jac`, shared by every
+    * cluster-family oracle; ends with `comp(node, component)`.
+    */
+  private val closureCtes: String =
+    """und AS (SELECT da AS u, db AS v FROM jac UNION SELECT db, da FROM jac),
+      |reach AS (
+      |  SELECT u, v FROM und
+      |  UNION
+      |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
+      |comp AS (SELECT u AS node, least(u, min(v)) AS component
+      |  FROM reach GROUP BY u)""".stripMargin
+
   /** Shared oracle for ann_ivf_pq AND ann_ivf_pq_indexed — trained
     * model + multi-probe bucketing + PQ encode + ADC scoring; the
     * persisted-codes probe must be byte-identical to the direct
@@ -1113,8 +1168,30 @@ object ExtensionQueries {
     /** dedup_cluster — connected components over the Jaccard ≥ 0.6
       * near-dup graph (iterative min-label propagation; DuckDB
       * verifies with a recursive CTE transitive closure). Turns pair
-      * matches into dedup groups. */
+      * matches into dedup groups. The LEXICAL EDGE is auto-selected
+      * from corpus statistics ([[Dedup.jaccardPairsAuto]] — exact
+      * gram join only while its predicted candidate volume is O(n);
+      * the gate corpora's saturated 31-word vocabulary puts the rule
+      * on the BANDED edge at every graded scale, which the static
+      * oracle mirrors; dedup_cluster_exact keeps the recall-lossless
+      * exact edge as the explicitly-suffixed baseline). */
     Q("dedup_cluster",
+      s"""WITH RECURSIVE $cappedGramsCte,
+         |$bandedJacCtes,
+         |$closureCtes
+         |SELECT node, component FROM comp ORDER BY node""".stripMargin) { (s, dir) =>
+      graft.ops.Components.connectedComponents(
+          lexicalEdgeAuto(s, dir), "doc_a", "doc_b")
+        .orderBy("node")
+    },
+
+    /** dedup_cluster_exact — the SAME clustering over the exact
+      * df-capped gram-join pair relation: recall-lossless (no banding
+      * miss) but inherently ~n²/V on a vocabulary-saturated corpus
+      * (measured 25.8× wall at 10× data, SCALING.md §2) — the
+      * explicitly-suffixed baseline the auto default falls back to
+      * only when corpus stats show the pair space is sparse. */
+    Q("dedup_cluster_exact",
       s"""WITH RECURSIVE $cappedGramsCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
@@ -1123,13 +1200,8 @@ object ExtensionQueries {
          |jac AS (SELECT da, db
          |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
          |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
-         |und AS (SELECT da AS u, db AS v FROM jac UNION SELECT db, da FROM jac),
-         |reach AS (
-         |  SELECT u, v FROM und
-         |  UNION
-         |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u)
-         |SELECT u AS node, least(u, min(v)) AS component
-         |FROM reach GROUP BY u ORDER BY node""".stripMargin) { (s, dir) =>
+         |$closureCtes
+         |SELECT node, component FROM comp ORDER BY node""".stripMargin) { (s, dir) =>
       graft.ops.Components.connectedComponents(
           trigramPairs(s, dir), "doc_a", "doc_b")
         .orderBy("node")
@@ -1148,27 +1220,9 @@ object ExtensionQueries {
       * for candidates that stay proportional to true near-dups. */
     Q("dedup_cluster_banded",
       s"""WITH RECURSIVE $cappedGramsCte,
-         |$minhashSigSql,
-         |$minhashBandsSql,
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM cgrams GROUP BY 1),
-         |inter AS (SELECT c.da, c.db, COUNT(*) AS ni
-         |  FROM cand c JOIN cgrams a ON a.doc_id = c.da
-         |  JOIN cgrams b ON b.doc_id = c.db AND b.g = a.g
-         |  GROUP BY 1, 2),
-         |jac AS (SELECT da, db
-         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-         |  WHERE CAST(ni AS DOUBLE) / CAST(sa.nn + sb.nn - ni AS DOUBLE) >= 0.6::DOUBLE),
-         |und AS (SELECT da AS u, db AS v FROM jac UNION SELECT db, da FROM jac),
-         |reach AS (
-         |  SELECT u, v FROM und
-         |  UNION
-         |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u)
-         |SELECT u AS node, least(u, min(v)) AS component
-         |FROM reach GROUP BY u ORDER BY node""".stripMargin) { (s, dir) =>
+         |$bandedJacCtes,
+         |$closureCtes
+         |SELECT node, component FROM comp ORDER BY node""".stripMargin) { (s, dir) =>
       graft.ops.Components.connectedComponents(
           Dedup.bandedJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
             n = 3, k = K, bandSize = 4, threshold = 0.6)
@@ -1228,33 +1282,23 @@ object ExtensionQueries {
     /** dedup_near_corpus — the end product of the near-dup pipeline:
       * the corpus with every Jaccard ≥ 0.6 cluster collapsed to its
       * minimum-id representative (pairs → components → anti join).
-      * Local wall time (>3 s at sf0.1) is dominated by the gram-join
-      * pair generation plus the components loop's per-round driver
+      * Consumes the family's shared AUTO-SELECTED lexical edge
+      * ([[lexicalEdgeAuto]] — banded on the gate corpora, mirrored by
+      * the static oracle). Local wall time is dominated by the pair
+      * generation plus the components loop's per-round driver
       * actions, not data volume: every exchange carries ids or gram
       * hashes, the anti join is ids-only, and the loop's shuffles are
       * sized to the (tiny) pair graph — the plan scales with corpus
       * bytes, the local floor is fixed job latency. */
     Q("dedup_near_corpus",
       s"""WITH RECURSIVE $cappedGramsCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-         |  FROM cgrams a JOIN cgrams b USING (g)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |jac AS (SELECT da, db
-         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
-         |und AS (SELECT da AS u, db AS v FROM jac UNION SELECT db, da FROM jac),
-         |reach AS (
-         |  SELECT u, v FROM und
-         |  UNION
-         |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
-         |comp AS (SELECT u AS node, least(u, min(v)) AS component
-         |  FROM reach GROUP BY u)
+         |$bandedJacCtes,
+         |$closureCtes
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      Dedup.keepRepresentatives(docs, "doc_id", trigramPairs(s, dir),
+      Dedup.keepRepresentatives(docs, "doc_id", lexicalEdgeAuto(s, dir),
           "doc_a", "doc_b")
         .select("doc_id", "n_chars").orderBy("doc_id")
     },

@@ -44,6 +44,40 @@ class OpsSpec extends SparkSpec {
     assert(!banded.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("auto lexical edge: saturated corpora band, sparse corpora stay exact") {
+    // the decision rule, pinned at the MEASURED gate statistics
+    // (predicted candidates from the capped-gram df distribution):
+    // every graded scale is deep in the saturated-vocabulary regime,
+    // so the default cluster keys run the banded edge there — which is
+    // what lets their static oracles state the banded SQL
+    assert(Dedup.useBandedEdge(500L, 14941L))     // sf0.001/sf0.01: 29.9/doc
+    assert(Dedup.useBandedEdge(5000L, 1265779L))  // sf0.1: 253/doc
+    assert(!Dedup.useBandedEdge(500L, 1500L))     // sparse: 3/doc → exact
+    // saturated fixture (shared vocabulary): prediction exceeds the
+    // budget and the auto edge equals the banded relation
+    val sat = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token${i % 3} eta theta iota"))
+      .toDF("doc_id", "text")
+    val nSat = Dedup.predictedGramJoinCandidates(sat, "doc_id", "text", 3)
+    assert(Dedup.useBandedEdge(40L, nSat), s"expected saturated, got $nSat")
+    val autoSat = Dedup.jaccardPairsAuto(sat, "doc_id", "text", 3, 0.3)
+    val bandedSat = Dedup.bandedJaccardPairs(sat, "doc_id", "text",
+      n = 3, threshold = 0.3)
+    assert(autoSat.count() == bandedSat.count() &&
+      autoSat.except(bandedSat).count() == 0)
+    // sparse fixture (per-doc vocabulary): prediction is O(n) and the
+    // auto edge keeps the recall-lossless exact relation
+    val sparse = (0L until 40L).map(i =>
+      (i, (0 until 10).map(t => s"w${i}x$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nSparse = Dedup.predictedGramJoinCandidates(sparse, "doc_id", "text", 3)
+    assert(!Dedup.useBandedEdge(40L, nSparse), s"expected sparse, got $nSparse")
+    val autoSparse = Dedup.jaccardPairsAuto(sparse, "doc_id", "text", 3, 0.3)
+    val exactSparse = Dedup.ngramJaccardPairs(sparse, "doc_id", "text", 3, 0.3)
+    assert(autoSparse.count() == exactSparse.count() &&
+      autoSparse.except(exactSparse).count() == 0)
+  }
+
   test("autoBandBits: band-key bits track log₂ n with an 8-bit floor") {
     // the floor: every gate scale stays at the measured-near-linear
     // 8-bit keys (and thus at the fixed 16-plane oracle mirror)
