@@ -103,14 +103,19 @@ object Manifest {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  /** Root-relative (dir, name, len) of every VISIBLE data file —
-    * dot/underscore names (trash, stage, markers, the manifest dir
-    * itself, _SUCCESS) are excluded at every level.
+  /** Root-relative (dir, name, len, mtime) of every VISIBLE data file
+    * — dot/underscore names (trash, stage, markers, the manifest dir
+    * itself, _SUCCESS) are excluded at every level. Modification time
+    * is part of the file's committed identity: (name, length) alone
+    * would serve a same-named same-sized rewrite silently (rename
+    * preserves mtime, so a trash-resolved file keeps the identity it
+    * was committed with).
     */
-  private def dataFiles(fs: FileSystem, root: Path): Seq[(String, String, Long)] = {
+  private def dataFiles(fs: FileSystem,
+                        root: Path): Seq[(String, String, Long, Long)] = {
     val rootUri = fs.makeQualified(root).toUri
     def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
-    def walk(dir: Path): Seq[(String, String, Long)] =
+    def walk(dir: Path): Seq[(String, String, Long, Long)] =
       fs.listStatus(dir).toSeq.filter(s => visible(s.getPath.getName))
         .flatMap { s =>
           if (s.isDirectory) walk(s.getPath)
@@ -118,7 +123,7 @@ object Manifest {
             val rel = rootUri
               .relativize(fs.makeQualified(s.getPath.getParent).toUri)
               .getPath.stripSuffix("/")
-            Seq((rel, s.getPath.getName, s.getLen))
+            Seq((rel, s.getPath.getName, s.getLen, s.getModificationTime))
           }
         }
     walk(root)
@@ -128,6 +133,12 @@ object Manifest {
     * latest+1. Called by the swap-family writers after their mutation
     * completes; callable standalone to checkpoint a table mutated by
     * plain appends. Returns the committed version.
+    *
+    * Body format: `#ptype\t<col>\t<DataType json>` header lines (the
+    * partition columns' DISCOVERED types, persisted so a snapshot
+    * resolved entirely from trash re-attaches partition values with
+    * the committed types instead of silently degrading to strings),
+    * then one `len\tmtime\trelpath` line per data file.
     */
   def commit(spark: SparkSession, path: String): Long = {
     val root = new Path(path)
@@ -136,10 +147,23 @@ object Manifest {
     val md = new Path(root, DirName)
     fs.mkdirs(md)
     val v = latestVersion(spark, path).getOrElse(0L) + 1
-    val body = dataFiles(fs, root)
-      .sortBy { case (d, n, _) => (d, n) }
-      .map { case (d, n, l) => s"$l\t${if (d.isEmpty) n else s"$d/$n"}" }
-      .mkString("\n")
+    val files = dataFiles(fs, root).sortBy { case (d, n, _, _) => (d, n) }
+    // partition columns appear as col=value path segments; their
+    // READ-SIDE types come from Spark's partition discovery (one
+    // footer+listing read), recorded so every later resolution of this
+    // snapshot types them identically, live side present or not
+    val partCols = files.flatMap(_._1.split('/'))
+      .filter(_.contains("=")).map(_.split("=", 2)(0)).distinct
+    val header =
+      if (partCols.isEmpty) Seq.empty[String]
+      else {
+        val schema = spark.read.parquet(path).schema
+        partCols.flatMap(c => schema.fields.find(_.name == c)
+          .map(f => s"#ptype\t$c\t${f.dataType.json}"))
+      }
+    val body = (header ++ files.map { case (d, n, l, t) =>
+      s"$l\t$t\t${if (d.isEmpty) n else s"$d/$n"}"
+    }).mkString("\n")
     val tmp = new Path(md, nameOf(v) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -173,23 +197,37 @@ object Manifest {
       .getOrElse(throw new IllegalArgumentException(
         s"Manifest.readVersion: no manifest v$version under $path"))
     val in = fs.open(mf)
-    val entries = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map { line =>
-        val Array(len, rel) = line.split("\t", 2)
-        val i = rel.lastIndexOf('/')
-        (if (i < 0) "" else rel.substring(0, i),
-          if (i < 0) rel else rel.substring(i + 1), len.toLong)
-      }.toList finally in.close()
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    // `#ptype` headers: the partition columns' committed types
+    val ptypes: Map[String, org.apache.spark.sql.types.DataType] =
+      lines.filter(_.startsWith("#ptype\t")).map { l =>
+        val Array(_, c, j) = l.split("\t", 3)
+        c -> org.apache.spark.sql.types.DataType.fromJson(j)
+      }.toMap
+    // entry identity is (path, length, mtime); pre-mtime manifests
+    // (two fields) fall back to length-only matching
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
+      val parts = line.split("\t", 3)
+      val (len, mtime, rel) =
+        if (parts.length == 3) (parts(0).toLong, parts(1).toLong, parts(2))
+        else (parts(0).toLong, -1L, parts(1))
+      val i = rel.lastIndexOf('/')
+      (if (i < 0) "" else rel.substring(0, i),
+        if (i < 0) rel else rel.substring(i + 1), len, mtime)
+    }
     if (entries.isEmpty)
       throw new IllegalStateException(
         s"Manifest.readVersion: snapshot v$version of $path is empty")
 
     // one listing per (relDir, candidate location): batched metadata
     // calls, never a per-file exists() RPC
-    def listing(dir: Path): Map[String, Long] =
+    def listing(dir: Path): Map[String, (Long, Long)] =
       try fs.listStatus(dir).filter(_.isFile)
-        .map(s => s.getPath.getName -> s.getLen).toMap
+        .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime)).toMap
       catch { case _: java.io.FileNotFoundException => Map.empty }
+    def matches(listed: Option[(Long, Long)], len: Long, mtime: Long): Boolean =
+      listed.exists { case (l, t) => l == len && (mtime < 0 || t == mtime) }
 
     val rootTrash = new Path(root.getParent,
       s".${root.getName}.graft-relayout-old")
@@ -208,9 +246,9 @@ object Manifest {
            new Path(leafParent, s".$leafName.graft-compact-old"))) :+
           (if (relDir.isEmpty) rootTrash else new Path(rootTrash, relDir))
         ).map(d => d -> listing(d))
-      group.foreach { case (_, name, len) =>
-        if (liveLs.get(name).contains(len)) live += new Path(liveDir, name)
-        else trashDirs.find(_._2.get(name).contains(len)) match {
+      group.foreach { case (_, name, len, mtime) =>
+        if (matches(liveLs.get(name), len, mtime)) live += new Path(liveDir, name)
+        else trashDirs.find(t => matches(t._2.get(name), len, mtime)) match {
           case Some((d, _)) =>
             fallback(relDir) = fallback.getOrElse(relDir, Vector.empty) :+
               new Path(d, name)
@@ -225,8 +263,12 @@ object Manifest {
     val liveDf = if (live.isEmpty) None
       else Some(spark.read.option("basePath", root.toString)
         .parquet(live.map(_.toString).toSeq: _*))
-    val partType = (c: String) => liveDf
-      .flatMap(df => df.schema.fields.find(_.name == c).map(_.dataType))
+    // committed types first (every post-r9 manifest carries them), the
+    // live side's discovery for older manifests — so a snapshot whose
+    // every partition is mid-swap still types its partition columns
+    // exactly as the same version resolved a moment earlier
+    val partType = (c: String) => ptypes.get(c).orElse(liveDf
+      .flatMap(df => df.schema.fields.find(_.name == c).map(_.dataType)))
     val trashDfs = fallback.toSeq.map { case (relDir, paths) =>
       val base = spark.read.parquet(paths.map(_.toString): _*)
       // re-attach partition values from the manifest's relative path
@@ -240,5 +282,136 @@ object Manifest {
       }
     }
     (liveDf.toSeq ++ trashDfs).reduce(_.unionByName(_))
+  }
+
+  /** EXPLICIT retention maintenance — the scheduled `VACUUM` a
+    * production table runs, replacing the implicit "next write's
+    * repair pass sweeps the trash" with a safety-checked reclaim:
+    *
+    *  1. refuses to run over crash state (an uncommitted stage, a txn
+    *     marker, a half-finished relayout) — recovery belongs to the
+    *     writers' repair passes, which know their own protocols;
+    *  2. drops manifests older than the newest `retainVersions`
+    *     (rename-committed files, plain deletes);
+    *  3. sweeps the swap family's trash siblings, deleting ONLY files
+    *     referenced by no retained manifest — a file any retained
+    *     snapshot still names is kept wherever it lives, so every
+    *     retained version remains fully readable after the sweep
+    *     (pinned in ManifestSpec), and readers pinned to a DROPPED
+    *     version get [[readVersion]]'s loud vacuumed refusal, never a
+    *     silently partial table.
+    *
+    * Live data files are never touched — vacuum reclaims history, not
+    * the table. Driver-side metadata walk only (the same listing scale
+    * as commit). Single writer per table assumed, as everywhere in
+    * this family. Returns (manifests dropped, trash files deleted,
+    * trash files retained).
+    */
+  def vacuum(spark: SparkSession, path: String,
+             retainVersions: Int = KeepVersions): (Int, Int, Int) = {
+    require(retainVersions >= 1,
+      s"Manifest.vacuum: retainVersions must be >= 1, got $retainVersions")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    require(fs.exists(root), s"Manifest.vacuum: no table at $path")
+    // 1. crash state is the writers' to repair, not vacuum's to bury
+    val crashMarkers = Seq(
+      new Path(root, ".graft-upsert-txn"),
+      new Path(root, ".graft-upsert-stage"),
+      new Path(root.getParent, s".${root.getName}.graft-relayout-tmp"))
+    crashMarkers.find(fs.exists).foreach(m => throw new IllegalStateException(
+      s"Manifest.vacuum: crash state present at $m — run the owning " +
+        "writer's repair (repairPartitionedUpsert / restoreIfCrashed) " +
+        "before vacuuming"))
+    def findSuffixed(dir: Path, suffix: String): Seq[Path] = {
+      val here = try fs.listStatus(dir).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      here.filter(_.isDirectory).flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".") && n.endsWith(suffix)) Seq(s.getPath)
+        else if (!n.startsWith(".") && !n.startsWith("_"))
+          findSuffixed(s.getPath, suffix)
+        else Seq.empty
+      }
+    }
+    Seq(".graft-compact-tmp").foreach { suffix =>
+      findSuffixed(root, suffix).headOption.foreach(m =>
+        throw new IllegalStateException(
+          s"Manifest.vacuum: crash state present at $m — run the owning " +
+            "writer's repair before vacuuming"))
+    }
+    // 2. drop manifests beyond retention
+    val vs = versions(spark, path)
+    val dropped = vs.dropRight(retainVersions)
+    val md = resolveManifestDir(fs, root)
+    dropped.foreach(v => md.foreach(d =>
+      fs.delete(new Path(d, nameOf(v)), false)))
+    // 3. the retained snapshots' referenced set: (relDir, name) →
+    //    accepted (len, mtime) identities
+    val retained = versions(spark, path)
+    val referenced: Set[(String, String, Long, Long)] = retained.flatMap { v =>
+      val mf = md.map(new Path(_, nameOf(v))).filter(fs.exists)
+      mf.toSeq.flatMap { p =>
+        val in = fs.open(p)
+        val ls = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
+          finally in.close()
+        ls.map { line =>
+          val parts = line.split("\t", 3)
+          val (len, mtime, rel) =
+            if (parts.length == 3) (parts(0).toLong, parts(1).toLong, parts(2))
+            else (parts(0).toLong, -1L, parts(1))
+          val i = rel.lastIndexOf('/')
+          (if (i < 0) "" else rel.substring(0, i),
+            if (i < 0) rel else rel.substring(i + 1), len, mtime)
+        }
+      }
+    }.toSet
+    def isReferenced(relDir: String, name: String, len: Long,
+                     mtime: Long): Boolean =
+      referenced.contains((relDir, name, len, mtime)) ||
+        referenced.contains((relDir, name, len, -1L)) // legacy entries
+    // sweep one trash dir whose contents logically belong at relDir
+    var deleted = 0
+    var kept = 0
+    def sweep(trash: Path, relDir: String): Unit = {
+      val st = try fs.listStatus(trash).toSeq
+        catch { case _: java.io.FileNotFoundException => return }
+      st.foreach { s =>
+        if (s.isDirectory)
+          sweep(s.getPath,
+            if (relDir.isEmpty) s.getPath.getName
+            else s"$relDir/${s.getPath.getName}")
+        else if (isReferenced(relDir, s.getPath.getName, s.getLen,
+            s.getModificationTime)) kept += 1
+        else { fs.delete(s.getPath, false); deleted += 1 }
+      }
+      if (fs.listStatus(trash).isEmpty) fs.delete(trash, true)
+    }
+    Seq(".graft-upsert-old", ".graft-compact-old").foreach { suffix =>
+      findSuffixed(root, suffix).foreach { t =>
+        val logicalLeaf = t.getName.stripPrefix(".").stripSuffix(suffix)
+        val rel = fs.makeQualified(root).toUri
+          .relativize(fs.makeQualified(t.getParent).toUri)
+          .getPath.stripSuffix("/")
+        sweep(t, if (rel.isEmpty) logicalLeaf else s"$rel/$logicalLeaf")
+      }
+    }
+    val rootTrash = new Path(root.getParent,
+      s".${root.getName}.graft-relayout-old")
+    if (fs.exists(rootTrash)) {
+      // the relayout trash holds a whole former ROOT — its manifest
+      // history subdir is metadata, not data; files under visible
+      // subdirs resolve at their in-root relative paths
+      fs.listStatus(rootTrash).toSeq.foreach { s =>
+        val n = s.getPath.getName
+        if (n == DirName) () // shared history, never swept here
+        else if (s.isDirectory) sweep(s.getPath, n)
+        else if (isReferenced("", n, s.getLen, s.getModificationTime)) kept += 1
+        else { fs.delete(s.getPath, false); deleted += 1 }
+      }
+      if (fs.listStatus(rootTrash).isEmpty) fs.delete(rootTrash, true)
+    }
+    (dropped.size, deleted, kept)
   }
 }

@@ -77,7 +77,8 @@ object IoQueries {
     * manifest snapshot.
     */
   private def runUpsertPartitioned(s: org.apache.spark.sql.SparkSession,
-                                   dir: String, viaManifest: Boolean) = {
+                                   dir: String, viaManifest: Boolean,
+                                   vacuumFirst: Boolean = false) = {
     val base = table(s, dir, "events")
       .filter(col("event_id") % 50 === 0)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -98,6 +99,12 @@ object IoQueries {
         .withColumn("d", to_date(col("ts")))
       Sinks.upsertPartitioned(s, changed.unionByName(inserted), out,
         Seq("event_id"), "d")
+      // the maintenance row: reclaim all history but the latest
+      // snapshot — the read-back below proving the LIVE table is
+      // byte-identical after the sweep is the oracle's check, and the
+      // dropped snapshot's loud refusal is pinned in ManifestSpec
+      if (vacuumFirst)
+        graft.io.Manifest.vacuum(s, out, retainVersions = 1)
       val back = if (viaManifest) graft.io.Manifest.read(s, out)
                  else s.read.parquet(out)
       back
@@ -222,6 +229,19 @@ object IoQueries {
       * byte for byte. */
     Q("sink_upsert_manifest", upsertPartitionedSql) { (s, dir) =>
       runUpsertPartitioned(s, dir, viaManifest = true)
+    },
+
+    /** maintain_vacuum — explicit retention maintenance as a
+      * first-class op (graft.io.Manifest.vacuum): after the
+      * partitioned merge commits v2, vacuum(retainVersions=1) drops
+      * the v1 manifest and reclaims its now-unreferenced trash files
+      * — with the safety contract that files referenced by any
+      * retained manifest are never deleted and crash state refuses
+      * the sweep (both pinned in ManifestSpec). Shares the upsert
+      * oracle: the post-vacuum snapshot read must still equal the
+      * merge bit for bit — vacuum reclaims history, never the table. */
+    Q("maintain_vacuum", upsertPartitionedSql) { (s, dir) =>
+      runUpsertPartitioned(s, dir, viaManifest = true, vacuumFirst = true)
     },
 
     /** sink_jdbc_insert (reference: src/load.py:319-343): nation →

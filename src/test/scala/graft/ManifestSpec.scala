@@ -141,6 +141,78 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, dir).count() == 50L)
   }
 
+  test("vacuum: retained snapshots stay readable, dropped ones refuse, crash state refuses the sweep") {
+    val dir = Files.createTempDirectory("graft_manifest_vac").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Seq(
+      ("London", "GB", 1L, 15.5, "2023-11-01"),
+      ("Tokyo", "JP", 1L, 22.3, "2023-11-02")
+    ).toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, base, dir, keys, "date")
+    val batch = Seq(("Tokyo", "JP", 1L, 30.0, "2023-11-02"))
+      .toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, batch, dir, keys, "date")
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L))
+
+    // crash state fences the sweep: vacuum must not bury a swap the
+    // owning writer hasn't repaired
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/.graft-upsert-txn")
+    fs.create(marker, true).close()
+    val eCrash = intercept[IllegalStateException](Manifest.vacuum(spark, dir))
+    assert(eCrash.getMessage.contains("crash state"))
+    fs.delete(marker, false)
+
+    // retention 2 keeps BOTH snapshots fully readable: v1's superseded
+    // file lives in trash and is REFERENCED by the retained v1 manifest,
+    // so the sweep must not touch it
+    val (d2, del2, kept2) = Manifest.vacuum(spark, dir, retainVersions = 2)
+    assert(d2 == 0 && del2 == 0 && kept2 >= 1,
+      s"retention-2 vacuum must keep v1's trash file (dropped=$d2, " +
+        s"deleted=$del2, kept=$kept2)")
+    assert(mtemps(Manifest.readVersion(spark, dir, 1L)) ==
+      Map("London" -> 15.5, "Tokyo" -> 22.3),
+      "v1 must survive a vacuum that retains it")
+
+    // retention 1 drops v1: its manifest goes, its now-unreferenced
+    // trash file is reclaimed, and the pinned reader gets the loud
+    // refusal — while the latest read is untouched
+    val (d1, del1, _) = Manifest.vacuum(spark, dir, retainVersions = 1)
+    assert(d1 == 1 && del1 >= 1)
+    val e = intercept[Exception](Manifest.readVersion(spark, dir, 1L).count())
+    assert(e.getMessage.contains("v1"))
+    assert(mtemps(Manifest.read(spark, dir)) ==
+      Map("London" -> 15.5, "Tokyo" -> 30.0),
+      "the live table must read identically after vacuum")
+    assert(temps(dir) == mtemps(Manifest.read(spark, dir)))
+    // idempotent: a second vacuum finds nothing to do
+    assert(Manifest.vacuum(spark, dir, retainVersions = 1) == ((0, 0, 0)))
+  }
+
+  test("all-trash snapshot types partition columns from the committed #ptype header") {
+    val dir = Files.createTempDirectory("graft_manifest_pt").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    val base = Seq(("London", "GB", 1L, 15.5, "2023-11-01"))
+      .toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, base, dir, keys, "date")
+    val discovered = spark.read.parquet(dir).schema
+    // EVERY partition mid-swap at once: no live side at all. The
+    // committed #ptype header must still type the re-attached
+    // partition column exactly as the directory read did (DATE here,
+    // where the pre-header fallback silently degraded to string).
+    require(fs.rename(p("date=2023-11-01"),
+      p(".date=2023-11-01.graft-upsert-old")))
+    val snap = Manifest.read(spark, dir)
+    assert(snap.schema.fields.find(_.name == "date").get.dataType ==
+      discovered.fields.find(_.name == "date").get.dataType,
+      s"all-trash resolution must keep the committed partition type; " +
+        s"got ${snap.schema.catalogString}")
+    assert(mtemps(snap) == Map("London" -> 15.5))
+    Sinks.repairPartitionedUpsert(spark, dir)
+  }
+
   test("snapshot reads exclude files appended after the commit") {
     val root = Files.createTempDirectory("graft_manifest_app").toString + "/t"
     (1L to 10L).toDF("id").write.parquet(root)
