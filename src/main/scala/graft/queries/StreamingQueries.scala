@@ -153,6 +153,133 @@ object StreamingQueries {
       s.table(name).orderBy("user_id", "ts_hour")
     },
 
+    /** stream_dedup_indexed — the composed production ingest shape:
+      * file-source micro-batches of NEW documents dropped through the
+      * PERSISTED dedup index (foreachBatch { DedupIndex.dedupBatch →
+      * write survivors → DedupIndex.append }), so each micro-batch
+      * dedups against the standing corpus PLUS every earlier batch's
+      * accepted docs, and the index is current when the next batch
+      * arrives — the daily-micro-batch cadence of the reference DAG
+      * (airflow_dag/weather_etl_dag.py:57) composed with the
+      * incremental-index shape that makes daily dedup of a standing
+      * corpus affordable (corpus text is never rescanned; the
+      * streaming plan touches only the batch and the 8-byte-hash
+      * index tables).
+      *
+      * Determinism: the batch (doc_id % 5 = 0) is split into two
+      * files (doc_id % 10 = 0 then % 10 = 5) with pinned modification
+      * times and maxFilesPerTrigger=1, so AvailableNow processes
+      * exactly two micro-batches in a fixed order; the oracle states
+      * the same two-step sequence (batch B's fingerprint and gram
+      * relations include batch A's survivors). Batch-equivalence of
+      * the engine path — same survivors AND same final index state as
+      * running dedupBatch+append twice in batch mode — is pinned in
+      * StreamingSpec.
+      */
+    Q("stream_dedup_indexed", {
+      val fp = (x: String) => s"('0x' || substring(md5($x),1,15))::BIGINT"
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, g FROM tok,
+         |  UNNEST(list_transform(range(1, greatest(len(t)-2,0)+1),
+         |                        i -> array_to_string(t[i:i+2], ' '))) AS u(g)),
+         |cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
+         |hot AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > ${graft.ops.Dedup.DefaultMaxDf}),
+         |cgc AS (SELECT doc_id, g FROM cg WHERE g NOT IN (SELECT g FROM hot)),
+         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cgc GROUP BY 1),
+         |cfp AS (SELECT DISTINCT ${fp("lower(trim(text))")} AS f
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |bA1 AS (SELECT doc_id, n_chars, text FROM (
+         |    SELECT doc_id, n_chars, text, row_number() OVER (
+         |      PARTITION BY ${fp("lower(trim(text))")} ORDER BY doc_id) AS rn
+         |    FROM documents WHERE doc_id % 10 = 0) WHERE rn = 1),
+         |bA2 AS (SELECT doc_id, n_chars FROM bA1
+         |  WHERE ${fp("lower(trim(text))")} NOT IN (SELECT f FROM cfp)),
+         |bgA AS (SELECT doc_id, g FROM grams
+         |  WHERE doc_id % 10 = 0 AND g NOT IN (SELECT g FROM hot)),
+         |szA AS (SELECT doc_id, COUNT(*) AS n FROM bgA GROUP BY 1),
+         |interA AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
+         |  FROM bgA b JOIN cgc c USING (g) GROUP BY 1, 2),
+         |hitsA AS (SELECT DISTINCT bid FROM interA
+         |  JOIN szA ON szA.doc_id = bid JOIN szc ON szc.doc_id = cid
+         |  WHERE CAST(ni AS DOUBLE) / CAST(szA.n + szc.n - ni AS DOUBLE) >= 0.5::DOUBLE),
+         |sA AS (SELECT doc_id, n_chars FROM bA2
+         |  WHERE doc_id NOT IN (SELECT bid FROM hitsA)),
+         |fp1 AS (SELECT f FROM cfp UNION
+         |  SELECT DISTINCT ${fp("lower(trim(text))")} FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM sA)),
+         |cg2 AS (SELECT doc_id, g FROM cgc UNION ALL
+         |  SELECT doc_id, g FROM bgA WHERE doc_id IN (SELECT doc_id FROM sA)),
+         |sz2 AS (SELECT doc_id, COUNT(*) AS n FROM cg2 GROUP BY 1),
+         |bB1 AS (SELECT doc_id, n_chars, text FROM (
+         |    SELECT doc_id, n_chars, text, row_number() OVER (
+         |      PARTITION BY ${fp("lower(trim(text))")} ORDER BY doc_id) AS rn
+         |    FROM documents WHERE doc_id % 10 = 5) WHERE rn = 1),
+         |bB2 AS (SELECT doc_id, n_chars FROM bB1
+         |  WHERE ${fp("lower(trim(text))")} NOT IN (SELECT f FROM fp1)),
+         |bgB AS (SELECT doc_id, g FROM grams
+         |  WHERE doc_id % 10 = 5 AND g NOT IN (SELECT g FROM hot)),
+         |szB AS (SELECT doc_id, COUNT(*) AS n FROM bgB GROUP BY 1),
+         |interB AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
+         |  FROM bgB b JOIN cg2 c USING (g) GROUP BY 1, 2),
+         |hitsB AS (SELECT DISTINCT bid FROM interB
+         |  JOIN szB ON szB.doc_id = bid JOIN sz2 ON sz2.doc_id = cid
+         |  WHERE CAST(ni AS DOUBLE) / CAST(szB.n + sz2.n - ni AS DOUBLE) >= 0.5::DOUBLE),
+         |sB AS (SELECT doc_id, n_chars FROM bB2
+         |  WHERE doc_id NOT IN (SELECT bid FROM hitsB))
+         |SELECT doc_id, n_chars FROM
+         |  (SELECT * FROM sA UNION ALL SELECT * FROM sB)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val docs = graft.io.Sources.table(s, dir, "documents")
+        .select("doc_id", "text", "n_chars")
+      // one TEMPLATE index per (application, corpus), copied fresh per
+      // invocation: the stream APPENDS to its index, so reusing the
+      // shared corpus-only index (dedup_incremental_indexed's) or
+      // re-running over an already-appended copy would change answers
+      val tpl = graft.ops.DedupIndex.ensureBuilt(s, dir + "#streamtpl",
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 3)
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_ddx")
+      val idx = s"$root/idx"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(tpl), new java.io.File(idx))
+      val in = s"$root/in"
+      val out = s"$root/out"
+      val fs = new Path(in).getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        // two single-file micro-batches with pinned (mtime, name)
+        // order: A = doc_id % 10 = 0, then B = doc_id % 10 = 5
+        Seq(("00", lit(0)), ("01", lit(5))).foreach { case (nm, residue) =>
+          val stage = s"$root/stage$nm"
+          docs.filter(pmod(col("doc_id"), lit(10)) === residue)
+            .coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new Path(stage))
+            .map(_.getPath).find(_.getName.startsWith("part-")).get
+          fs.mkdirs(new Path(in))
+          require(fs.rename(part, new Path(in, s"$nm.parquet")))
+          fs.setTimes(new Path(in, s"$nm.parquet"),
+            1700000000000L + nm.toLong * 60000L, -1)
+        }
+        val stream = s.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType), StructField("n_chars", LongType))))
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val surv = graft.ops.DedupIndex.dedupBatch(s, b, idx,
+              "doc_id", "text", 3, 0.5).localCheckpoint(true)
+            surv.select("doc_id", "n_chars")
+              .write.mode("append").parquet(out)
+            graft.ops.DedupIndex.append(surv, "doc_id", "text", 3, idx)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out).select("doc_id", "n_chars")
+          .orderBy("doc_id").localCheckpoint(true)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    },
+
     /** Gap sessionization through the REAL streaming engine on Spark
       * 4's transformWithState + the RocksDB state store
       * (StreamingOps.sessionizeStreamTws) — the last operator family

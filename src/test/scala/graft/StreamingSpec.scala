@@ -269,4 +269,88 @@ class StreamingSpec extends SparkSpec {
       assert(h12.getAs[Double]("avg_value") == 2.0)
     } finally q.stop()
   }
+
+  test("streaming indexed dedup equals the batch twin: same survivors, same final index state") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today", 49L),
+      (101L, "completely different words about spark and shuffles here", 56L)
+    ).toDF("doc_id", "text", "n_chars")
+    // batch A: 1 = exact dup of corpus, 2 = near dup of corpus, 3 = new
+    // batch B: 4 = exact dup of A's SURVIVOR 3 (only droppable if A's
+    //          append landed), 5 = new
+    val bA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", 49L),
+      (2L, "the quick brown fox jumps over the lazy cat today", 49L),
+      (3L, "fresh unique sentence with many novel tokens inside", 51L)
+    ).toDF("doc_id", "text", "n_chars")
+    val bB = Seq(
+      (4L, "fresh unique sentence with many novel tokens inside", 51L),
+      (5L, "another entirely new document nothing shares these words", 56L)
+    ).toDF("doc_id", "text", "n_chars")
+
+    def runBatchTwin(): (Seq[Long], Long, Long) = {
+      val idx = java.nio.file.Files.createTempDirectory("ddx_twin").toString
+      graft.ops.DedupIndex.build(corpus, "doc_id", "text", 3, idx)
+      val sA = graft.ops.DedupIndex.dedupBatch(spark, bA, idx,
+        "doc_id", "text", 3, 0.5).localCheckpoint(true)
+      graft.ops.DedupIndex.append(sA, "doc_id", "text", 3, idx)
+      val sB = graft.ops.DedupIndex.dedupBatch(spark, bB, idx,
+        "doc_id", "text", 3, 0.5).localCheckpoint(true)
+      graft.ops.DedupIndex.append(sB, "doc_id", "text", 3, idx)
+      val ids = (sA.select("doc_id").as[Long].collect() ++
+        sB.select("doc_id").as[Long].collect()).sorted.toSeq
+      (ids, spark.read.parquet(s"$idx/fps").distinct().count(),
+        spark.read.parquet(s"$idx/grams").count())
+    }
+
+    def runStreaming(): (Seq[Long], Long, Long) = {
+      val root = java.nio.file.Files.createTempDirectory("ddx_stream")
+      val idx = s"$root/idx"
+      graft.ops.DedupIndex.build(corpus, "doc_id", "text", 3, idx)
+      val in = s"$root/in"
+      val out = s"$root/out"
+      val fs = new org.apache.hadoop.fs.Path(in)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(("00", bA), ("01", bB)).foreach { case (nm, df) =>
+        val stage = s"$root/stage$nm"
+        df.coalesce(1).write.parquet(stage)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(in, s"$nm.parquet")))
+        fs.setTimes(new org.apache.hadoop.fs.Path(in, s"$nm.parquet"),
+          1700000000000L + nm.toLong * 60000L, -1)
+      }
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType), StructField("n_chars", LongType))))
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val surv = graft.ops.DedupIndex.dedupBatch(spark, b, idx,
+            "doc_id", "text", 3, 0.5).localCheckpoint(true)
+          surv.select("doc_id", "n_chars").write.mode("append").parquet(out)
+          graft.ops.DedupIndex.append(surv, "doc_id", "text", 3, idx)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ids = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      (ids, spark.read.parquet(s"$idx/fps").distinct().count(),
+        spark.read.parquet(s"$idx/grams").count())
+    }
+
+    val (twinIds, twinFps, twinGrams) = runBatchTwin()
+    val (strIds, strFps, strGrams) = runStreaming()
+    // the sequencing itself must have bitten: doc 4 is only droppable
+    // because batch A's survivor 3 was appended before B arrived
+    assert(twinIds == Seq(3L, 5L), s"batch twin survivors: $twinIds")
+    assert(strIds == twinIds,
+      s"streaming survivors $strIds must equal the batch twin's $twinIds")
+    assert(strFps == twinFps && strGrams == twinGrams,
+      "final index state must be identical to the batch twin's")
+  }
 }
