@@ -721,7 +721,8 @@ object Similarity {
   def recallAtK(emb: DataFrame, idCol: String, vecCol: String,
                 probePred: Column, k: Int, nCentroids: Int,
                 nPlanes: Int, nBands: Int, threshold: Double,
-                dims: Int = 64, model: DataFrame = null): DataFrame = {
+                dims: Int = 64, model: DataFrame = null,
+                pqM: Int = 8): DataFrame = {
     val exact = cosineTopK(emb, idCol, vecCol, probePred, k)
       .select(col("q_id"), col("neighbor_id"))
     val ivf = ivfTopK(emb, idCol, vecCol, nCentroids, probePred, k,
@@ -747,10 +748,10 @@ object Similarity {
     val lsh = directed.join(broadcast(probeIds), "vec_id")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("vec_id").as("q_id"), col("neighbor_id"))
-    val pq = pqTopK(emb, idCol, vecCol, probePred, k, dims = dims)
+    val pq = pqTopK(emb, idCol, vecCol, probePred, k, m = pqM, dims = dims)
       .select(col("q_id"), col("neighbor_id"))
     val ivfadc = ivfPqTopK(emb, idCol, vecCol, nCentroids, probePred, k,
-        dims = dims, model = model)
+        m = pqM, dims = dims, model = model)
       .select(col("q_id"), col("neighbor_id"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     def row(method: String, approx: DataFrame): DataFrame =

@@ -281,12 +281,15 @@ object ExtensionQueries {
       |comp AS (SELECT u AS node, least(u, min(v)) AS component
       |  FROM reach GROUP BY u)""".stripMargin
 
-  /** Shared oracle for ann_ivf_pq AND ann_ivf_pq_indexed — trained
-    * model + multi-probe bucketing + PQ encode + ADC scoring; the
-    * persisted-codes probe must be byte-identical to the direct
-    * computation, so both registrations state the same SQL.
+  /** Shared oracle for the ann_ivf_pq family — trained model +
+    * multi-probe bucketing + PQ encode + ADC scoring, parameterized
+    * by the subspace count m (dsub = 64/m): ann_ivf_pq and
+    * ann_ivf_pq_indexed state it at m=8 (the persisted-codes probe
+    * must be byte-identical to the direct computation, so both state
+    * the same SQL), ann_ivf_pq_m16 at m=16.
     */
-  private lazy val annIvfPqSql: String =
+  private def annIvfPqSqlFor(m: Int): String = {
+    val dsub = 64 / m
     s"""WITH $embCte,
        |${ivfTrainedCtes("TRUE")},
        |qb AS (SELECT q_id, bucket FROM (
@@ -296,11 +299,11 @@ object ExtensionQueries {
        |  FROM n p CROSS JOIN centv c
        |  WHERE p.vec_id BETWEEN 100 AND 109) WHERE rn <= 3),
        |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
-       |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
-       |  FROM e, UNNEST(range(0, 8)) AS r(m)),
+       |    v[CAST(r.m*$dsub+1 AS INTEGER):CAST(r.m*$dsub+$dsub AS INTEGER)] AS sv
+       |  FROM e, UNNEST(range(0, $m)) AS r(m)),
        |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 256),
        |dist AS (SELECT s.vec_id, s.m, c.cid,
-       |    list_reduce(list_transform(range(1, 9),
+       |    list_reduce(list_transform(range(1, ${dsub + 1}),
        |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
        |  FROM sub s JOIN cb c USING (m)),
        |codes AS (SELECT vec_id, m, cid FROM (
@@ -308,7 +311,7 @@ object ExtensionQueries {
        |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
        |  FROM dist) WHERE rn = 1),
        |md AS (SELECT qb.q_id, c.vec_id AS neighbor_id, ma.bucket, c.m,
-       |    list_reduce(list_transform(range(1, 9),
+       |    list_reduce(list_transform(range(1, ${dsub + 1}),
        |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
        |  FROM qb JOIN asg ma ON ma.bucket = qb.bucket
        |  JOIN codes c ON c.vec_id = ma.vec_id
@@ -323,6 +326,8 @@ object ExtensionQueries {
        |      PARTITION BY q_id ORDER BY adc_dot DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
+  }
+  private lazy val annIvfPqSql: String = annIvfPqSqlFor(8)
 
   /** The trained IVF model shared by ann_ivf / ann_ivf_pq /
     * ann_recall — one (application, sf dir) trains ONCE
@@ -1109,6 +1114,22 @@ object ExtensionQueries {
         nCentroids = NCENT_IVF)
       graft.ops.AnnIndex.ensurePq(s, idx)
       graft.ops.AnnIndex.probePq(s, idx, col("vec_id").between(100, 109), k = 3)
+        .orderBy("q_id", "rank")
+    },
+
+    /** ann_ivf_pq_m16 — IVFADC at 16 subspaces (16 one-byte codes =
+      * 16 B/vector, still 16× smaller than the float32 form): the
+      * MEASURED better point on the recall/bandwidth curve for this
+      * corpus — recall@5 ivfadc 0.54 → 0.70 at the gate scale (0.40 →
+      * 0.52 at sf0.1) for 2× the per-candidate bytes; m=32 reaches
+      * 0.78 but at 32 B/vector exceeds the ≤16 B budget, and the
+      * remaining gap to ivf's exact-cosine 0.88 stays quantization,
+      * not candidate loss (pq m=16 full-corpus ADC = 0.78). Same
+      * trained model, same seeding rule, dsub = 4. */
+    Q("ann_ivf_pq_m16", annIvfPqSqlFor(16)) { (s, dir) =>
+      Similarity.ivfPqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+          nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3,
+          m = 16, model = ivfModel(s, dir))
         .orderBy("q_id", "rank")
     },
 
