@@ -249,6 +249,64 @@ object Corpus {
       .limit(k)
   }
 
+  /** Iterative BPE merge training — `rounds` deterministic merge
+    * steps, the training loop [[bigramPairsTopK]] is one step of:
+    * each round counts adjacent token pairs across the corpus
+    * (distributed aggregate, map-side combined), elects the top pair
+    * by (count DESC, l_tok, r_tok) — a 1-row driver collect, the only
+    * driver-side state — and REWRITES the working corpus with that
+    * pair merged greedily left-to-right (classic BPE order), so round
+    * r+1 counts pairs over merged tokens. The corpus stays distributed
+    * throughout; per-round cost is one pair aggregate + one codegen'd
+    * string rewrite.
+    *
+    * The merge is a LITERAL string rewrite with both engines' exact
+    * semantics: the working text is space-doubled (every token owns
+    * its delimiters, so adjacent occurrences of the pair never share
+    * a boundary space), the pair pattern replaced left-to-right
+    * non-overlapping — precisely BPE's greedy order ("a a a" merges
+    * once) — and whitespace re-normalized. The merged token joins
+    * its parts with `sep` ('+', absent from the corpus vocabulary),
+    * so later rounds can elect pairs involving merged tokens.
+    * Returns one row per round: (round, l_tok, r_tok, n_pairs) —
+    * the merge table a tokenizer trainer persists.
+    */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               rounds: Int, sep: String = "+"): DataFrame = {
+    require(rounds >= 1, s"bpeTrain: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs.select(TextOps.normalized(col(textCol)).as("txt"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val ts = col("ts")
+      val pairIdx = when(size(ts) < 2, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), size(ts) - 1))
+      val top = cur.select(TextOps.tokens(col("txt")).as("ts"))
+        .select(explode(transform(pairIdx, i =>
+          struct(element_at(ts, i).as("l"), element_at(ts, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l_tok"), col("p.r").as("r_tok"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("l_tok").asc, col("r_tok").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rt, n))
+        val doubled = concat(lit(" "),
+          org.apache.spark.sql.functions.replace(
+            col("txt"), lit(" "), lit("  ")), lit(" "))
+        val merged = org.apache.spark.sql.functions.replace(
+          doubled, lit(s" $l  $rt "), lit(s" $l$sep$rt "))
+        cur = cur.select(trim(regexp_replace(merged, " +", " ")).as("txt"))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "l_tok", "r_tok", "n_pairs")
+  }
+
   /** Unigram language-model quality score — the model-based filter
     * (KenLM-perplexity stand-in) of a pretraining pipeline, log-free
     * so the score is a pure rational of corpus counts:

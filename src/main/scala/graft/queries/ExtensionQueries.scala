@@ -1694,6 +1694,50 @@ object ExtensionQueries {
         .orderBy(col("n_pairs").desc, col("l_tok").asc, col("r_tok").asc)
     },
 
+    /** text_bpe_train — k=3 ITERATIVE BPE merge rounds
+      * (Corpus.bpeTrain): per round, a distributed adjacent-pair
+      * count elects the top pair (count DESC, then lexicographic — a
+      * 1-row driver collect), and the corpus is rewritten with that
+      * pair merged greedily left-to-right before the next round
+      * counts pairs over merged tokens. Exchanges carry token pair
+      * strings through one map-side-combined aggregate per round;
+      * the corpus never leaves the executors. The oracle unrolls the
+      * same three rounds, with the merge stated as the identical
+      * space-doubled literal replace (greedy left-to-right in both
+      * engines by construction). */
+    Q("text_bpe_train", {
+      def pairCtes(i: Int, src: String) =
+        s"""tok$i AS (SELECT string_split(txt, ' ') AS ts FROM $src),
+           |pc$i AS (SELECT ts[CAST(u.i AS INTEGER)] AS l_tok,
+           |    ts[CAST(u.i + 1 AS INTEGER)] AS r_tok, COUNT(*) AS n_pairs
+           |  FROM tok$i, UNNEST(range(1, greatest(len(ts)-1,0)+1)) AS u(i)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l_tok, r_tok, n_pairs FROM pc$i
+           |  ORDER BY n_pairs DESC, l_tok, r_tok LIMIT 1)""".stripMargin
+      def mergeCte(i: Int, src: String) =
+        s"""t$i AS (SELECT trim(regexp_replace(replace(
+           |    ' ' || replace(txt, ' ', '  ') || ' ',
+           |    ' ' || m$i.l_tok || '  ' || m$i.r_tok || ' ',
+           |    ' ' || m$i.l_tok || '+' || m$i.r_tok || ' '),
+           |    ' +', ' ', 'g')) AS txt
+           |  FROM $src CROSS JOIN m$i)""".stripMargin
+      s"""WITH t0 AS (SELECT lower(trim(text)) AS txt FROM documents),
+         |${pairCtes(1, "t0")},
+         |${mergeCte(1, "t0")},
+         |${pairCtes(2, "t1")},
+         |${mergeCte(2, "t1")},
+         |${pairCtes(3, "t2")}
+         |SELECT round, l_tok, r_tok, n_pairs FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, * FROM m1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM m2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), * FROM m3)
+         |ORDER BY round""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.Corpus.bpeTrain(table(s, dir, "documents"),
+          "doc_id", "text", rounds = 3)
+        .orderBy("round")
+    },
+
     /** text_unigram_lm — model-based quality scoring
       * (Corpus.unigramLmScores): each doc's mean corpus relative token
       * frequency, the log-free unigram stand-in for a KenLM perplexity

@@ -227,6 +227,25 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("lshPairs"))
   }
 
+  test("bpe train: greedy left-to-right merges, later rounds see merged tokens") {
+    // "a a a" must merge ONCE per round-1 rewrite ((a a) a — greedy
+    // from the left), and round 2's top pair must involve the merged
+    // token — the property that distinguishes iterative training from
+    // k independent pair counts
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a a b"), (3L, "a a b")
+    ).toDF("doc_id", "text")
+    val m = graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: "a a" appears 4 times (doc 1 contributes 2 overlapping
+    // pair POSITIONS but only 1 merge later; the count is positional)
+    assert(m(0) == ((1L, "a", "a", 4L)), s"round 1 was ${m(0)}")
+    // round 1 rewrite: doc1 -> "a+a a b" (greedy: first two merge,
+    // third survives), docs 2/3 -> "a+a b". Round 2 pairs: (a+a, b) x2,
+    // (a+a, a) x1, (a, b) x1 -> top = (a+a, b)
+    assert(m(1) == ((2L, "a+a", "b", 2L)), s"round 2 was ${m(1)}")
+  }
+
   test("text ops: counts, quality, fingerprint equality") {
     val out = docs.select(
       TextOps.tokenCount($"text").as("n"),
