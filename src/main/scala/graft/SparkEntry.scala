@@ -30,9 +30,16 @@ object SparkEntry {
     Views.dailyWeatherSummary(weather)
   }
 
+  /** ListMap in registry order: a plain HashMap reshuffles iteration
+    * every time a key is added, so Verify/Bench would execute each
+    * query in a different cache/GC context each round — per-query
+    * times become incomparable round over round.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.plan).toMap
+    scala.collection.immutable.ListMap(
+      registry.map(q => q.name -> q.plan): _*)
 
   def oracleSql: Map[String, String] =
-    registry.collect { case Q(name, _, Some(sql)) => name -> sql }.toMap
+    scala.collection.immutable.ListMap(
+      registry.collect { case Q(name, _, Some(sql)) => name -> sql }: _*)
 }

@@ -306,6 +306,17 @@ object Manifest {
     * as commit). Single writer per table assumed, as everywhere in
     * this family. Returns (manifests dropped, trash files deleted,
     * trash files retained).
+    *
+    * OPEN pinned readers: vacuum has no reader registry, so a
+    * [[readVersion]] plan held open across a vacuum is governed by its
+    * version — a RETAINED pin reads exactly through the sweep; a
+    * DROPPED pin fails loudly at execution (its reclaimed files are
+    * missing and `ignoreMissingFiles` stays false), never silently
+    * partial, and re-resolving it gets the named vacuumed refusal.
+    * A consumer that must outlive retention (e.g. an index-maintenance
+    * job holding a corpus snapshot) either materializes the snapshot
+    * first or sizes `retainVersions` past its window. Pinned in
+    * ManifestSpec ("vacuum vs an OPEN pinned reader").
     */
   def vacuum(spark: SparkSession, path: String,
              retainVersions: Int = KeepVersions): (Int, Int, Int) = {

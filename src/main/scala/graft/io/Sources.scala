@@ -12,23 +12,64 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Corpus table loader: `<dir>/<name>.parquet`.
-    *
-    * The corpus `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; it is read as a nanos-since-epoch long
-    * (`nanosAsLong`) and converted with integer division to micros —
-    * `ts div 1000`, never `/` (double division would lose precision at
-    * 1e18 nanos). DuckDB's reader does the same ns→µs truncation, so
-    * the oracle sees identical values.
+  /** Normalize an events `ts` column to TIMESTAMP whatever unit the
+    * parquet footer declared. The corpus has shipped both
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader only surfaces
+    * as a nanos-since-epoch long under `nanosAsLong` — and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which reads natively as
+    * TIMESTAMP_NTZ. Dispatch on the READ type, never assume a unit:
+    *  - LongType: nanos → integral `div 1000` to micros (double
+    *    division would lose precision at 1e18 nanos; DuckDB truncates
+    *    ns→µs the same way);
+    *  - TimestampNTZType: value-preserving cast (session TZ pinned
+    *    UTC);
+    *  - TimestampType: passthrough.
+    * One output type for every unit means downstream plans never
+    * re-encode unit knowledge. The target is TIMESTAMP (not NTZ)
+    * because streaming watermarks REQUIRE it
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE rejects NTZ event time).
+    */
+  def normalizeTs(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType =>
+        timestamp_micros(call_function("div", c, lit(1000L)))
+      case TimestampNTZType => c.cast(TimestampType)
+      case TimestampType    => c
+      case other => throw new IllegalArgumentException(
+        s"unsupported events ts type: $other")
+    }
+  }
+
+  /** Corpus table loader: `<dir>/<name>.parquet`. The events table's
+    * `ts` is normalized to TIMESTAMP via [[normalizeTs]] — unit
+    * detection from the footer's read type, not a hardcoded unit.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        df.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)
+      df.withColumn("ts", normalizeTs(col("ts"), df.schema("ts").dataType))
     else df
+  }
+
+  /** Streaming twin of [[table]] for the events corpus: a streaming
+    * file source needs a DECLARED schema, so the footer is probed with
+    * a schema-only batch read (no data scan) and the stream declares
+    * exactly what the footer stores, then normalizes `ts` through the
+    * same [[normalizeTs]] the batch reader uses. One reader family owns
+    * the unit; query code never does timestamp arithmetic on raw longs.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dt = schema("ts").dataType
+    if (dt == org.apache.spark.sql.types.TimestampType) stream
+    else stream.withColumn("ts", normalizeTs(col("ts"), dt))
   }
 
   /** src_csv — header CSV with declared schema; the reference re-parses

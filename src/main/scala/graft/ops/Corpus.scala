@@ -301,10 +301,68 @@ object Corpus {
         val merged = org.apache.spark.sql.functions.replace(
           doubled, lit(s" $l  $rt "), lit(s" $l$sep$rt "))
         cur = cur.select(trim(regexp_replace(merged, " +", " ")).as("txt"))
+        // the working corpus accumulates one nested replace per round —
+        // an UNBOUNDED analysis/codegen plan at tokenizer-scale k.
+        // Truncate lineage every few rounds (same pattern as the
+        // Components pointer-jumping loop); eager localCheckpoint
+        // costs one extra materialization per 4 rounds, bounded and
+        // executor-resident.
+        if (r % 4 == 0) cur = cur.localCheckpoint(true)
         r += 1
       }
     }
     merges.toSeq.toDF("round", "l_tok", "r_tok", "n_pairs")
+  }
+
+  /** BPE ENCODE — apply a LEARNED merge table to the corpus (the
+    * tokenize-with-vocab step every training-data pipeline runs after
+    * [[bpeTrain]]; reference analogue: the transform stage applying
+    * learned categorizers, src/transform.py:164-169).
+    *
+    * Works from the merge TABLE, not string rewrites: each doc's token
+    * array is scanned once per merge rule, adjacent (l, r) collapsing
+    * to l+sep+r greedily left-to-right ("a a a" merges once) — BPE's
+    * canonical order, byte-identical to the space-doubled literal
+    * rewrite [[bpeTrain]] uses while electing. Rank-sequential apply
+    * is exact here because a merge's constituents only ever come from
+    * strictly earlier rounds (train elects over the already-merged
+    * corpus), and merging two neighbors can create adjacencies only
+    * WITH the new token, never between two old ones — so no later
+    * merge can re-enable an earlier one.
+    *
+    * Scale: the merge table is driver-held and broadcast inside the
+    * function closure (a tokenizer vocabulary is ≤100k rows — model
+    * metadata, not data); the corpus is touched in ONE distributed
+    * pass, per-doc cost O(len · merges) with zero driver round trips —
+    * unlike training's one aggregate+collect per round. The scan loop
+    * is a deterministic per-row function with no built-in equivalent
+    * (iterative array rewriting), hence a Scala UDF rather than
+    * mapPartitions: it stays inside the row pipeline and prunes to
+    * exactly (id, tokens).
+    */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)],
+               sep: String = "+"): DataFrame = {
+    val encode = udf { toks: Seq[String] =>
+      var cur = toks
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == l && cur(i + 1) == r) {
+            out += (l + sep + r); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        cur = out.toSeq
+      }
+      cur
+    }
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("__raw"))
+      .withColumn("__enc", encode(col("__raw")))
+      .select(col("doc_id"), col("__enc").as("toks"),
+        size(col("__raw")).cast("long").as("n_raw"),
+        size(col("__enc")).cast("long").as("n_enc"))
   }
 
   /** Unigram language-model quality score — the model-based filter

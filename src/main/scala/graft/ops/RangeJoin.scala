@@ -16,13 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Micros-since-epoch for either timestamp flavor: `unix_micros`
+    * rejects TIMESTAMP_NTZ, so NTZ casts to TIMESTAMP first — the
+    * session TZ is pinned UTC, making the cast value-preserving.
+    */
+  private def micros(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col(tsCol))
+    }
+
   def withinInterval(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String,
                      maxDeltaSeconds: Long): DataFrame = {
     val width = maxDeltaSeconds * 1000000L // µs buckets
-    val lb = left.withColumn("__lus", unix_micros(col(leftTs)))
+    val lb = left.withColumn("__lus", micros(left, leftTs))
       .withColumn("__bucket", floor(col("__lus") / width))
-    val rb = right.withColumn("__rus", unix_micros(col(rightTs)))
+    val rb = right.withColumn("__rus", micros(right, rightTs))
       .withColumn("__bucket", explode(array(
         floor(col("__rus") / width) - 1,
         floor(col("__rus") / width),

@@ -1738,6 +1738,50 @@ object ExtensionQueries {
         .orderBy("round")
     },
 
+    /** text_bpe_apply — ENCODE the corpus with the learned merge table
+      * (Corpus.bpeApply): train's k=3 merges are collected (model
+      * metadata, k rows) and applied in rank order in ONE distributed
+      * pass — broadcast merge list, per-doc greedy left-to-right array
+      * merging, zero driver round trips over the corpus. The oracle
+      * replays the same three merges as the train oracle's literal
+      * rewrites (byte-identical greedy semantics) and counts tokens
+      * before/after. */
+    Q("text_bpe_apply", {
+      def pairCtes(i: Int, src: String) =
+        s"""tok$i AS (SELECT string_split(txt, ' ') AS ts FROM $src),
+           |pc$i AS (SELECT ts[CAST(u.i AS INTEGER)] AS l_tok,
+           |    ts[CAST(u.i + 1 AS INTEGER)] AS r_tok, COUNT(*) AS n_pairs
+           |  FROM tok$i, UNNEST(range(1, greatest(len(ts)-1,0)+1)) AS u(i)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l_tok, r_tok, n_pairs FROM pc$i
+           |  ORDER BY n_pairs DESC, l_tok, r_tok LIMIT 1)""".stripMargin
+      def mergeCte(i: Int, src: String) =
+        s"""t$i AS (SELECT doc_id, trim(regexp_replace(replace(
+           |    ' ' || replace(txt, ' ', '  ') || ' ',
+           |    ' ' || m$i.l_tok || '  ' || m$i.r_tok || ' ',
+           |    ' ' || m$i.l_tok || '+' || m$i.r_tok || ' '),
+           |    ' +', ' ', 'g')) AS txt
+           |  FROM $src CROSS JOIN m$i)""".stripMargin
+      s"""WITH t0 AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+         |${pairCtes(1, "t0")},
+         |${mergeCte(1, "t0")},
+         |${pairCtes(2, "t1")},
+         |${mergeCte(2, "t1")},
+         |${pairCtes(3, "t2")},
+         |${mergeCte(3, "t2")}
+         |SELECT t0.doc_id,
+         |  CAST(len(string_split(t0.txt, ' ')) AS BIGINT) AS n_raw,
+         |  CAST(len(string_split(t3.txt, ' ')) AS BIGINT) AS n_enc
+         |FROM t0 JOIN t3 USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val m = graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Corpus.bpeApply(docs, "doc_id", "text", m)
+        .select("doc_id", "n_raw", "n_enc").orderBy("doc_id")
+    },
+
     /** text_unigram_lm — model-based quality scoring
       * (Corpus.unigramLmScores): each doc's mean corpus relative token
       * frequency, the log-free unigram stand-in for a KenLM perplexity

@@ -18,22 +18,14 @@ object StreamingQueries {
 
   private val runId = new AtomicLong(0)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   val all: Seq[Q] = Seq(
     Q("stream_windowed_counts",
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
-      // streaming file sources need a declared schema; the corpus
-      // events.ts is TIMESTAMP(NANOS) → long + explicit µs conversion
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val stream = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // the shared unit-detecting events reader (Sources.eventsStream)
+      // owns the ts unit — query code never divides raw longs
+      val stream = graft.io.Sources.eventsStream(s, dir)
       val agg = stream
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -62,10 +54,7 @@ object StreamingQueries {
         |  AND c.event_type = 'click' AND v.event_type = 'view'
         |  AND v.ts >= c.ts - INTERVAL 60 MINUTE AND v.ts < c.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val base = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val base = graft.io.Sources.eventsStream(s, dir)
       val clicks = base.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -106,10 +95,7 @@ object StreamingQueries {
         |    ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val stream = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = graft.io.Sources.eventsStream(s, dir)
         .select("user_id", "event_type", "event_id", "value", "ts")
       val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
         .toString + s"/t${runId.incrementAndGet()}"
@@ -138,10 +124,7 @@ object StreamingQueries {
     Q("stream_dedup",
       """SELECT DISTINCT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour
         |FROM events ORDER BY user_id, ts_hour""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val stream = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = graft.io.Sources.eventsStream(s, dir)
         .select("user_id", "ts")
       val dd = graft.streaming.StreamingOps.dedupHourlyStream(
         stream, keys = Seq("user_id"), tsCol = "ts")

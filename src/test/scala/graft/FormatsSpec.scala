@@ -23,7 +23,10 @@ class FormatsSpec extends SparkSpec {
       Schemas.weather.fields.filter(f =>
         Seq("city", "country", "timestamp", "temperature").contains(f.name))))
     assert(back.count() == df.count())
-    assert(back.schema("timestamp").dataType.typeName == "timestamp")
+    // the DECLARED read schema wins for CSV; accept either timestamp
+    // flavor so a corpus unit change never breaks the round trip
+    assert(Set("timestamp", "timestamp_ntz")(
+      back.schema("timestamp").dataType.typeName))
   }
 
   test("json sink round-trips") {
@@ -38,7 +41,12 @@ class FormatsSpec extends SparkSpec {
     Sinks.parquet(weather, dir)
     val back = spark.read.parquet(dir)
     assert(back.count() == weather.count())
-    assert(back.schema("timestamp").dataType.typeName == "timestamp")
+    // fidelity = the written type reads back EXACTLY, whichever
+    // timestamp flavor the pipeline produced from the corpus unit
+    assert(back.schema("timestamp").dataType ==
+      weather.schema("timestamp").dataType)
+    assert(Set("timestamp", "timestamp_ntz")(
+      back.schema("timestamp").dataType.typeName))
   }
 
   test("date-partitioned append prunes partitions on read") {

@@ -189,6 +189,55 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.vacuum(spark, dir, retainVersions = 1) == ((0, 0, 0)))
   }
 
+  test("vacuum vs an OPEN pinned reader: retained pin stays exact, dropped pin fails loudly, never partial") {
+    // the composition an index-maintenance consumer creates: a snapshot
+    // plan (readVersion) constructed BEFORE a vacuum and executed AFTER
+    // it — the shape of dedup_incremental_indexed's standing-corpus
+    // reader held across a maintenance window. Vacuum cannot see open
+    // readers (no lock protocol, single writer assumed); the contract
+    // is therefore per-version: a pin on a RETAINED version reads
+    // exactly through the sweep, a pin on a DROPPED version must fail
+    // loudly at execution (its reclaimed files are missing and
+    // ignoreMissingFiles stays false) — silent partial results are the
+    // one forbidden outcome.
+    val dir = Files.createTempDirectory("graft_manifest_pin").toString + "/t"
+    val base = Seq(
+      ("London", "GB", 1L, 15.5, "2023-11-01"),
+      ("Tokyo", "JP", 1L, 22.3, "2023-11-02")
+    ).toDF("city", "country", "ts", "temp", "date")
+    Sinks.upsertPartitioned(spark, base, dir, keys, "date") // v1
+    Sinks.upsertPartitioned(spark,
+      Seq(("Tokyo", "JP", 1L, 30.0, "2023-11-02"))
+        .toDF("city", "country", "ts", "temp", "date"), dir, keys, "date") // v2
+    Sinks.upsertPartitioned(spark,
+      Seq(("Tokyo", "JP", 1L, 31.0, "2023-11-02"))
+        .toDF("city", "country", "ts", "temp", "date"), dir, keys, "date") // v3
+
+    // (v1's superseded file was already reclaimed by v3's implicit
+    // write-time sweep — the window that stays pinnable is the trailing
+    // retention, so the open pins are v2 and v3)
+    val pinnedDrop = Manifest.readVersion(spark, dir, 2L)
+    val pinnedKeep = Manifest.readVersion(spark, dir, 3L)
+    val (d, _, _) = Manifest.vacuum(spark, dir, retainVersions = 1)
+    assert(d >= 1, s"expected v2 (at least) dropped, got $d")
+
+    // retained open pin: exact through the sweep
+    assert(mtemps(pinnedKeep) == Map("London" -> 15.5, "Tokyo" -> 31.0),
+      "a retained pinned snapshot must read exactly after vacuum")
+    // dropped open pin: either the plan throws (reclaimed file) or —
+    // had the sweep happened to keep every file — reads EXACTLY; a
+    // partial table fails this match on the Left branch
+    (try Left(mtemps(pinnedDrop)) catch { case e: Exception => Right(e) }) match {
+      case Left(m) => assert(m == Map("London" -> 15.5, "Tokyo" -> 30.0),
+        s"dropped pin returned a PARTIAL table: $m")
+      case Right(_) => () // loud failure is the expected outcome
+    }
+    // and a RE-derived pin on the dropped version refuses by name
+    val e = intercept[IllegalStateException](
+      Manifest.readVersion(spark, dir, 2L).count())
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("all-trash snapshot types partition columns from the committed #ptype header") {
     val dir = Files.createTempDirectory("graft_manifest_pt").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(dir)

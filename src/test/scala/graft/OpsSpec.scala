@@ -246,6 +246,46 @@ class OpsSpec extends SparkSpec {
     assert(m(1) == ((2L, "a+a", "b", 2L)), s"round 2 was ${m(1)}")
   }
 
+  test("bpe apply: encode with learned merges reconstructs the normalized text") {
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "A a b "), (3L, "a a b c"), (4L, "x")
+    ).toDF("doc_id", "text")
+    val merges = graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", rounds = 3)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = graft.ops.Corpus.bpeApply(docs, "doc_id", "text", merges)
+    // greedy semantics: doc1 "a a a b" -> round1 (a,a): "a+a a b";
+    // if (a+a,b) ranks next it does NOT touch doc1's "a b" tail
+    val byId = enc.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Seq[String]]("toks")).toMap
+    assert(byId(1L).head == "a+a", s"doc1 was ${byId(1L)}")
+    // the reconstruction property: encoded tokens joined by ' ' with
+    // the sep unfolded equal the normalized input — encode never
+    // drops, duplicates, or reorders a token
+    val recon = enc.select(col("doc_id"),
+        replace(concat_ws(" ", col("toks")), lit("+"), lit(" ")).as("r"))
+      .join(docs.select(col("doc_id"), lower(trim(col("text"))).as("t")), "doc_id")
+      .filter(col("r") =!= col("t")).count()
+    assert(recon == 0, "encode must reconstruct the normalized text")
+    // counts are consistent: every merge removes exactly one token
+    enc.select(col("n_raw") - col("n_enc"), size(col("toks")) === col("n_enc"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) >= 0 && r.getBoolean(1))
+      }
+  }
+
+  test("bpe train: k=50 rounds run without plan-depth blowup") {
+    // the per-round nested-replace lineage is truncated every 4 rounds
+    // (localCheckpoint) — at tokenizer-scale round counts the plan must
+    // stay bounded; this would hang/StackOverflow without truncation
+    val docs = Seq.tabulate(20)(i => (i.toLong, s"w${i % 3} w${i % 5} w${i % 3} e$i"))
+      .toDF("doc_id", "text")
+    val m = graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", rounds = 50)
+    // tiny vocab exhausts before 50 rounds — the loop must stop on its
+    // own and still return every elected merge
+    val n = m.count()
+    assert(n >= 3 && n <= 50, s"got $n merges")
+  }
+
   test("text ops: counts, quality, fingerprint equality") {
     val out = docs.select(
       TextOps.tokenCount($"text").as("n"),

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import graft.io.Sources
 
 /** JSON-parse source semantics (reference: src/ingest.py:152-169,
@@ -50,9 +51,57 @@ class SourcesSpec extends SparkSpec {
     assert(cities.filter($"city" === "London").count() == 1)
   }
 
-  test("corpus events reader converts nanos to a usable timestamp") {
+  test("corpus events reader normalizes ts to TIMESTAMP whatever the unit") {
     val e = Sources.table(spark, sf, "events")
-    assert(e.schema("ts").dataType.typeName == "timestamp")
+    assert(e.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
     assert(e.selectExpr("max(ts)").first().getTimestamp(0) != null)
+  }
+
+  test("batch and streaming events readers agree across µs and ns units") {
+    // the same instants stored two ways: TIMESTAMP(MICROS, NTZ) — the
+    // current corpus — and nanos-as-int64, which is how Spark surfaces
+    // a TIMESTAMP(NANOS) footer under nanosAsLong; both must normalize
+    // to identical TIMESTAMP values through Sources.table AND
+    // Sources.eventsStream, so a corpus regeneration that flips the
+    // unit is a no-op for every query downstream
+    import org.apache.spark.sql.functions._
+    val microsOfT0 = 1699358400000000L // 2023-11-07T12:00:00 UTC
+    val rows = (0L until 5L).map(i =>
+      (i, microsOfT0 + i * 61000000L, i % 2, s"e$i", i * 1.5, "{}"))
+    val base = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+
+    def writeEvents(df: org.apache.spark.sql.DataFrame): String = {
+      // a single FILE named events.parquet, like the corpus layout
+      val root = Files.createTempDirectory("graft_units").toString
+      val stage = s"$root/stage"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(s"$root/events.parquet")))
+      root
+    }
+    val usDir = writeEvents(base.withColumn("ts",
+        timestamp_micros(col("us")).cast("timestamp_ntz")).drop("us"))
+    val nsDir = writeEvents(base.withColumn("ts", col("us") * 1000L).drop("us"))
+
+    def batchVals(dir: String) =
+      Sources.table(spark, dir, "events").select("event_id", "ts")
+        .orderBy("event_id").collect().toSeq
+    assert(batchVals(usDir) == batchVals(nsDir))
+
+    def streamVals(dir: String) = {
+      val s = Sources.eventsStream(spark, dir)
+      assert(s.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val name = s"units_${dir.replaceAll("[^a-zA-Z0-9]", "")}"
+      val q = s.select("event_id", "ts").writeStream.format("memory")
+        .queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).orderBy("event_id").collect().toSeq
+    }
+    assert(streamVals(usDir) == streamVals(nsDir))
+    assert(streamVals(usDir) == batchVals(usDir))
   }
 }
