@@ -182,10 +182,36 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // corpus dimensions — row/byte counts per input table, emitted in
+    // the artifact so a per-query slowdown is attributable from
+    // artifacts alone (driver-regenerated corpus growth vs a real
+    // regression). Counts are parquet-metadata reads, not scans.
+    val corpusJson = Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+      .flatMap { t =>
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        if (!f.exists) None
+        else {
+          val bytes =
+            if (f.isDirectory)
+              f.listFiles.filter(_.isFile).map(_.length).sum
+            else f.length
+          val rows = spark.read.parquet(f.getPath).count()
+          Some(s""""$t":{"rows":$rows,"bytes":$bytes}""")
+        }
+      }.mkString("{", ",", "}")
     // registry order (SparkEntry.queries is a ListMap): stable and
     // family-grouped, so a new key shifts only its own neighborhood —
-    // per-query times stay comparable round over round
+    // per-query times stay comparable round over round. NOTE: rounds
+    // <= 10 (pre-3632d3d) ran alphabetically — exec_order marks the
+    // discontinuity; treat round 10 as the per-query baseline epoch.
+    // Profiling subset: SPARK_GRAFT_BENCH_ONLY=q1,q2 times only those
+    // (the driver never sets it; set SPARK_GRAFT_BENCH_OUT too, or the
+    // partial artifact replaces the full local baseline).
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => benchOnly.forall(_.contains(n)) }
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -236,6 +262,7 @@ object Bench {
       s""""retried":${retried.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""retry_times":$retryTimes,""" +
       s""""baseline_common_ratio":${ratio.map(_.toString).getOrElse("null")},""" +
+      s""""exec_order":"registry","corpus":$corpusJson,""" +
       s""""gc_ms":${gcMs1 - gcMs0},"gc_count":${gcN1 - gcN0}}"""
     val fixedFloor = Guards.fixedFloorSeconds(curTimes)
     val json =

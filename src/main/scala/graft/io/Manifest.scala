@@ -72,6 +72,25 @@ object Manifest {
   private def nameOf(v: Long) = f"v$v%012d.list"
   private val NameRe = "^v(\\d{12})\\.list$".r
 
+  /** Dropping a manifest from retention leaves a TOMBSTONE
+    * (`v{N}.list.vacuumed` — rename, same atomic metadata op as
+    * commit) instead of deleting it: a reader re-deriving the dropped
+    * version must get the named vacuumed refusal, not the
+    * indistinguishable-from-a-typo "no manifest". Tombstones are
+    * excluded from [[versions]] by the name pattern and cost one
+    * empty-file-sized entry each, bounded by total commits ever made.
+    */
+  private def tombstoneOf(v: Long) = nameOf(v) + ".vacuumed"
+
+  private def dropManifest(fs: FileSystem, md: Path, v: Long): Unit = {
+    val src = new Path(md, nameOf(v))
+    if (fs.exists(src)) {
+      val dst = new Path(md, tombstoneOf(v))
+      if (fs.exists(dst)) fs.delete(src, false)
+      else if (!fs.rename(src, dst)) fs.delete(src, false)
+    }
+  }
+
   /** The manifest directory, resolved live or — the window inside a
     * [[graft.ops.Layout.rewriteInPlace]] swap where the whole root
     * (history included) sits in the relayout trash — from the trash
@@ -170,7 +189,7 @@ object Manifest {
     require(fs.rename(tmp, new Path(md, nameOf(v))),
       s"Manifest.commit: rename to ${nameOf(v)} failed")
     versions(spark, path).dropRight(KeepVersions)
-      .foreach(old => fs.delete(new Path(md, nameOf(old)), false))
+      .foreach(old => dropManifest(fs, md, old))
     v
   }
 
@@ -192,10 +211,20 @@ object Manifest {
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val mf = resolveManifestDir(fs, root).map(new Path(_, nameOf(version)))
-      .filter(fs.exists)
-      .getOrElse(throw new IllegalArgumentException(
-        s"Manifest.readVersion: no manifest v$version under $path"))
+    val mdOpt = resolveManifestDir(fs, root)
+    val mf = mdOpt.map(new Path(_, nameOf(version))).filter(fs.exists)
+      .getOrElse {
+        // dropped-by-retention leaves a tombstone: refuse BY NAME so a
+        // stale pin re-derived after a vacuum learns the fix
+        // (re-resolve latest) instead of "no manifest"
+        if (mdOpt.exists(d => fs.exists(new Path(d, tombstoneOf(version)))))
+          throw new IllegalStateException(
+            s"Manifest.readVersion: snapshot v$version of $path was " +
+              "vacuumed by a retention pass — re-resolve the latest " +
+              "version (Manifest.read)")
+        throw new IllegalArgumentException(
+          s"Manifest.readVersion: no manifest v$version under $path")
+      }
     val in = fs.open(mf)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList finally in.close()
@@ -355,8 +384,7 @@ object Manifest {
     val vs = versions(spark, path)
     val dropped = vs.dropRight(retainVersions)
     val md = resolveManifestDir(fs, root)
-    dropped.foreach(v => md.foreach(d =>
-      fs.delete(new Path(d, nameOf(v)), false)))
+    dropped.foreach(v => md.foreach(d => dropManifest(fs, d, v)))
     // 3. the retained snapshots' referenced set: (relDir, name) →
     //    accepted (len, mtime) identities
     val retained = versions(spark, path)

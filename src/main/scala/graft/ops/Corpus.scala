@@ -276,7 +276,14 @@ object Corpus {
     require(rounds >= 1, s"bpeTrain: rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
-    var cur = docs.select(TextOps.normalized(col(textCol)).as("txt"))
+    // multi-space runs collapse BEFORE round 1 (not only in the
+    // per-round rewrite): every BPE path — train, incremental train,
+    // apply, and both oracles' t0 — tokenizes the same whitespace-
+    // normal form, so a doubled-space doc can never make round-1
+    // elect a pair involving the empty token that later rounds (and
+    // encode) would not see
+    var cur = docs.select(
+      regexp_replace(TextOps.normalized(col(textCol)), " +", " ").as("txt"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -358,11 +365,129 @@ object Corpus {
       cur
     }
     docs.select(col(idCol).as("doc_id"),
-        TextOps.tokens(TextOps.normalized(col(textCol))).as("__raw"))
+        // same whitespace-normal form as [[bpeTrain]]'s t0 — encode
+        // must tokenize exactly what train counted (a doubled space
+        // would otherwise leave empty tokens that block adjacency
+        // here but not in training's collapsed rewrite)
+        TextOps.tokens(regexp_replace(
+          TextOps.normalized(col(textCol)), " +", " ")).as("__raw"))
       .withColumn("__enc", encode(col("__raw")))
       .select(col("doc_id"), col("__enc").as("toks"),
         size(col("__raw")).cast("long").as("n_raw"),
         size(col("__enc")).cast("long").as("n_enc"))
+  }
+
+  /** Pair-table BPE training — the SAME merge table as [[bpeTrain]],
+    * built the way a tokenizer-scale (k = 50 000) trainer must be:
+    *
+    *  - the corpus is tokenized ONCE into executor-resident token
+    *    arrays (eager localCheckpoint — round r never re-derives
+    *    rounds 1..r-1's rewrites, so plan depth is O(1) per round,
+    *    not O(r));
+    *  - the corpus-wide pair-count table is built ONCE and then
+    *    maintained INCREMENTALLY: each round's single distributed
+    *    pass merges the elected pair greedily left-to-right per doc
+    *    (the scan [[bpeApply]] proves) and emits that doc's exact
+    *    pair-count DELTA (new-minus-old pair multiset — empty for
+    *    the untouched majority), which folds into the standing table
+    *    with one small full-outer join. No per-round full recount,
+    *    no per-round full-corpus string rewrite.
+    *
+    * Per-round cost: one corpus map (cheap for non-matching docs — a
+    * token scan, no allocation), one delta aggregate sized by the
+    * AFFECTED docs only, one pair-table join (vocabulary²-bounded,
+    * observed-pairs-sized in practice), and the 1-row election
+    * collect that any sequential BPE trainer pays. [[bpeTrain]]'s
+    * per-round cost is a full pair recount (corpus-sized exchange
+    * every round) — at k=50 equal-ish, at tokenizer k the recount is
+    * the difference between O(k·corpus) exchange bytes and
+    * O(corpus + k·affected).
+    *
+    * Election ties and exhaustion match [[bpeTrain]] exactly
+    * (count DESC, l_tok, r_tok; stop when no pair remains), so the
+    * returned merge table is identical — pinned in OpsSpec.
+    */
+  def bpeTrainIncremental(docs: DataFrame, idCol: String, textCol: String,
+                          rounds: Int, sep: String = "+",
+                          checkpointEvery: Int = 8): DataFrame = {
+    require(rounds >= 1,
+      s"bpeTrainIncremental: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var corpus = docs.select(TextOps.tokens(regexp_replace(
+        TextOps.normalized(col(textCol)), " +", " ")).as("ts"))
+      .localCheckpoint(true)
+    def pairCount(df: DataFrame): DataFrame = {
+      val ts = col("ts")
+      val pairIdx = when(size(ts) < 2, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), size(ts) - 1))
+      df.select(explode(transform(pairIdx, i =>
+          struct(element_at(ts, i).as("l"), element_at(ts, i + 1).as("r"))))
+          .as("p"))
+        .groupBy(col("p.l").as("l_tok"), col("p.r").as("r_tok"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }
+    var pairs = pairCount(corpus).localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairs.orderBy(col("n_pairs").desc, col("l_tok").asc,
+        col("r_tok").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rt, n))
+        // one pass: merge the elected pair per doc AND emit the doc's
+        // exact pair-count delta (multiset difference — bulletproof
+        // against chained/overlapping occurrences, O(len) per doc)
+        val mergeOne = udf { toks: Seq[String] =>
+          var hit = false
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == rt) {
+              out += (l + sep + rt); hit = true; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          if (!hit) (toks, Seq.empty[(String, String, Long)])
+          else {
+            val d = scala.collection.mutable.HashMap
+              .empty[(String, String), Long]
+            var j = 0
+            while (j + 1 < out.length) {
+              val k = (out(j), out(j + 1)); d(k) = d.getOrElse(k, 0L) + 1; j += 1
+            }
+            j = 0
+            while (j + 1 < toks.length) {
+              val k = (toks(j), toks(j + 1)); d(k) = d.getOrElse(k, 0L) - 1; j += 1
+            }
+            (out.toSeq, d.iterator.collect {
+              case ((dl, dr), dn) if dn != 0L => (dl, dr, dn)
+            }.toSeq)
+          }
+        }
+        val step = corpus.select(mergeOne(col("ts")).as("m"))
+          .select(col("m._1").as("ts"), col("m._2").as("deltas"))
+          .localCheckpoint(true)
+        val delta = step.select(explode(col("deltas")).as("d"))
+          .groupBy(col("d._1").as("l_tok"), col("d._2").as("r_tok"))
+          .agg(sum(col("d._3")).as("dn"))
+        pairs = pairs.join(delta, Seq("l_tok", "r_tok"), "full_outer")
+          .select(col("l_tok"), col("r_tok"),
+            (coalesce(col("n_pairs"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n_pairs"))
+          .filter(col("n_pairs") > 0)
+        corpus = step.select(col("ts"))
+        // the pair table's lineage grows one join per round; the
+        // corpus is already truncated by the per-step checkpoint
+        if (r % checkpointEvery == 0) pairs = pairs.localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "l_tok", "r_tok", "n_pairs")
   }
 
   /** Unigram language-model quality score — the model-based filter

@@ -1721,7 +1721,8 @@ object ExtensionQueries {
            |    ' ' || m$i.l_tok || '+' || m$i.r_tok || ' '),
            |    ' +', ' ', 'g')) AS txt
            |  FROM $src CROSS JOIN m$i)""".stripMargin
-      s"""WITH t0 AS (SELECT lower(trim(text)) AS txt FROM documents),
+      s"""WITH t0 AS (SELECT regexp_replace(lower(trim(text)), ' +', ' ', 'g')
+         |    AS txt FROM documents),
          |${pairCtes(1, "t0")},
          |${mergeCte(1, "t0")},
          |${pairCtes(2, "t1")},
@@ -1734,6 +1735,46 @@ object ExtensionQueries {
          |ORDER BY round""".stripMargin
     }) { (s, dir) =>
       graft.ops.Corpus.bpeTrain(table(s, dir, "documents"),
+          "doc_id", "text", rounds = 3)
+        .orderBy("round")
+    },
+
+    /** text_bpe_train_fast — the SAME 3 merge rounds via the
+      * pair-table incremental trainer (Corpus.bpeTrainIncremental):
+      * corpus tokenized once, pair counts maintained from per-doc
+      * deltas instead of a per-round full recount — the k=50 000
+      * training shape. Same oracle as text_bpe_train: the merge
+      * tables are identical by construction (pinned in OpsSpec). */
+    Q("text_bpe_train_fast", {
+      def pairCtes(i: Int, src: String) =
+        s"""tok$i AS (SELECT string_split(txt, ' ') AS ts FROM $src),
+           |pc$i AS (SELECT ts[CAST(u.i AS INTEGER)] AS l_tok,
+           |    ts[CAST(u.i + 1 AS INTEGER)] AS r_tok, COUNT(*) AS n_pairs
+           |  FROM tok$i, UNNEST(range(1, greatest(len(ts)-1,0)+1)) AS u(i)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l_tok, r_tok, n_pairs FROM pc$i
+           |  ORDER BY n_pairs DESC, l_tok, r_tok LIMIT 1)""".stripMargin
+      def mergeCte(i: Int, src: String) =
+        s"""t$i AS (SELECT trim(regexp_replace(replace(
+           |    ' ' || replace(txt, ' ', '  ') || ' ',
+           |    ' ' || m$i.l_tok || '  ' || m$i.r_tok || ' ',
+           |    ' ' || m$i.l_tok || '+' || m$i.r_tok || ' '),
+           |    ' +', ' ', 'g')) AS txt
+           |  FROM $src CROSS JOIN m$i)""".stripMargin
+      s"""WITH t0 AS (SELECT regexp_replace(lower(trim(text)), ' +', ' ', 'g')
+         |    AS txt FROM documents),
+         |${pairCtes(1, "t0")},
+         |${mergeCte(1, "t0")},
+         |${pairCtes(2, "t1")},
+         |${mergeCte(2, "t1")},
+         |${pairCtes(3, "t2")}
+         |SELECT round, l_tok, r_tok, n_pairs FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, * FROM m1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM m2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), * FROM m3)
+         |ORDER BY round""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.Corpus.bpeTrainIncremental(table(s, dir, "documents"),
           "doc_id", "text", rounds = 3)
         .orderBy("round")
     },
@@ -1762,7 +1803,9 @@ object ExtensionQueries {
            |    ' ' || m$i.l_tok || '+' || m$i.r_tok || ' '),
            |    ' +', ' ', 'g')) AS txt
            |  FROM $src CROSS JOIN m$i)""".stripMargin
-      s"""WITH t0 AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+      s"""WITH t0 AS (SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS txt
+         |  FROM documents),
          |${pairCtes(1, "t0")},
          |${mergeCte(1, "t0")},
          |${pairCtes(2, "t1")},
@@ -1778,6 +1821,13 @@ object ExtensionQueries {
       val m = graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", rounds = 3)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // the oracle unrolls exactly 3 merge CTEs; a corpus that
+      // exhausts earlier would empty its m3 and CROSS-JOIN t3 to
+      // zero rows — fail HERE with the cause instead of surfacing a
+      // confusing full-table row mismatch
+      require(m.size == 3,
+        s"text_bpe_apply: corpus exhausted after ${m.size} merge " +
+          "round(s); the 3-round oracle does not apply")
       graft.ops.Corpus.bpeApply(docs, "doc_id", "text", m)
         .select("doc_id", "n_raw", "n_enc").orderBy("doc_id")
     },

@@ -78,7 +78,8 @@ object IoQueries {
     */
   private def runUpsertPartitioned(s: org.apache.spark.sql.SparkSession,
                                    dir: String, viaManifest: Boolean,
-                                   vacuumFirst: Boolean = false) = {
+                                   vacuumFirst: Boolean = false,
+                                   pinAcrossVacuum: Boolean = false) = {
     val base = table(s, dir, "events")
       .filter(col("event_id") % 50 === 0)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -91,6 +92,10 @@ object IoQueries {
       // upsertPartitioned is exercised in SinksSpec — this row times
       // the MERGE path
       base.repartition(col("d")).write.partitionBy("d").parquet(out)
+      // the pinned-vacuum composition needs a version for the sweep to
+      // DROP: checkpoint the pre-merge table as v1 (the merge below
+      // commits v2)
+      if (pinAcrossVacuum) graft.io.Manifest.commit(s, out)
       val changed = base.filter(col("event_id") % 500 === 0)
         .withColumn("value", col("value") + 1000.0)
       val inserted = base.filter(col("event_id") % 500 === 50)
@@ -105,8 +110,27 @@ object IoQueries {
       // dropped snapshot's loud refusal is pinned in ManifestSpec
       if (vacuumFirst)
         graft.io.Manifest.vacuum(s, out, retainVersions = 1)
-      val back = if (viaManifest) graft.io.Manifest.read(s, out)
-                 else s.read.parquet(out)
+      val back =
+        if (pinAcrossVacuum) {
+          // the open-pin composition an index-maintenance consumer
+          // creates: the RETAINED snapshot's plan is built BEFORE the
+          // vacuum and executed AFTER it (the localCheckpoint below) —
+          // the oracle compare proves the pin read exactly through the
+          // sweep. The DROPPED version's re-derive must refuse BY NAME
+          // (the tombstone contract, Manifest.readVersion) — checked
+          // here so the refusal sits under the hard correctness signal,
+          // not only in ManifestSpec.
+          val v = graft.io.Manifest.latestVersion(s, out).get
+          val pinned = graft.io.Manifest.readVersion(s, out, v)
+          graft.io.Manifest.vacuum(s, out, retainVersions = 1)
+          val refusal =
+            try { graft.io.Manifest.readVersion(s, out, v - 1); null }
+            catch { case e: IllegalStateException => e.getMessage }
+          require(refusal != null && refusal.contains("vacuumed"),
+            s"dropped v${v - 1} must refuse by name, got: $refusal")
+          pinned
+        } else if (viaManifest) graft.io.Manifest.read(s, out)
+        else s.read.parquet(out)
       back
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("d").cast("date").as("d"))
@@ -242,6 +266,20 @@ object IoQueries {
       * merge bit for bit — vacuum reclaims history, never the table. */
     Q("maintain_vacuum", upsertPartitionedSql) { (s, dir) =>
       runUpsertPartitioned(s, dir, viaManifest = true, vacuumFirst = true)
+    },
+
+    /** maintain_vacuum_pinned — vacuum versus an OPEN pinned reader as
+      * a registered row: checkpoint the pre-merge table (v1), merge
+      * (v2), build v2's snapshot plan, vacuum(retainVersions=1) —
+      * which drops v1 and sweeps its trash — then EXECUTE the pinned
+      * v2 plan. The oracle compare proves the retained pin reads
+      * exactly through the sweep; inside the run, re-deriving dropped
+      * v1 must throw the tombstoned refusal naming the vacuum. Same
+      * oracle as the upsert family: vacuum reclaims history, never
+      * the table. */
+    Q("maintain_vacuum_pinned", upsertPartitionedSql) { (s, dir) =>
+      runUpsertPartitioned(s, dir, viaManifest = true,
+        pinAcrossVacuum = true)
     },
 
     /** sink_jdbc_insert (reference: src/load.py:319-343): nation →

@@ -286,6 +286,51 @@ class OpsSpec extends SparkSpec {
     assert(n >= 3 && n <= 50, s"got $n merges")
   }
 
+  test("bpe incremental train: merge table identical to the iterative trainer") {
+    // the pair-table trainer maintains counts from per-doc deltas; any
+    // delta-accounting slip (chained merges, overlapping occurrences,
+    // a pair going to zero) diverges the ELECTION order — so equality
+    // of the full (round, l, r, n) table over a vocab-rich corpus with
+    // chained/overlapping pair structure is the whole contract
+    val docs = (Seq.tabulate(30)(i =>
+        (i.toLong, s"w${i % 3} w${i % 5} w${i % 3} w${i % 7} e$i")) ++
+      Seq((100L, "a a a a b"), (101L, "a  a b"), (102L, "b a a b")))
+      .toDF("doc_id", "text")
+    val it = graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", rounds = 12)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val inc = graft.ops.Corpus
+      .bpeTrainIncremental(docs, "doc_id", "text", rounds = 12,
+        checkpointEvery = 3)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(it.nonEmpty && it == inc,
+      s"iterative:\n${it.mkString("\n")}\nincremental:\n${inc.mkString("\n")}")
+  }
+
+  test("bpe whitespace: doubled spaces tokenize identically in train and apply") {
+    // docs 1/2 differ only by a doubled space; every BPE path collapses
+    // whitespace BEFORE tokenizing, so they must train and encode
+    // byte-identically (pre-fix, apply kept the empty token and the
+    // doubled-space doc refused the (a,b) merge that training saw)
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "a  b a b c"), (3L, "a b x")
+    ).toDF("doc_id", "text")
+    val m = graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", rounds = 2)
+      .orderBy("round").collect()
+    assert(m(0).getString(1) == "a" && m(0).getString(2) == "b" &&
+      m(0).getLong(3) == 5L, // both twins contribute 2 (a,b) positions
+      s"round 1 was ${m.head}")
+    val enc = graft.ops.Corpus.bpeApply(docs, "doc_id", "text",
+        m.map(r => (r.getString(1), r.getString(2))).toSeq)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[String](r.fieldIndex("toks")).toList,
+          r.getAs[Long]("n_raw"))).toMap
+    assert(enc(1L) == enc(2L),
+      s"twins diverged: ${enc(1L)} vs ${enc(2L)}")
+    // round 2 elects (a+b, a+b) — the twins' tokens chain-merge fully
+    assert(enc(1L)._1 == List("a+b+a+b", "c") && enc(1L)._2 == 5L,
+      s"doc1 was ${enc(1L)}")
+  }
+
   test("text ops: counts, quality, fingerprint equality") {
     val out = docs.select(
       TextOps.tokenCount($"text").as("n"),

@@ -311,4 +311,51 @@ class PropertySpec extends SparkSpec {
       assert(actual == expected, s"seed $s: partitioned merge diverged")
     }
   }
+
+  test("NTZ pins: every non-reader unix_timestamp/unix_micros site is session-TZ-safe") {
+    // Sources.normalizeTs owns the timestamp unit, so every corpus ts
+    // reaches downstream operators as TimestampType (an instant). The
+    // sites that fold a timestamp to epoch numbers outside the reader:
+    //   1. ops/Sessionize.scala:19-20,34  (gap + duration_s)
+    //   2. queries/StreamingQueries.scala:307  (watermark-horizon max)
+    //   3. ops/RangeJoin.scala:26-27  (micros; the one NTZ-accepting
+    //      site — its cast is value-preserving ONLY under the pinned
+    //      UTC session TZ)
+    // Pins 1/2: on TimestampType input the fold is the epoch instant —
+    // invariant under any session TZ change (epochs chosen to straddle
+    // the America/New_York 2024-03-10 spring-forward so a wall-clock
+    // reinterpretation could not hide). Pin 3: under UTC, the NTZ path
+    // equals the TimestampType path bit for bit.
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    def withTz[T](tz: String)(f: => T): T = {
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try f finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    }
+    val ev = Seq((1L, 1710050400L), (1L, 1710054000L), (1L, 1710061200L),
+        (2L, 1710050000L))
+      .toDF("k", "es").withColumn("ts", timestamp_seconds($"es"))
+    def sessionize() = graft.ops.Sessionize
+      .sessionStats(ev, "k", "ts", gapSeconds = 1800)
+      .orderBy("k", "session_seq").collect().map(_.toSeq).toSeq
+    def horizon() = ev.agg(max(unix_timestamp($"ts"))).head().getLong(0)
+    val (sUtc, hUtc) = withTz("UTC")((sessionize(), horizon()))
+    Seq("America/New_York", "Asia/Tokyo").foreach { tz =>
+      assert(withTz(tz)(sessionize()) == sUtc,
+        s"sessionization shifted under session TZ $tz")
+      assert(withTz(tz)(horizon()) == hUtc,
+        s"watermark horizon shifted under session TZ $tz")
+    }
+    assert(hUtc == 1710061200L) // the instant itself, not a wall clock
+    withTz("UTC") {
+      val l = ev.select($"k", $"ts".as("lts"))
+      val r = ev.select($"k", $"ts".as("rts"),
+        $"ts".cast("timestamp_ntz").as("rtsn"))
+      def pairs(tsCol: String) = graft.ops.RangeJoin
+        .withinInterval(l, r.select($"k", col(tsCol)), Seq("k"),
+          "lts", tsCol, maxDeltaSeconds = 3600)
+        .select($"k", $"__lus", $"__rus").collect().map(_.toSeq).toSet
+      assert(pairs("rts") == pairs("rtsn"),
+        "RangeJoin NTZ path must equal the TimestampType path under UTC")
+    }
+  }
 }

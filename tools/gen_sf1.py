@@ -46,15 +46,18 @@ def gen_documents():
     near = rng.choice(N_DOCS, size=int(N_DOCS * 0.04), replace=False)
     for i in near:
         src = rng.integers(0, N_DOCS)
-        if src == i:
-            continue
+        while src == i:  # resample: a doc can't be its own near-dup
+            src = rng.integers(0, N_DOCS)
         toks = texts[src].split(" ")
         toks[rng.integers(0, len(toks))] = "dup"
         texts[i] = " ".join(toks)
     # 0.3% exact dups
     exact = rng.choice(N_DOCS, size=int(N_DOCS * 0.003), replace=False)
     for i in exact:
-        texts[i] = texts[rng.integers(0, N_DOCS)]
+        src = rng.integers(0, N_DOCS)
+        while src == i:  # resample: self-copy is not a duplicate
+            src = rng.integers(0, N_DOCS)
+        texts[i] = texts[src]
     lang = rng.choice(LANGS, size=N_DOCS, p=LANG_P)
     tbl = pa.table({
         "doc_id": pa.array(np.arange(N_DOCS), pa.int64()),
