@@ -24,7 +24,22 @@ object Scratch {
       println(s"=== $n ===")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
-    val names = args.filterNot(_.startsWith("explain:"))
+    // BPE trainer cost-curve probe (SCALING.md): bpe:<iter|fast>:<k>
+    // times one full training run at k rounds over the sf documents
+    args.filter(_.startsWith("bpe:")).foreach { a =>
+      val Array(_, trainer, k) = a.split(":")
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+      val t0 = System.nanoTime()
+      val m =
+        if (trainer == "fast")
+          graft.ops.Corpus.bpeTrainIncremental(docs, "doc_id", "text", k.toInt)
+        else graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", k.toInt)
+      val n = m.count()
+      println(f"[scratch] bpe:$trainer k=$k merges=$n " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    val names = args.filterNot(a =>
+      a.startsWith("explain:") || a.startsWith("bpe:"))
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>
       names.foreach { n =>
