@@ -95,7 +95,8 @@ object Bench {
       * (a query getting slower).
       */
     def isFixedFloor(name: String): Boolean =
-      name.startsWith("stream_") || name.startsWith("sink_")
+      name.startsWith("stream_") || name.startsWith("sink_") ||
+        name.startsWith("maintain_")
     /** Sum of successful fixed-floor query times (errors excluded —
       * they are already surfaced in `errors`, a -1 must not deflate
       * the floor).

@@ -370,8 +370,43 @@ object ExtensionQueries {
     * scales) and dedup_multi_signal_recall_tune (4×4-bit small-corpus
     * recall tune).
     */
+  /** Min-label connected components as a BOUNDED unroll (no RECURSIVE
+    * CTE): per round each node keeps its label, hooks every
+    * neighbor's label, and jumps to its current label's label —
+    * pointer-jumping, so covered diameter roughly doubles per round.
+    * 16 rounds reach ~2^16 — sized by the r11 sf1 probe, where the
+    * 8-bit-band semantic edge over 20k unclustered vectors chains
+    * components past diameter 32 and a 5-round unroll failed the
+    * compare with an off-by-one-hop label. Replaces the recursive
+    * closure the r8 sf1 probe measured at > 48 min / > 30 GB — the
+    * fixpoint materialized full (u, reachable-v) REACHABILITY,
+    * quadratic per cluster, where label propagation carries one label
+    * per node per round. Compare-safe by construction: an unconverged
+    * label is strictly greater than the true component min, so it can
+    * only FAIL the hash compare against Spark's exact pointer-jumping
+    * components, never falsely pass.
+    */
+  private def unrolledComponentsCtes(rounds: Int): String = {
+    // every l_i is referenced 3x by l_{i+1}: MATERIALIZED is
+    // load-bearing — inlined, the unroll re-plans the whole upstream
+    // pipeline 3^rounds times (observed as DuckDB exhausting file
+    // handles re-opening the parquet scans)
+    val l0 = """l0 AS MATERIALIZED (SELECT u, LEAST(u, MIN(v)) AS lab
+               |  FROM und GROUP BY u)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT x.u, MIN(x.lab) AS lab FROM (
+         |    SELECT l.u, l.lab FROM l${i - 1} l
+         |    UNION ALL
+         |    SELECT e.u, l.lab FROM und e JOIN l${i - 1} l ON l.u = e.v
+         |    UNION ALL
+         |    SELECT a.u, b.lab FROM l${i - 1} a JOIN l${i - 1} b ON b.u = a.lab
+         |  ) x GROUP BY x.u)""".stripMargin
+    }
+    (l0 +: steps).mkString(",\n")
+  }
+
   private def multiSignalSql(nBands: Int): String =
-    s"""WITH RECURSIVE $cappedGramsCte,
+    s"""WITH $cappedGramsCte,
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
        |  FROM cgrams a JOIN cgrams b USING (g)
@@ -393,13 +428,11 @@ object ExtensionQueries {
        |  FROM candc JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib
        |  WHERE ${dotSql("na.v", "nb.v")} / (na.nrm * nb.nrm) >= 0.4::DOUBLE),
        |allp AS (SELECT da, db FROM jac UNION SELECT da, db FROM cose),
-       |und AS (SELECT da AS u, db AS v FROM allp UNION SELECT db, da FROM allp),
-       |reach AS (
-       |  SELECT u, v FROM und
-       |  UNION
-       |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u)
-       |SELECT u AS node, least(u, min(v)) AS component
-       |FROM reach GROUP BY u ORDER BY node""".stripMargin
+       |und AS MATERIALIZED (
+       |  SELECT da AS u, db AS v FROM allp UNION SELECT db, da FROM allp),
+       |${unrolledComponentsCtes(16)}
+       |SELECT u AS node, lab AS component
+       |FROM l16 ORDER BY node""".stripMargin
 
   /** The corpus_mix recipe: target language composition, shared with
     * the generated oracle CASE so both engines derive identical rates.

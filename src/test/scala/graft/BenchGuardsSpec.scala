@@ -78,17 +78,21 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(m == Map("q1_agg" -> 0.25, "q2" -> -1.0, "q3" -> 1.2e-4))
   }
 
-  test("fixed floor sums the streaming+sink families only, excluding errors") {
+  test("fixed floor sums the streaming+sink+maintenance families only, excluding errors") {
     val times = Map(
       "stream_dedup" -> 2.0, "stream_sessionize" -> 1.5,
       "sink_upsert_partitioned" -> 3.0, "sink_jdbc_insert" -> -1.0,
+      "maintain_vacuum" -> 2.5,
       "dedup_exact" -> 9.0, "ann_ivf" -> 4.0)
     assert(Guards.isFixedFloor("stream_windowed_counts"))
     assert(Guards.isFixedFloor("sink_csv"))
+    // maintenance rows time the swap/vacuum write protocol, not a
+    // corpus-sized computation — floor family since round 11
+    assert(Guards.isFixedFloor("maintain_vacuum_pinned"))
     assert(!Guards.isFixedFloor("dedup_exact"))
-    // 2.0 + 1.5 + 3.0; the errored sink (-1) must not deflate the sum,
-    // and compute rows stay out of the floor entirely
-    assert(Guards.fixedFloorSeconds(times) == 6.5)
+    // 2.0 + 1.5 + 3.0 + 2.5; the errored sink (-1) must not deflate
+    // the sum, and compute rows stay out of the floor entirely
+    assert(Guards.fixedFloorSeconds(times) == 9.0)
   }
 
   test("a baseline is usable only at the same sf AND cpu count, and only if clean") {
