@@ -283,6 +283,88 @@ object Dedup {
           s => s.getField("line"))).as("text_clean"))
   }
 
+  /** Exact substring-duplication coverage — the Spark shape of
+    * suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every length-
+    * `windowLen` token window of every document is fingerprinted, and
+    * a window whose fingerprint occurs ≥ 2 times ANYWHERE in the
+    * corpus — another document or elsewhere in the same document —
+    * is a duplicated span. Returns per-doc coverage
+    * (doc_id, n_windows, n_dup_windows, dup_ratio); documents shorter
+    * than `windowLen` tokens have no windows and no row. Reference
+    * analogue: none (beyond-reference LLM-pipeline surface,
+    * SURVEY.md §7.5) — the span-REMOVAL form is [[substringPrune]].
+    *
+    * Scale: windows shuffle as 60-bit fingerprints, never window
+    * text, and each token starts at most one window, so the exploded
+    * relation is one row per token — the same bound as the gram
+    * relations. The corpus-wide occurrence count rides a WINDOW over
+    * the fingerprint partition (one 8-byte-key exchange; the
+    * aggregate+re-join shape would re-run the tokenize/explode
+    * pipeline per branch, the measured trap in [[cappedGrams]]), and
+    * the per-doc rollup is one hash aggregate. No pair join exists
+    * anywhere — this is O(corpus) end to end, unlike the suffix-array
+    * original's O(corpus log corpus) sort, and is exactly the
+    * map-side-combined shape that survives a 1000-executor corpus.
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        windowLen: Int = 8): DataFrame = {
+    require(windowLen > 1, s"windowLen must exceed 1: $windowLen")
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        explode(ngramsOfTokens(col("__toks"), windowLen)).as("w"))
+      .select(col("doc_id"), Parity.md5_60(col("w")).as("wh"))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+  }
+
+  /** ExactSubstr span REMOVAL (the operation Lee et al. actually ship):
+    * drop every token covered by at least one duplicated
+    * `windowLen`-token window ([[substringDupStats]]' relation) and
+    * rebuild each document from its surviving tokens in order.
+    * Returns (doc_id, n_tokens, n_kept, text_pruned); a fully-
+    * duplicated document keeps its row with text_pruned = '' (same
+    * contract as [[dedupLines]]).
+    *
+    * Scale: duplicated-window starts explode to covered token
+    * positions (fan-out `windowLen`, on duplicated spans only), the
+    * coverage join is an equi-join on (doc_id, position) — narrow
+    * int keys — and the rebuild is the [[dedupLines]] discipline: one
+    * groupBy(doc) with order restored by array_sort on the unique
+    * position, no window over the document, no self-join on text.
+    */
+  def substringPrune(docs: DataFrame, idCol: String, textCol: String,
+                     windowLen: Int = 8): DataFrame = {
+    require(windowLen > 1, s"windowLen must exceed 1: $windowLen")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+    val covered = base
+      .select(col("doc_id"),
+        posexplode(ngramsOfTokens(col("__toks"), windowLen)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), Parity.md5_60(col("w")).as("wh"))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .filter(col("occ") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + windowLen - 1)).as("tp"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    base.select(col("doc_id"), posexplode(col("__toks")).as(Seq("tp", "tok")))
+      .join(covered, Seq("doc_id", "tp"), "left")
+      .withColumn("keep", col("__cov").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(struct(col("tp"), col("keep"), col("tok")))),
+            s => s.getField("keep")),
+          s => s.getField("tok"))).as("text_pruned"))
+  }
+
   /** MinHash family: h_i(g) = (a_i · (md5_60(g) mod P) + b_i) mod P.
     * One md5 per gram, then cheap integer mixing per hash function —
     * coefficients are deterministic (and mirrored into the oracle SQL).

@@ -145,6 +145,43 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic
+    * deduplication via embedding clustering — assign every vector to
+    * its nearest centroid of a TRAINED model ([[trainedCentroids]]),
+    * then inside each cluster drop any vector that has a LOWER-id
+    * neighbor above the cosine `threshold` (keep-lowest-id, the dedup
+    * family's convention). Returns the survivors (vec_id, cluster).
+    *
+    * Scale: this is the algorithm's own answer to the O(n²) cosine
+    * pair space — the pairwise compare runs only INSIDE clusters
+    * (an equi-join on the cluster id, never a cross join), so total
+    * compare work is Σ|cluster|², bounded by choosing nClusters
+    * proportional to the corpus (the paper runs k = 50 000 on LAION;
+    * here the model is the shared 16-centroid gate-scale model).
+    * Assignment is the map-side broadcast aggregate of [[assignTo]];
+    * the drop set is ids only; survivors come from one left_anti on
+    * vec_id. Skew bound = the largest cluster, which is exactly what
+    * Lloyd training balances ([[trainedCentroids]]).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               model: DataFrame, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val dp = graft.functions.GraftFunctions.dotProduct _
+    val all = prepared(emb, idCol, vecCol)
+    val wb = all.join(assignTo(all.select("vec_id", "v"), model), "vec_id")
+    def side(suf: String) = wb.select(col("bucket"),
+      col("vec_id").as("vec_" + suf), col("v").as("v" + suf),
+      col("nrm").as("n" + suf))
+    val dropped = side("a").join(side("b"), "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(dp(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    wb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket").as("cluster"))
+  }
+
   /** Deterministic IVF seed assignment: every vector → the nearest
     * (by cosine, ties to the lowest id) of the `nCentroids` LOWEST-ID
     * vectors (any id space — no dense 0..k-1 requirement). An

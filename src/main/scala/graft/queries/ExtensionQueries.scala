@@ -819,6 +819,28 @@ object ExtensionQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    /** corpus_semdedup — SemDeDup (Abbas et al. 2023): assign every
+      * embedding to its nearest trained-IVF centroid (the shared
+      * 16-centroid model — one training per corpus, [[ivfModel]]) and
+      * drop any vector with a lower-id ≥ 0.4-cosine neighbor INSIDE
+      * its cluster; survivors (vec_id, cluster). The pairwise compare
+      * is fenced to clusters by construction — an equi-join on the
+      * cluster id, Σ|cluster|² work, never the corpus cross join the
+      * suffixed exact baseline demonstrates. */
+    Q("corpus_semdedup",
+      s"""WITH $embCte,
+         |${ivfTrainedCtes("TRUE")},
+         |wb AS (SELECT n.vec_id, n.v, n.nrm, a.bucket FROM n JOIN asg a USING (vec_id)),
+         |drp AS (SELECT DISTINCT b.vec_id FROM wb a JOIN wb b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4::DOUBLE)
+         |SELECT vec_id, bucket AS cluster FROM wb
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drp) ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semDedup(table(s, dir, "embeddings"), "vec_id", "embedding",
+          model = ivfModel(s, dir), threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
     /** Brute-force cosine top-k: probe set (vec_id < 10) vs corpus. */
     Q("ann_topk_bruteforce",
       s"""WITH $embCte,
@@ -1671,6 +1693,53 @@ object ExtensionQueries {
         |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Dedup.dedupLines(table(s, dir, "documents"), "doc_id", "text",
           chunk = 3, k = 5)
+        .orderBy("doc_id")
+    },
+
+    /** dedup_substring — ExactSubstr coverage stats (Lee et al. 2022):
+      * per-doc fraction of 8-token windows whose fingerprint repeats
+      * anywhere in the corpus (cross-doc or intra-doc). One row per
+      * token through the fingerprint window — O(corpus), no pair
+      * join; see [[graft.ops.Dedup.substringDupStats]]. */
+    Q("dedup_substring",
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+         |wins AS (SELECT doc_id, ${md5_60Sql("array_to_string(t[i:i+7], ' ')")} AS wh
+         |  FROM tok, UNNEST(range(1, greatest(len(t)-7,0)+1)) AS r(i)),
+         |occ AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY wh) AS occ FROM wins)
+         |SELECT doc_id, COUNT(*) AS n_windows,
+         |  CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |  CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+         |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.substringDupStats(table(s, dir, "documents"), "doc_id", "text",
+          windowLen = 8)
+        .orderBy("doc_id")
+    },
+
+    /** text_substring_prune — the span-REMOVAL form of ExactSubstr
+      * dedup (the operation Lee et al. actually apply): every token
+      * covered by a duplicated 8-token window is dropped and the doc
+      * rebuilt from the survivors in order; a fully-duplicated doc
+      * keeps its row with text_pruned = ''. */
+    Q("text_substring_prune",
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+         |wins AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |    ${md5_60Sql("array_to_string(t[i:i+7], ' ')")} AS wh
+         |  FROM tok, UNNEST(range(1, greatest(len(t)-7,0)+1)) AS r(i)),
+         |occ AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY wh) AS occ FROM wins),
+         |cov AS (SELECT DISTINCT doc_id, CAST(u.c AS INTEGER) AS tp
+         |  FROM occ, UNNEST(range(pos, pos + 8)) AS u(c) WHERE occ >= 2),
+         |tokp AS (SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS tp,
+         |    t[CAST(r.i AS INTEGER)] AS tok
+         |  FROM tok, UNNEST(range(1, len(t) + 1)) AS r(i)),
+         |keepj AS (SELECT p.doc_id, p.tp, p.tok, c.tp IS NULL AS keep
+         |  FROM tokp p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.tp = p.tp)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY tp), '') AS text_pruned
+         |FROM keepj GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.substringPrune(table(s, dir, "documents"), "doc_id", "text",
+          windowLen = 8)
         .orderBy("doc_id")
     },
 

@@ -1190,6 +1190,75 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("substring dup stats: exact dups fully covered, near-dup partially, short docs absent") {
+    // docs 1/2: exact dups, 10 tokens → 3 windows of 8, every window
+    // occurs twice → ratio 1.0. doc 3 differs only at token 8 ("cat"),
+    // so window 0 (tokens 0-7) matches docs 1/2 but windows 1-2 don't
+    // → ratio 1/3. doc 4: 8 unique tokens → 1 window, no repeat →
+    // ratio 0. doc 5: 7 tokens < windowLen → no windows, no row.
+    val sdocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy cat today"),
+      (4L, "completely different words about spark and shuffles here"),
+      (5L, "too short to have any window")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(sdocs, "doc_id", "text", windowLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    assert(!out.contains(5L) && out.size == 4)
+  }
+
+  test("substring prune drops covered spans, keeps the rest in order, empties full dups") {
+    // same fixture as the stats test: docs 1/2 are fully covered →
+    // emptied but their rows survive (the dedupLines contract); doc
+    // 3's only duplicated window covers tokens 0-7, so "cat today"
+    // survives in order; doc 4 is untouched; doc 5 (< windowLen) has
+    // no windows at all → fully kept.
+    val sdocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy cat today"),
+      (4L, "completely different words about spark and shuffles here"),
+      (5L, "too short to have any window")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringPrune(sdocs, "doc_id", "text", windowLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 0L, "")))
+    assert(out(2L) == ((10L, 0L, "")))
+    assert(out(3L) == ((10L, 2L, "cat today")))
+    assert(out(4L) == ((8L, 8L, "completely different words about spark and shuffles here")))
+    assert(out(5L) == ((6L, 6L, "too short to have any window")))
+    assert(out.size == 5)
+  }
+
+  test("semDedup drops only lower-id near-dups INSIDE a cluster, never across") {
+    import org.apache.spark.sql.functions.col
+    // two orthogonal clusters; 2 ≈ 1 and 5 ≈ 4 (cos ≈ 1, dropped);
+    // 3 and 6 sit at cos 0.8 from their cluster mates (< 0.9, kept).
+    // 3 and 6 are ALSO cos 0.96 near-dups of EACH OTHER — but they
+    // land in different clusters, so SemDeDup (by design) never
+    // compares them: the cluster fence trades that recall for the
+    // Σ|cluster|² bound.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.8f, 0.6f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.01f, 0.999f)),
+      (6L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val model = Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", model, 0.9)
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (3L, 10L), (4L, 20L), (6L, 20L)))
+  }
+
   test("indexed incremental dedup is byte-identical to the direct form") {
     import graft.ops.{Dedup, DedupIndex}
     val corpus = Seq(
