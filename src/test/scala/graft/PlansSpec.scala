@@ -330,6 +330,41 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("], true, 0"), "the sort must be per-partition, never global")
   }
 
+  test("substring dedup owns no pair space: no join at all, map-side partials") {
+    // ExactSubstr's whole scale story is that duplicated-window
+    // detection is an AGGREGATE over window fingerprints — if a join
+    // (let alone a cartesian) ever appears here, the O(corpus) bound
+    // is gone
+    val p = plan("dedup_substring")
+    assert(!p.contains("Join"), "substring dup stats must not join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "per-doc rollup must map-side combine")
+  }
+
+  test("substring prune: coverage join is a narrow equi-join, no cartesian") {
+    val p = plan("text_substring_prune")
+    assert(!p.contains("CartesianProduct"), "coverage must equi-join on (doc, pos)")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("semdedup: pairwise fenced to clusters — equi-join on the cluster id") {
+    // SemDeDup's defining property: the cosine compare never sees the
+    // corpus cross join, only within-cluster pairs. A cartesian or
+    // BNLJ in this plan is the exact failure the algorithm exists to
+    // avoid.
+    val p = plan("corpus_semdedup")
+    assert(!p.contains("CartesianProduct"), "pair space must be cluster-fenced")
+    // BroadcastNestedLoopJoin IS expected — it's the centroid
+    // assignment (corpus × broadcast 16-centroid model, cost n·k by
+    // design). The PAIR join must be a hash equi-join on the cluster
+    // id, and the corpus side must never be the build side of a
+    // nested loop against itself.
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("SortMergeJoin"),
+      "within-cluster pair join must be a hash equi-join")
+    assert(p.contains("max_by"), "assignment must aggregate, not window")
+  }
+
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
