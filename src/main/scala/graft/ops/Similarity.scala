@@ -170,7 +170,15 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val dp = graft.functions.GraftFunctions.dotProduct _
     val all = prepared(emb, idCol, vecCol)
-    val wb = all.join(assignTo(all.select("vec_id", "v"), model), "vec_id")
+    // the (vec_id, bucket) assignment is consumed by BOTH pair sides
+    // and the survivor anti-join; Spark reuses no exchange across the
+    // renamed branches, so an inline relation re-runs the n·k
+    // broadcast assignment (and the corpus scan under it) three
+    // times. Checkpointing pins ONE assignment pass; the relation is
+    // ids-only (16 B/row — the same narrow artifact AnnIndex
+    // persists as the index), never the vectors.
+    val asg = assignTo(all.select("vec_id", "v"), model).localCheckpoint(true)
+    val wb = all.join(asg, "vec_id")
     def side(suf: String) = wb.select(col("bucket"),
       col("vec_id").as("vec_" + suf), col("v").as("v" + suf),
       col("nrm").as("n" + suf))

@@ -354,15 +354,24 @@ class PlansSpec extends SparkSpec {
     // avoid.
     val p = plan("corpus_semdedup")
     assert(!p.contains("CartesianProduct"), "pair space must be cluster-fenced")
-    // BroadcastNestedLoopJoin IS expected — it's the centroid
-    // assignment (corpus × broadcast 16-centroid model, cost n·k by
-    // design). The PAIR join must be a hash equi-join on the cluster
-    // id, and the corpus side must never be the build side of a
-    // nested loop against itself.
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair join must be an equi-join (the n·k centroid assignment is " +
+        "checkpointed out of this plan — one pass, shared by all three " +
+        "consumers)")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
         || p.contains("SortMergeJoin"),
       "within-cluster pair join must be a hash equi-join")
-    assert(p.contains("max_by"), "assignment must aggregate, not window")
+    // the assignment relation itself (runs once, checkpointed): the
+    // max_by aggregate over ids, never a vector-shuffling window
+    val asgPlan = {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.io.Sources.table(spark, sf, "embeddings")
+      val all = graft.ops.Similarity.prepared(emb, "vec_id", "embedding")
+      graft.ops.Similarity.assignTo(all.select("vec_id", "v"),
+          all.limit(4).select(col("vec_id").as("cid"), col("v").as("cv")))
+        .queryExecution.executedPlan.toString
+    }
+    assert(asgPlan.contains("max_by"), "assignment must aggregate, not window")
   }
 
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
