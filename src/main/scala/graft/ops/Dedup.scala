@@ -136,24 +136,57 @@ object Dedup {
     * Jaccard (never a cross join); the benchmark side is typically
     * tiny (an eval set) and broadcasts.
     */
+  /** The standing benchmark gram relation an ingest pipeline holds:
+    * (bench_id, gram hash, nb) for the eval sets, built ONCE and
+    * probed by every batch's containment check. Eval sets are small
+    * by definition (questions, not corpora), so this relation is the
+    * broadcast side of [[decontaminateBatch]]'s probe.
+    */
+  def benchGrams(bench: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame =
+    gramTable(bench, idCol, textCol, n)
+      .select(col("doc_id").as("bench_id"),
+        Parity.md5_60(col("gram")).as("gram"))
+      .withColumn("nb",
+        count(lit(1)).over(Window.partitionBy(col("bench_id"))))
+
   def containmentPairs(corpus: DataFrame, bench: DataFrame,
                        idCol: String, textCol: String,
                        n: Int, threshold: Double): DataFrame = {
     val cg = gramTable(corpus, idCol, textCol, n)
       .select(col("doc_id").as("corpus_id"),
         Parity.md5_60(col("gram")).as("gram"))
-    val bg = gramTable(bench, idCol, textCol, n)
-      .select(col("doc_id").as("bench_id"),
-        Parity.md5_60(col("gram")).as("gram"))
-      .withColumn("nb",
-        count(lit(1)).over(Window.partitionBy(col("bench_id"))))
-    cg.join(bg, "gram")
+    cg.join(benchGrams(bench, idCol, textCol, n), "gram")
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("n_inter"), max(col("nb")).as("nb"))
       .withColumn("containment",
         col("n_inter").cast("double") / col("nb").cast("double"))
       .filter(col("containment") >= threshold)
       .select("corpus_id", "bench_id", "containment")
+  }
+
+  /** [[decontaminate]] against a PREBUILT benchmark gram relation
+    * ([[benchGrams]]) — the ingest-time shape: the standing relation
+    * is broadcast explicitly (an eval set's gram table is model-sized
+    * metadata next to any ingest batch), so each batch's containment
+    * probe is a map-side join with no corpus-sized exchange at all,
+    * and the relation is never re-derived per batch. Semantics are
+    * identical to [[decontaminate]] on the same benchmark (pinned in
+    * OpsSpec).
+    */
+  def decontaminateBatch(batch: DataFrame, bg: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val cg = gramTable(batch, idCol, textCol, n)
+      .select(col("doc_id").as("corpus_id"),
+        Parity.md5_60(col("gram")).as("gram"))
+    val hits = cg.join(broadcast(bg), "gram")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_inter"), max(col("nb")).as("nb"))
+      .filter(col("n_inter").cast("double") / col("nb").cast("double")
+        >= threshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+    batch.join(hits, Seq(idCol), "left_anti")
   }
 
   /** The corpus with every doc that contains a benchmark doc (at

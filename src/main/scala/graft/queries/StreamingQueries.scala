@@ -263,6 +263,80 @@ object StreamingQueries {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     },
 
+    /** stream_decontaminate — ingest-time benchmark decontamination:
+      * file-source micro-batches of NEW documents probed against the
+      * STANDING benchmark gram relation (built once from the eval
+      * set, checkpointed, broadcast into every batch's containment
+      * join — Dedup.benchGrams / decontaminateBatch), survivors
+      * appended to the corpus sink. The production cadence: eval-set
+      * grams are pipeline metadata, derived when the benchmark is
+      * registered, never re-derived per day; each daily batch's
+      * probe is a map-side broadcast join with no corpus-sized
+      * exchange. Unlike stream_dedup_indexed there is no cross-batch
+      * state (the benchmark is fixed), so survivors are independent
+      * of the batch split — the oracle states the batch-mode result
+      * over both batches, and the two-micro-batch run must reproduce
+      * it exactly.
+      */
+    Q("stream_decontaminate",
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, g FROM tok,
+         |  UNNEST(list_transform(range(1, greatest(len(t)-2,0)+1),
+         |                        i -> array_to_string(t[i:i+2], ' '))) AS u(g)),
+         |bsz AS (SELECT doc_id AS bid, COUNT(*) AS nb FROM grams
+         |  WHERE doc_id % 97 = 0 GROUP BY 1),
+         |pairs AS (SELECT c.doc_id AS cid, b.doc_id AS bid, COUNT(*) AS ni
+         |  FROM grams c JOIN grams b ON c.g = b.g
+         |  WHERE c.doc_id % 5 = 0 AND b.doc_id % 97 = 0 GROUP BY 1, 2),
+         |hits AS (SELECT DISTINCT cid FROM pairs JOIN bsz USING (bid)
+         |  WHERE CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.8::DOUBLE)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT cid FROM hits)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val docs = graft.io.Sources.table(s, dir, "documents")
+        .select("doc_id", "text", "n_chars")
+      // the standing benchmark artifact: built once, reused per batch
+      val bg = graft.ops.Dedup.benchGrams(
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", 3).localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_dc")
+      val in = s"$root/in"
+      val out = s"$root/out"
+      val fs = new Path(in).getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        // two single-file micro-batches with pinned (mtime, name)
+        // order: A = doc_id % 10 = 0, then B = doc_id % 10 = 5
+        Seq(("00", lit(0)), ("01", lit(5))).foreach { case (nm, residue) =>
+          val stage = s"$root/stage$nm"
+          docs.filter(pmod(col("doc_id"), lit(10)) === residue)
+            .coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new Path(stage))
+            .map(_.getPath).find(_.getName.startsWith("part-")).get
+          fs.mkdirs(new Path(in))
+          require(fs.rename(part, new Path(in, s"$nm.parquet")))
+          fs.setTimes(new Path(in, s"$nm.parquet"),
+            1700000000000L + nm.toLong * 60000L, -1)
+        }
+        val stream = s.readStream
+          .schema(StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType), StructField("n_chars", LongType))))
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.ops.Dedup.decontaminateBatch(b, bg,
+                "doc_id", "text", 3, 0.8)
+              .select("doc_id", "n_chars")
+              .write.mode("append").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out).select("doc_id", "n_chars")
+          .orderBy("doc_id").localCheckpoint(true)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    },
+
     /** Gap sessionization through the REAL streaming engine on Spark
       * 4's transformWithState + the RocksDB state store
       * (StreamingOps.sessionizeStreamTws) — the last operator family

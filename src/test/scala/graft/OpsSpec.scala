@@ -1237,6 +1237,27 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("decontaminateBatch against a prebuilt gram relation equals decontaminate") {
+    // 2 contains bench doc 1 verbatim (containment 1.0 → dropped);
+    // 3 shares only part of it (< 0.8 → kept); 4 unrelated (kept);
+    // 1 IS the bench doc (contains itself → dropped)
+    val corpus = Seq(
+      (1L, "what is the capital of france"),
+      (2L, "someone asked what is the capital of france yesterday evening"),
+      (3L, "the capital city has many museums and parks"),
+      (4L, "completely unrelated text about spark shuffles")
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" === 1L)
+    val direct = Dedup.decontaminate(corpus, bench, "doc_id", "text", 3, 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val bg = Dedup.benchGrams(bench, "doc_id", "text", 3).localCheckpoint(true)
+    val batched = Dedup.decontaminateBatch(corpus, bg, "doc_id", "text", 3, 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(direct == Seq(3L, 4L))
+    assert(batched == direct,
+      "prebuilt-relation path must equal the direct two-relation path")
+  }
+
   test("semDedup drops only lower-id near-dups INSIDE a cluster, never across") {
     import org.apache.spark.sql.functions.col
     // two orthogonal clusters; 2 ≈ 1 and 5 ≈ 4 (cos ≈ 1, dropped);
