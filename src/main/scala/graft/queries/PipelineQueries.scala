@@ -119,11 +119,91 @@ object PipelineQueries {
       |  AND lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
       |ORDER BY city, country, "timestamp", humidity""".stripMargin
 
+  /** The modern pretraining-curation pipeline (FineWeb/RefinedWeb
+    * stage order) as ONE lazy Spark plan over `documents`:
+    * language-ID filter → quality-score filter → exact dedup →
+    * ExactSubstr span removal within the surviving corpus →
+    * benchmark decontamination of the PRUNED text. Every stage is an
+    * already-verified operator ([[graft.ops.TextOps.langId]],
+    * [[graft.ops.TextOps.qualityScore]], [[graft.ops.Dedup.exact]],
+    * [[graft.ops.Dedup.substringPrune]],
+    * [[graft.ops.Dedup.decontaminateBatch]]); this row is the
+    * composition statement — the oracle re-states all five stages as
+    * CTEs and the final (doc_id, n_kept, text_pruned) relation must
+    * match cell-for-cell. Scale shape is inherited: narrow filters,
+    * fingerprint dedup, O(corpus) window fingerprints, broadcast
+    * benchmark probe — no stage owns a pair space.
+    */
+  private val pretrainOracle = {
+    val md5_60 = (x: String) => s"('0x' || substring(md5($x),1,15))::BIGINT"
+    val stop = "len(list_filter(string_split(text,' '), w -> w IN ('the','a')))"
+    val ntok = "len(string_split(text,' '))"
+    val tri = "UNNEST(list_transform(range(1, greatest(len(t)-2,0)+1), " +
+      "i -> array_to_string(t[i:i+2], ' '))) AS u(g)"
+    s"""WITH lf AS (SELECT doc_id, text FROM documents
+       |  WHERE CAST($stop AS DOUBLE) / CAST($ntok AS DOUBLE) >= 0.06::DOUBLE),
+       |qf AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, $ntok::BIGINT AS n_tok, $stop::BIGINT AS n_stop,
+       |      length(text)::BIGINT AS nc FROM lf)
+       |  WHERE least(greatest(100.0
+       |    - CASE WHEN n_tok < 40 THEN 20.0 ELSE 0.0 END
+       |    - CASE WHEN CAST(n_stop AS DOUBLE)/CAST(n_tok AS DOUBLE) > 0.25 THEN 15.0 ELSE 0.0 END
+       |    - CASE WHEN CAST(nc - (n_tok-1) AS DOUBLE)/CAST(n_tok AS DOUBLE) < 4.0 THEN 10.0 ELSE 0.0 END
+       |    - CASE WHEN nc < 200 THEN 5.0 ELSE 0.0 END, 0.0), 100.0) >= 75.0::DOUBLE),
+       |dd AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, row_number() OVER (
+       |      PARTITION BY ${md5_60("lower(trim(text))")} ORDER BY doc_id) AS rn
+       |    FROM qf) WHERE rn = 1),
+       |tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM dd),
+       |wins AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    ${md5_60("array_to_string(t[i:i+7], ' ')")} AS wh
+       |  FROM tok, UNNEST(range(1, greatest(len(t)-7,0)+1)) AS r(i)),
+       |occ AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY wh) AS occ FROM wins),
+       |cov AS (SELECT DISTINCT doc_id, CAST(u.c AS INTEGER) AS tp
+       |  FROM occ, UNNEST(range(pos, pos + 8)) AS u(c) WHERE occ >= 2),
+       |tokp AS (SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS tp,
+       |    t[CAST(r.i AS INTEGER)] AS tok
+       |  FROM tok, UNNEST(range(1, len(t) + 1)) AS r(i)),
+       |keepj AS (SELECT p.doc_id, p.tp, p.tok, c.tp IS NULL AS keep
+       |  FROM tokp p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.tp = p.tp),
+       |pr AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    COALESCE(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY tp), '') AS text_pruned
+       |  FROM keepj GROUP BY doc_id),
+       |btok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |bg AS (SELECT DISTINCT doc_id AS bid, g FROM btok, $tri),
+       |bsz AS (SELECT bid, COUNT(*) AS nb FROM bg GROUP BY 1),
+       |ptok AS (SELECT doc_id, string_split(lower(trim(text_pruned)), ' ') AS t FROM pr),
+       |pg AS (SELECT DISTINCT doc_id, g FROM ptok, $tri),
+       |pairs AS (SELECT p.doc_id AS cid, b.bid, COUNT(*) AS ni
+       |  FROM pg p JOIN bg b USING (g) GROUP BY 1, 2),
+       |hits AS (SELECT DISTINCT cid FROM pairs JOIN bsz USING (bid)
+       |  WHERE CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.8::DOUBLE)
+       |SELECT doc_id, n_kept, text_pruned FROM pr
+       |WHERE doc_id NOT IN (SELECT cid FROM hits) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("pipeline_e2e", e2eOracle) { (s, dir) =>
       val events = table(s, dir, "events")
       Pipeline.transform(Pipeline.weatherFromEvents(events),
           dedupTieBreak = Seq("temperature", "humidity"))
         .orderBy("city", "country", "timestamp", "humidity")
+    },
+
+    Q("pipeline_pretrain", pretrainOracle) { (s, dir) =>
+      import graft.ops.{Dedup, TextOps}
+      val stops = Seq("the", "a")
+      val docs = table(s, dir, "documents")
+      val lf = docs.filter(TextOps.langId(col("text"), stops).isin("en", "mixed"))
+      val qf = lf.filter(TextOps.qualityScore(col("text"), stops) >= 75.0)
+      val dd = Dedup.exact(qf, "doc_id", "text")
+      val pr = Dedup.substringPrune(dd, "doc_id", "text", windowLen = 8)
+      val bg = Dedup.benchGrams(
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text", 3)
+      Dedup.decontaminateBatch(pr, bg, "doc_id", "text_pruned", 3, 0.8)
+        .select("doc_id", "n_kept", "text_pruned")
+        .orderBy("doc_id")
     })
 }
