@@ -470,6 +470,49 @@ object AnnIndex {
     * `withRelayout` the appended index is also [[relayout]]ed — the
     * full build → append → maintain lifecycle (ann_ivf_relayout).
     */
+  /** Incremental SemDeDup served ENTIRELY from the persisted index —
+    * the daily-ingest shape of [[Similarity.semDedup]]: after
+    * [[append]] has assigned a new batch against the STORED
+    * centroids, drop every batch vector that has a ≥ `threshold`-
+    * cosine neighbor in its bucket that is either a standing-corpus
+    * member (any id) or an earlier (lower-id) batch member. Returns
+    * the surviving batch rows (vec_id, cluster).
+    *
+    * Scale: members/ is PARTITIONED BY bucket, so the pair probe is
+    * an equi-join on the partition column over bucket-colocated
+    * files — per-bucket work is |batch ∩ bucket| × |bucket|, the
+    * SemDeDup incremental cost model — and the standing corpus is
+    * never re-assigned or re-scanned outside the batch's own buckets:
+    * the candidate scan is pruned STATICALLY by the batch's bucket
+    * list (bounded by the centroid count), the same discipline as
+    * [[probe]].
+    */
+  def semDedupBatch(spark: SparkSession, indexPath: String,
+                    isBatch: Column => Column,
+                    threshold: Double): DataFrame = {
+    Layout.restoreIfCrashed(spark, s"$indexPath/assignments")
+    Compaction.repairPartitioned(spark, s"$indexPath/members")
+    graft.functions.GraftFunctions.register(spark)
+    val dp = graft.functions.GraftFunctions.dotProduct _
+    val members = spark.read.parquet(s"$indexPath/members")
+      .withColumn("bucket", col("bucket").cast("long"))
+    val batch = members.filter(isBatch(col("vec_id")))
+    val batchBuckets = batch.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = members.filter(col("bucket").isin(batchBuckets: _*))
+      .select(col("bucket"), col("vec_id").as("o_id"),
+        col("v").as("vo"), col("nrm").as("no"))
+    val b = batch.select(col("bucket"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = b.join(cand, Seq("bucket"))
+      .filter(col("o_id") =!= col("b_id"))
+      .filter(!isBatch(col("o_id")) || col("o_id") < col("b_id"))
+      .filter(dp(col("vo"), col("vb")) / (col("no") * col("nb")) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    batch.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket").as("cluster"))
+  }
+
   def ensureBuiltAppended(spark: SparkSession, cacheKey: String,
                           base: => DataFrame, batch: => DataFrame,
                           idCol: String, vecCol: String,

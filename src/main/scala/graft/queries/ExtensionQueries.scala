@@ -841,6 +841,36 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    /** corpus_semdedup_incremental — the daily-ingest SemDeDup shape,
+      * served ENTIRELY from the persisted ANN index (the SAME
+      * "#appended" index ann_ivf_appended probes — one build per
+      * corpus serves both families): the batch (vec_id % 10 = 9) was
+      * assigned against the stored base-trained centroids at append
+      * time; a batch vector is dropped when its bucket holds a ≥ 0.4
+      * neighbor that is standing-corpus (any id) or an earlier
+      * (lower-id) batch row. The standing corpus is never
+      * re-assigned or re-scanned outside the batch's buckets. */
+    Q("corpus_semdedup_incremental",
+      s"""WITH $embCte,
+         |${ivfTrainedCtes("vec_id % 10 <> 9")},
+         |wb AS (SELECT n.vec_id, n.v, n.nrm, a.bucket FROM n JOIN asg a USING (vec_id)),
+         |b AS (SELECT * FROM wb WHERE vec_id % 10 = 9),
+         |drp AS (SELECT DISTINCT b.vec_id FROM b JOIN wb o
+         |  ON o.bucket = b.bucket AND o.vec_id <> b.vec_id
+         |    AND (o.vec_id % 10 <> 9 OR o.vec_id < b.vec_id)
+         |  WHERE ${dotSql("o.v", "b.v")} / (o.nrm * b.nrm) >= 0.4::DOUBLE)
+         |SELECT vec_id, bucket AS cluster FROM b
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drp) ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val idx = graft.ops.AnnIndex.ensureBuiltAppended(s, dir + "#appended",
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 9),
+        emb.filter(pmod(col("vec_id"), lit(10)) === 9),
+        "vec_id", "embedding", nCentroids = NCENT_IVF)
+      graft.ops.AnnIndex.semDedupBatch(s, idx,
+          id => pmod(id, lit(10)) === 9, threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
     /** Brute-force cosine top-k: probe set (vec_id < 10) vs corpus. */
     Q("ann_topk_bruteforce",
       s"""WITH $embCte,

@@ -374,6 +374,19 @@ class PlansSpec extends SparkSpec {
     assert(asgPlan.contains("max_by"), "assignment must aggregate, not window")
   }
 
+  test("incremental semdedup: served from the index, cluster-fenced, no assignment") {
+    // the whole point of the persisted-index form: no centroid
+    // assignment runs at query time (no nested loop anywhere in the
+    // plan — the stored assignments are read back), and the pair
+    // probe is an equi-join on the bucket partition column
+    val p = plan("corpus_semdedup_incremental")
+    assert(!p.contains("CartesianProduct"), "pair space must be cluster-fenced")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "no centroid assignment may run at query time — the index serves it")
+    assert(p.contains("PartitionFilters: [bucket"),
+      "candidate members scan must be statically pruned to the batch's buckets")
+  }
+
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
