@@ -562,7 +562,21 @@ object Corpus {
     */
   def packGreedy(docs: DataFrame, idCol: String, textCol: String,
                  groupCol: String, budgetTokens: Int,
-                 shardSize: Long = 1 << 20): DataFrame = {
+                 shardSize: Long = 1 << 20): DataFrame =
+    packGreedyCounts(docs.select(col(idCol), col(groupCol),
+        TextOps.tokenCount(col(textCol)).as("n_tok")),
+      idCol, groupCol, "n_tok", budgetTokens, shardSize)
+
+  /** [[packGreedy]] over PRECOMPUTED per-doc counts (idCol, groupCol,
+    * nCol) — the form a tokenizer-aware pipeline needs: packing
+    * budgets are consumed in ENCODED tokens (what the model context
+    * window holds), not whitespace tokens, so the count column comes
+    * from the tokenizer encode pass ([[bpeApply]]'s n_enc), not from
+    * the text. Same sharded two-pass prefix sum.
+    */
+  def packGreedyCounts(counts: DataFrame, idCol: String, groupCol: String,
+                       nCol: String, budgetTokens: Int,
+                       shardSize: Long = 1 << 20): DataFrame = {
     // the shard must be monotone in the (group, id) layout order, which
     // `id div shardSize` only is for integral ids. A string id would
     // cast to NULL (inner-joining every row away, silently returning
@@ -570,13 +584,13 @@ object Corpus {
     // while the local window sorts numerically, producing wrong bins.
     // Fail loudly instead.
     import org.apache.spark.sql.types._
-    val idType = docs.schema(idCol).dataType
+    val idType = counts.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"packGreedy: idCol '$idCol' must be an integral type (got $idType); " +
         "the shard key `id div shardSize` is only layout-order-monotone " +
         "for integral ids")
-    val toks = docs.select(col(idCol), col(groupCol),
-        TextOps.tokenCount(col(textCol)).as("n_tok"))
+    val toks = counts.select(col(idCol), col(groupCol),
+        col(nCol).cast("long").as("n_tok"))
       .withColumn("__shard", expr(s"cast(`$idCol` as bigint) div ${shardSize}L"))
     val subtotals = toks.groupBy(col(groupCol), col("__shard"))
       .agg(sum(col("n_tok")).as("__sub"))

@@ -354,6 +354,63 @@ object ExtensionQueries {
       Similarity.trainedCentroids(table(s, dir, "embeddings"),
         "vec_id", "embedding", NCENT_IVF, steps = 2).localCheckpoint(true))
 
+  /** The 3-round BPE ENCODE oracle block shared by text_bpe_apply and
+    * pack_tokenized: t0 = whitespace-normal corpus, each (pc_i, m_i)
+    * pair elects round i's merge over the current rewrite, each t_i
+    * applies it with the space-doubled literal rewrite (byte-identical
+    * greedy semantics to the trainer). Ends at `t3 (doc_id, txt)`,
+    * the fully-encoded corpus.
+    */
+  private lazy val bpeApplyCtes: String = {
+    def pairCtes(i: Int, src: String) =
+      s"""tok$i AS (SELECT string_split(txt, ' ') AS ts FROM $src),
+         |pc$i AS (SELECT ts[CAST(u.i AS INTEGER)] AS l_tok,
+         |    ts[CAST(u.i + 1 AS INTEGER)] AS r_tok, COUNT(*) AS n_pairs
+         |  FROM tok$i, UNNEST(range(1, greatest(len(ts)-1,0)+1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l_tok, r_tok, n_pairs FROM pc$i
+         |  ORDER BY n_pairs DESC, l_tok, r_tok LIMIT 1)""".stripMargin
+    def mergeCte(i: Int, src: String) =
+      s"""t$i AS (SELECT doc_id, trim(regexp_replace(replace(
+         |    ' ' || replace(txt, ' ', '  ') || ' ',
+         |    ' ' || m$i.l_tok || '  ' || m$i.r_tok || ' ',
+         |    ' ' || m$i.l_tok || '+' || m$i.r_tok || ' '),
+         |    ' +', ' ', 'g')) AS txt
+         |  FROM $src CROSS JOIN m$i)""".stripMargin
+    s"""t0 AS (SELECT doc_id,
+       |    regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS txt
+       |  FROM documents),
+       |${pairCtes(1, "t0")},
+       |${mergeCte(1, "t0")},
+       |${pairCtes(2, "t1")},
+       |${mergeCte(2, "t1")},
+       |${pairCtes(3, "t2")},
+       |${mergeCte(3, "t2")}""".stripMargin
+  }
+
+  /** The 3-round BPE merge table shared by text_bpe_apply and
+    * pack_tokenized — trained ONCE per (application, corpus), like
+    * [[ivfModel]]: the tokenizer is pipeline metadata, not a
+    * per-query cost. Fails loudly if the corpus exhausts before 3
+    * merges (both consumers' oracles unroll exactly 3 CTEs — an
+    * empty m3 would CROSS-JOIN their working relations to zero
+    * rows, a confusing full-table mismatch).
+    */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, String)]]()
+  private def bpeMerges3(s: org.apache.spark.sql.SparkSession,
+                         dir: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val m = graft.ops.Corpus.bpeTrain(table(s, dir, "documents"),
+          "doc_id", "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      require(m.size == 3,
+        s"bpeMerges3: corpus exhausted after ${m.size} merge round(s); " +
+          "the 3-round oracles do not apply")
+      m
+    })
+
   /** Band count for the DEFAULT multi-signal semantic edge: 2 bands
     * whose key width is derived from the corpus count
     * ([[Similarity.autoBandBits]] — 8-bit floor, growing with
@@ -714,6 +771,33 @@ object ExtensionQueries {
         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin) { (s, dir) =>
       Corpus.packGreedy(table(s, dir, "documents"), "doc_id", "text",
           "lang", budgetTokens = 2048)
+        .orderBy("lang", "bin")
+    },
+
+    /** pack_tokenized — sequence packing by ENCODED token counts: the
+      * context-window budget a trainer actually spends is tokenizer
+      * tokens, not whitespace tokens, so the bins here consume
+      * bpeApply's n_enc under the shared 3-round merge table
+      * ([[bpeMerges3]] — trained once per corpus). Same sharded
+      * two-pass prefix sum as pack_greedy; only the count source
+      * changes (Corpus.packGreedyCounts). */
+    Q("pack_tokenized",
+      s"""WITH $bpeApplyCtes,
+         |t AS (SELECT d.doc_id, d.lang,
+         |    CAST(len(string_split(t3.txt, ' ')) AS BIGINT) AS n_tok
+         |  FROM t3 JOIN documents d USING (doc_id)),
+         |c AS (SELECT doc_id, lang, n_tok, SUM(n_tok) OVER (
+         |    PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val enc = graft.ops.Corpus.bpeApply(docs, "doc_id", "text",
+          bpeMerges3(s, dir))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      Corpus.packGreedyCounts(enc, "doc_id", "lang", "n_enc",
+          budgetTokens = 2048)
         .orderBy("lang", "bin")
     },
 
@@ -1927,48 +2011,16 @@ object ExtensionQueries {
       * replays the same three merges as the train oracle's literal
       * rewrites (byte-identical greedy semantics) and counts tokens
       * before/after. */
-    Q("text_bpe_apply", {
-      def pairCtes(i: Int, src: String) =
-        s"""tok$i AS (SELECT string_split(txt, ' ') AS ts FROM $src),
-           |pc$i AS (SELECT ts[CAST(u.i AS INTEGER)] AS l_tok,
-           |    ts[CAST(u.i + 1 AS INTEGER)] AS r_tok, COUNT(*) AS n_pairs
-           |  FROM tok$i, UNNEST(range(1, greatest(len(ts)-1,0)+1)) AS u(i)
-           |  GROUP BY 1, 2),
-           |m$i AS (SELECT l_tok, r_tok, n_pairs FROM pc$i
-           |  ORDER BY n_pairs DESC, l_tok, r_tok LIMIT 1)""".stripMargin
-      def mergeCte(i: Int, src: String) =
-        s"""t$i AS (SELECT doc_id, trim(regexp_replace(replace(
-           |    ' ' || replace(txt, ' ', '  ') || ' ',
-           |    ' ' || m$i.l_tok || '  ' || m$i.r_tok || ' ',
-           |    ' ' || m$i.l_tok || '+' || m$i.r_tok || ' '),
-           |    ' +', ' ', 'g')) AS txt
-           |  FROM $src CROSS JOIN m$i)""".stripMargin
-      s"""WITH t0 AS (SELECT doc_id,
-         |    regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS txt
-         |  FROM documents),
-         |${pairCtes(1, "t0")},
-         |${mergeCte(1, "t0")},
-         |${pairCtes(2, "t1")},
-         |${mergeCte(2, "t1")},
-         |${pairCtes(3, "t2")},
-         |${mergeCte(3, "t2")}
+    Q("text_bpe_apply",
+      s"""WITH $bpeApplyCtes
          |SELECT t0.doc_id,
          |  CAST(len(string_split(t0.txt, ' ')) AS BIGINT) AS n_raw,
          |  CAST(len(string_split(t3.txt, ' ')) AS BIGINT) AS n_enc
-         |FROM t0 JOIN t3 USING (doc_id) ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val m = graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", rounds = 3)
-        .orderBy("round").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      // the oracle unrolls exactly 3 merge CTEs; a corpus that
-      // exhausts earlier would empty its m3 and CROSS-JOIN t3 to
-      // zero rows — fail HERE with the cause instead of surfacing a
-      // confusing full-table row mismatch
-      require(m.size == 3,
-        s"text_bpe_apply: corpus exhausted after ${m.size} merge " +
-          "round(s); the 3-round oracle does not apply")
-      graft.ops.Corpus.bpeApply(docs, "doc_id", "text", m)
+         |FROM t0 JOIN t3 USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // the 3-round table comes from the shared per-corpus cache
+      // ([[bpeMerges3]]), which also owns the exhausted-corpus guard
+      graft.ops.Corpus.bpeApply(table(s, dir, "documents"),
+          "doc_id", "text", bpeMerges3(s, dir))
         .select("doc_id", "n_raw", "n_enc").orderBy("doc_id")
     },
 
