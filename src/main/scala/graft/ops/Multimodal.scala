@@ -135,6 +135,78 @@ object Multimodal {
       }
   }
 
+  /** Encode one 8×8 gradient image: gray(x, y) =
+    * (x·31 + y·17 + (id mod 32)·11) mod 256 — structured pixels (so
+    * perceptual hashing is non-degenerate, unlike a constant fill)
+    * with a closed form a SQL oracle can state, and an id-mod-32
+    * class structure that plants exact perceptual duplicates.
+    */
+  private def encodeGradientImage(id: Long): Array[Byte] = {
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val base = math.floorMod(id, 32L).toInt * 11
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val g = (x * 31 + y * 17 + base) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def toImageTableGradient(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map(id => (id, "image/png", encodeGradientImage(id)))
+      }
+      .toDF("doc_id", "kind", "payload")
+  }
+
+  /** 60-bit average-hash over a decoded 8×8 image (the pHash family's
+    * simplest member, at the repo-wide 60-bit fingerprint width): bit
+    * j = y·8+x (j < 60) is set when pixel gray exceeds the image mean
+    * — stated exactly as p·64 > Σp, integer arithmetic both engines
+    * compute identically. The image path is REAL (the payload is
+    * decoded by the codec, not trusted): LAION-style image dedup
+    * hashes DECODED pixels, which is what catches re-encoded
+    * duplicates a byte-hash misses. Returns (doc_id, ahash).
+    */
+  def ahashImages(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "kind", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { rec =>
+          val img = ImageIO.read(new ByteArrayInputStream(rec.payload))
+          require(img != null && img.getWidth == 8 && img.getHeight == 8,
+            s"doc ${rec.doc_id}: payload is not a decodable 8x8 image")
+          val px = new Array[Int](64)
+          var tot = 0L
+          var j = 0
+          while (j < 64) {
+            px(j) = img.getRGB(j % 8, j / 8) & 0xff
+            tot += px(j); j += 1
+          }
+          var hash = 0L
+          j = 0
+          while (j < 60) {
+            if (px(j) * 64L > tot) hash |= (1L << j)
+            j += 1
+          }
+          (rec.doc_id, hash)
+        }
+      }
+      .toDF("doc_id", "ahash")
+  }
+
   final case class AudioFeatures(
       doc_id: Long, sample_rate: Int, n_samples: Long, amp_sum: Long)
 

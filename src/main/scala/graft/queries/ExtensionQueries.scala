@@ -1536,6 +1536,34 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    /** mm_phash_dedup — LAION-style image dedup on DECODED pixels:
+      * real 8×8 gradient PNGs encoded AND decoded through the codec
+      * on executors, perceptually fingerprinted with a 60-bit
+      * average-hash (Multimodal.ahashImages — hashing decoded pixels
+      * is what catches re-encoded duplicates a byte-hash misses),
+      * then grouped by hash exactly like text_fingerprint. The
+      * gradient's id-mod-32 class structure plants exact perceptual
+      * duplicates; the oracle states the pixels and the p·64 > Σp
+      * threshold in closed form, no codec needed. */
+    Q("mm_phash_dedup",
+      """WITH px AS (SELECT d.doc_id, y.j AS py, x.i AS px_x,
+        |    (x.i * 31 + y.j * 17 + (d.doc_id % 32) * 11) % 256 AS p
+        |  FROM documents d, UNNEST(range(0, 8)) AS x(i), UNNEST(range(0, 8)) AS y(j)),
+        |s AS (SELECT doc_id, SUM(p) AS tot FROM px GROUP BY 1),
+        |h AS (SELECT px.doc_id,
+        |    CAST(SUM(CASE WHEN px.p * 64 > s.tot AND (px.py * 8 + px.px_x) < 60
+        |      THEN (CAST(1 AS BIGINT) << CAST(px.py * 8 + px.px_x AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN s USING (doc_id) GROUP BY 1)
+        |SELECT ahash, COUNT(*) AS n, MIN(doc_id) AS first_doc
+        |FROM h GROUP BY 1 ORDER BY ahash""".stripMargin) { (s, dir) =>
+      val media = Multimodal.toImageTableGradient(table(s, dir, "documents"), "doc_id")
+      Multimodal.ahashImages(s, media)
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy("ahash")
+    },
+
     /** Format-agnostic decode: even doc_ids render as PNG, odd as
       * JPEG, and ONE decodeImages call handles both — proving the
       * decode stage is container sniffing, not a PNG-only parser.
