@@ -597,5 +597,30 @@ object AnalyticsQueries {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    /** events_funnel — windowed funnel (view → click → purchase, 24 h
+      * conversion window per hop, greedy first-match — the semantics
+      * every funnel product ships): how far did each user get, rolled
+      * up to users-per-step. Each hop is a narrow (user, ts) aggregate
+      * joined on the user key; events are never self-joined
+      * ([[graft.ops.Funnel.windowed]]). */
+    Q("events_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 1000000 AS s FROM events),
+        |v AS (SELECT user_id, MIN(s) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.s) AS t2 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND e.s > v.t1 AND e.s <= v.t1 + 86400 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.s) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.s > c.t2 AND e.s <= c.t2 + 86400 GROUP BY 1),
+        |per AS (SELECT v.user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS reached
+        |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |SELECT reached, COUNT(*) AS n_users FROM per
+        |GROUP BY 1 ORDER BY reached""".stripMargin) { (s, dir) =>
+      graft.ops.Funnel.windowed(table(s, dir, "events"),
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), windowSec = 86400)
+        .groupBy("reached").agg(count(lit(1)).as("n_users"))
+        .orderBy("reached")
     })
 }

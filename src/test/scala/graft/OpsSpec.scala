@@ -1237,6 +1237,26 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("funnel: greedy first-match, per-hop window, strict ordering") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // u1: full funnel inside the windows → 3.
+    // u2: clicks BEFORE its first view (order violated) → 1.
+    // u3: click lands beyond the window after its FIRST view → 1 —
+    //     greedy semantics pin to the first view, not the closest.
+    // u4: view→click converts, purchase before the click → 2.
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "click", ts(0)), (2L, "view", ts(10)), (2L, "purchase", ts(20)),
+      (3L, "view", ts(0)), (3L, "click", ts(200)),
+      (4L, "purchase", ts(0)), (4L, "view", ts(5)), (4L, "click", ts(10))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.ops.Funnel.windowed(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 3600)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   test("decontaminateBatch against a prebuilt gram relation equals decontaminate") {
     // 2 contains bench doc 1 verbatim (containment 1.0 → dropped);
     // 3 shares only part of it (< 0.8 → kept); 4 unrelated (kept);
