@@ -622,5 +622,36 @@ object AnalyticsQueries {
           steps = Seq("view", "click", "purchase"), windowSec = 86400)
         .groupBy("reached").agg(count(lit(1)).as("n_users"))
         .orderBy("reached")
+    },
+
+    /** events_retention — cohort retention, the other canonical event
+      * workload: users cohorted by the epoch-day of their first
+      * signup, counted as retained on every later day they show ANY
+      * activity (epoch-day buckets — no week-origin or TZ semantics
+      * to drift between engines). Shape: one narrow (user, cohort)
+      * aggregate, one distinct-(user, day) relation, one equi-join on
+      * the user key — events never self-join, and the rollup output
+      * is (cohorts × horizon), trivially small at any corpus scale. */
+    Q("events_retention",
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 1000000 // 86400 AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort, e.d - f.cohort AS day_offset
+        |  FROM e JOIN f USING (user_id) WHERE e.d >= f.cohort)
+        |SELECT cohort, day_offset, COUNT(*) AS n_users FROM act
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin) { (s, dir) =>
+      val e = table(s, dir, "events").select(col("user_id"), col("event_type"),
+        // `div`, not `/`: Spark's `/` on longs is true division (a
+        // DOUBLE) — the oracle's `//` is integer floor division
+        expr("unix_timestamp(ts) div 86400").as("d"))
+      val f = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("d")).as("cohort"))
+      e.join(f, "user_id")
+        .filter(col("d") >= col("cohort"))
+        .select(col("user_id"), col("cohort"), (col("d") - col("cohort")).as("day_offset"))
+        .distinct()
+        .groupBy("cohort", "day_offset").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_offset")
     })
 }
