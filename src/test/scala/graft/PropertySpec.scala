@@ -358,4 +358,78 @@ class PropertySpec extends SparkSpec {
         "RangeJoin NTZ path must equal the TimestampType path under UTC")
     }
   }
+
+  test("substringPrune ≡ sliding-window reference model on random corpora") {
+    // reference model: count every L-window across the corpus, cover
+    // the tokens of any window occurring ≥ 2 times, rebuild in order
+    def model(docs: Seq[(Long, String)], l: Int): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.toLowerCase.split(" ", -1).toSeq }
+      val winCounts = scala.collection.mutable.Map.empty[Seq[String], Int].withDefaultValue(0)
+      toks.foreach { case (_, ts) =>
+        ts.sliding(l).filter(_.size == l).foreach(w => winCounts(w.toList) += 1) }
+      toks.map { case (id, ts) =>
+        val covered = scala.collection.mutable.Set.empty[Int]
+        ts.sliding(l).zipWithIndex.foreach { case (w, i) =>
+          if (w.size == l && winCounts(w.toList) >= 2) covered ++= (i until i + l) }
+        val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        id -> ((ts.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    // tiny vocabulary so duplicated windows actually occur
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val docGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    seeds.foreach { s =>
+      val texts = sample(Gen.listOfN(30, docGen), s)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expect = model(docs, 3)
+      val got = graft.ops.Dedup.substringPrune(
+          docs.toDF("doc_id", "text"), "doc_id", "text", windowLen = 3)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == expect, s"seed $s: prune diverged from the reference model")
+    }
+  }
+
+  test("funnel ≡ greedy per-user reference model on random event streams") {
+    val steps = Seq("view", "click", "purchase")
+    def model(evs: Seq[(Long, String, Long)], w: Long): Map[Long, Int] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val firstOpt = es.filter(_._2 == steps.head).map(_._3)
+          .sorted.headOption
+        firstOpt.map { t1 =>
+          var cur = t1
+          var reached = 1
+          var stuck = false
+          steps.tail.foreach { st =>
+            if (!stuck) {
+              es.filter(e => e._2 == st && e._3 > cur && e._3 <= cur + w)
+                .map(_._3).sorted.headOption match {
+                case Some(nx) => cur = nx; reached += 1
+                case None => stuck = true
+              }
+            }
+          }
+          u -> reached
+        }
+      }
+    val evGen = for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.oneOf(steps ++ Seq("noise"))
+      sec <- Gen.choose(0L, 120L)
+    } yield (u, t, 1700000000L + sec)
+    seeds.foreach { s =>
+      val evs = sample(Gen.listOfN(120, evGen), s)
+      Seq(10L, 40L).foreach { w =>
+        val expect = model(evs, w)
+        val got = graft.ops.Funnel.windowed(
+            evs.toDF("user_id", "event_type", "es")
+              .withColumn("ts", timestamp_seconds($"es")),
+            "user_id", "ts", "event_type", steps, windowSec = w)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == expect, s"seed $s window $w: funnel diverged from model")
+      }
+    }
+  }
 }
