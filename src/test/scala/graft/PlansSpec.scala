@@ -387,6 +387,16 @@ class PlansSpec extends SparkSpec {
       "candidate members scan must be statically pruned to the batch's buckets")
   }
 
+  test("join_dpp: the fact scan carries a dynamic partition pruning expression") {
+    // the whole row exists to demonstrate this: losing the
+    // dynamicpruning subquery silently turns a 5-of-30-partition scan
+    // into a full-table scan — at a year of 100 TB, 70x the I/O
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruningexpression"),
+      "fact scan must be dynamically pruned by the dim's qualifying days")
+    assert(p.contains("BroadcastHashJoin"), "the dim must broadcast")
+  }
+
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
