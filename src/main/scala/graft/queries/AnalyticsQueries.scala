@@ -111,6 +111,47 @@ object AnalyticsQueries {
         .orderBy(col("ship_date").desc, col("l_returnflag"), col("l_linestatus"))
     },
 
+    /** view_daily_summary_incremental — the SAME summary, maintained
+      * INCREMENTALLY (graft.analytics.Incremental): history builds a
+      * persisted per-key partial-state table (exact decimal sums +
+      * counts + min/max — mergeable components only; avg is derived
+      * at read), the newest ship-date's rows fold in with ONE
+      * aggregate over O(state + day) rows, and the finalized view
+      * must match the full-recompute oracle BIT-for-bit — the oracle
+      * is literally view_daily_summary's SQL. At 100 TB this is the
+      * difference between rescanning history nightly and touching
+      * one day + a summary-sized table. */
+    Q("view_daily_summary_incremental",
+      s"""SELECT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date,
+         |  ${davgSql("l_quantity", "avg_qty")},
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  ${davgSql("l_extendedprice", "avg_price")},
+         |  COUNT(*) AS record_count
+         |FROM lineitem GROUP BY 1, 2, 3
+         |ORDER BY ship_date DESC, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      import graft.analytics.Incremental
+      val li = table(s, dir, "lineitem")
+      // the "new day" = the latest ship date (bounded 1-row collect)
+      val cutoff = li.agg(max(Enrich.deriveDate(col("l_shipdate"))))
+        .head().getDate(0)
+      val isNew = Enrich.deriveDate(col("l_shipdate")) === lit(cutoff)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_ivm_state").toString
+      try {
+        // nightly cadence: persist the standing state, fold the day in
+        Incremental.lineitemSummaryState(li.filter(!isNew))
+          .write.mode("overwrite").parquet(s"$stateDir/v1")
+        Incremental.mergeStates(
+            s.read.parquet(s"$stateDir/v1"),
+            Incremental.lineitemSummaryState(li.filter(isNew)))
+          .write.mode("overwrite").parquet(s"$stateDir/v2")
+        Incremental.summaryFromState(s.read.parquet(s"$stateDir/v2"))
+          .orderBy(col("ship_date").desc, col("l_returnflag"), col("l_linestatus"))
+          .localCheckpoint(true)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
+    },
+
     /** view_latest_weather (reference: sql/schema.sql:100-115) —
       * DISTINCT ON emulation: most-recent row per user, deterministic
       * tie-break on event_id. */

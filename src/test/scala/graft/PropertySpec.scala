@@ -359,6 +359,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental summary ≡ direct summary for ANY split of the input") {
+    import graft.analytics.Incremental
+    // merge must be split-invariant — not just for the registered
+    // latest-day cut: fold state(history)+state(batch) for several
+    // arbitrary hash splits and require bit-identity with the direct
+    // aggregate (exact decimal sums + one IEEE division make this an
+    // equality, not a tolerance check)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = Incremental.summaryFromState(
+        Incremental.lineitemSummaryState(li))
+      .orderBy("ship_date", "l_returnflag", "l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    Seq(2, 3, 7).foreach { m =>
+      val a = li.filter(pmod($"l_orderkey", lit(m)) === 0)
+      val b = li.filter(pmod($"l_orderkey", lit(m)) =!= 0)
+      val inc = Incremental.summaryFromState(Incremental.mergeStates(
+          Incremental.lineitemSummaryState(a),
+          Incremental.lineitemSummaryState(b)))
+        .orderBy("ship_date", "l_returnflag", "l_linestatus")
+        .collect().map(_.toSeq).toSeq
+      assert(inc == direct, s"mod-$m split: merged state diverged from direct")
+    }
+  }
+
   test("substringPrune ≡ sliding-window reference model on random corpora") {
     // reference model: count every L-window across the corpus, cover
     // the tokens of any window occurring ≥ 2 times, rebuild in order
