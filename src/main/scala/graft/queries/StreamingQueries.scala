@@ -337,6 +337,76 @@ object StreamingQueries {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     },
 
+    /** stream_summary_incremental — streaming warehouse ingest: each
+      * micro-batch's partial aggregates fold into the PERSISTED
+      * summary state table (graft.analytics.Incremental — exact
+      * decimal sums/counts/min-max, avg derived at read), so the
+      * standing daily summary is current after every batch and
+      * history is never rescanned — foreachBatch composes the
+      * streaming engine with the incremental-view shape the same way
+      * stream_dedup_indexed composes it with the dedup index. No
+      * cross-batch ORDER sensitivity: merge is split-invariant
+      * (pinned for arbitrary splits in PropertySpec), so the oracle
+      * is the plain full-recompute view over the streamed subset.
+      */
+    Q("stream_summary_incremental",
+      s"""SELECT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+         |  COUNT(*) AS record_count
+         |FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY 1, 2, 3
+         |ORDER BY ship_date DESC, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      import graft.analytics.Incremental
+      val li = graft.io.Sources.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus",
+          "l_shipdate", "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_ivm")
+      val in = s"$root/in"
+      val fs = new Path(in).getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Seq(("00", lit(0)), ("01", lit(5))).foreach { case (nm, residue) =>
+          val stage = s"$root/stage$nm"
+          li.filter(pmod(col("l_orderkey"), lit(10)) === residue)
+            .coalesce(1).write.parquet(stage)
+          val part = fs.listStatus(new Path(stage))
+            .map(_.getPath).find(_.getName.startsWith("part-")).get
+          fs.mkdirs(new Path(in))
+          require(fs.rename(part, new Path(in, s"$nm.parquet")))
+          fs.setTimes(new Path(in, s"$nm.parquet"),
+            1700000000000L + nm.toLong * 60000L, -1)
+        }
+        val latestState = new java.util.concurrent.atomic.AtomicReference[String](null)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("l_orderkey", LongType),
+            StructField("l_returnflag", StringType),
+            StructField("l_linestatus", StringType),
+            StructField("l_shipdate", TimestampType),
+            StructField("l_quantity", DoubleType),
+            StructField("l_extendedprice", DoubleType))))
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val bs = Incremental.lineitemSummaryState(b)
+            val merged = Option(latestState.get()) match {
+              case Some(prev) => Incremental.mergeStates(s.read.parquet(prev), bs)
+              case None => bs
+            }
+            val out = s"$root/state_$id"
+            merged.write.mode("overwrite").parquet(out)
+            latestState.set(out)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Incremental.summaryFromState(s.read.parquet(latestState.get()))
+          .orderBy(col("ship_date").desc, col("l_returnflag"), col("l_linestatus"))
+          .localCheckpoint(true)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    },
+
     /** Gap sessionization through the REAL streaming engine on Spark
       * 4's transformWithState + the RocksDB state store
       * (StreamingOps.sessionizeStreamTws) — the last operator family
