@@ -618,20 +618,20 @@ object AnalyticsQueries {
       * the 100-TB layout, [[dppFactDir]]) joins a selective dim of
       * qualifying days on the PARTITION column, and Catalyst injects
       * a dynamic pruning subquery into the fact scan's
-      * PartitionFilters (pinned in PlansSpec) — at the gate corpus 5
-      * of 30 day-partitions survive; at a year of 100 TB that is the
+      * PartitionFilters (pinned in PlansSpec) — 4 of 30 day-partitions
+      * survive at sf0.001, 21 of 30 at the sf0.01 gate; at a year of 100 TB that is the
       * difference between scanning 1.4% and 100% of the table. The
       * oracle states the plain date join over the unpartitioned
       * relation. */
     Q("join_dpp",
       s"""WITH dim AS (SELECT DISTINCT CAST(ts AS DATE) AS dd FROM events
-         |  WHERE event_type = 'purchase' AND value > 300)
+         |  WHERE event_type = 'purchase' AND value > 200)
          |SELECT e.event_type, COUNT(*) AS n, ${dsumSql("e.value", "sum_value")}
          |FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.dd
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val fact = s.read.parquet(dppFactDir(s, dir))
       val dim = table(s, dir, "events")
-        .filter(col("event_type") === "purchase" && col("value") > 300)
+        .filter(col("event_type") === "purchase" && col("value") > 200)
         .select(col("ts").cast("date").as("dd")).distinct()
       fact.join(broadcast(dim), col("d") === col("dd"))
         .groupBy("event_type")
