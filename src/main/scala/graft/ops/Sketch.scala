@@ -35,17 +35,41 @@ object Sketch {
     */
   def kmvDistinct(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k > 1, s"kmvDistinct: k must exceed 1: $k")
-    // NULL values hash to NULL, and the engines disagree on where an
-    // ascending sort puts NULLs (Spark: first, DuckDB: last) — a NULL
-    // sneaking into the min-k set would silently skew kth_min on one
-    // side only. A sketch of the VALUE set ignores NULLs, explicitly.
-    val hashes = df.select(Parity.md5_60(value.cast("string")).as("h"))
+    finalizeKmv(kmvState(df, value, k), k)
+  }
+
+  /** The sketch STATE: the min-k distinct 60-bit hash set (≤ k rows —
+    * this is the whole point of a KMV sketch: the state is k longs no
+    * matter how large the input). MERGEABLE exactly:
+    * min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)), because any hash in
+    * the combined min-k must already be in its own shard's min-k.
+    * NULL values hash to NULL, and the engines disagree on where an
+    * ascending sort puts NULLs (Spark: first, DuckDB: last) — a NULL
+    * sneaking into the min-k set would silently skew kth_min on one
+    * side only. A sketch of the VALUE set ignores NULLs, explicitly.
+    */
+  def kmvState(df: DataFrame, value: Column, k: Int): DataFrame =
+    df.select(Parity.md5_60(value.cast("string")).as("h"))
       .filter(col("h").isNotNull).distinct()
+      .orderBy(col("h").asc).limit(k)
+
+  /** Fold shard states into the combined estimate — the distributed
+    * cadence: per-shard (per-day, per-partition) sketches are k-row
+    * relations, merging is a union + min-k over Σ shards × k rows,
+    * and the estimate must equal the direct whole-input sketch (the
+    * registered query proves it against the direct oracle).
+    */
+  def kmvFromStates(states: Seq[DataFrame], k: Int): DataFrame = {
+    require(states.nonEmpty, "kmvFromStates: no states")
+    finalizeKmv(states.reduce(_ unionByName _).distinct()
+      .orderBy(col("h").asc).limit(k), k)
+  }
+
+  private def finalizeKmv(minK: DataFrame, k: Int): DataFrame = {
     // 2^60 and (k−1) are exactly representable doubles; the int64 →
     // double cast of h_k rounds to nearest identically in both engines
     val two60 = lit(1152921504606846976L).cast("double")
-    hashes.orderBy(col("h").asc).limit(k)
-      .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k_actual"))
+    minK.agg(max(col("h")).as("kth_min"), count(lit(1)).as("k_actual"))
       .select(lit(k.toLong).as("k"), col("k_actual"), col("kth_min"),
         (lit((k - 1).toDouble) * two60 / col("kth_min").cast("double"))
           .as("est_distinct"))

@@ -675,6 +675,57 @@ object AnalyticsQueries {
         .crossJoin(ev.agg(countDistinct(col("event_id")).as("exact_distinct")))
     },
 
+    /** agg_kmv_merge — the sketch's MERGEABILITY, the property that
+      * makes it a distributed sketch at all: three shard states
+      * (event_id mod 3 — each a ≤ k-row relation regardless of shard
+      * size) fold into one estimate that must EQUAL the direct
+      * whole-corpus sketch, so the oracle is the direct computation.
+      * min-k(∪ shards) = min-k(∪ min-k(shard)) exactly — any hash in
+      * the combined min-k is in its own shard's min-k. */
+    Q("agg_kmv_merge",
+      """WITH h AS (SELECT DISTINCT h FROM (SELECT
+        |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM events) WHERE h IS NOT NULL),
+        |km AS (SELECT max(h) AS kth_min, COUNT(*) AS k_actual
+        |  FROM (SELECT h FROM h ORDER BY h ASC LIMIT 32))
+        |SELECT CAST(32 AS BIGINT) AS k, k_actual, kth_min,
+        |  CAST(31 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |    / CAST(kth_min AS DOUBLE) AS est_distinct
+        |FROM km""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val shards = (0 until 3).map(r =>
+        graft.ops.Sketch.kmvState(
+          ev.filter(pmod(col("event_id"), lit(3)) === r),
+          col("event_id"), k = 32))
+      graft.ops.Sketch.kmvFromStates(shards, k = 32)
+    },
+
+    /** window_rolling_7d — a RANGE-frame rolling window (the frame is
+      * defined by the ORDER value, not row positions): per user, the
+      * count and exact-decimal sum of events in the trailing 7 days
+      * of each event. Value-defined frames include timestamp-tie
+      * peers identically in both engines, so the result is
+      * deterministic under any shuffle layout — unlike a ROWS frame
+      * over a non-unique order. One shuffle on the user key. */
+    Q("window_rolling_7d",
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+        |FROM (SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS s FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY s
+        |  RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("unix_timestamp(ts)"))
+        .rangeBetween(-604799L, Window.currentRow)
+      table(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_7d"))
+        .orderBy("event_id")
+    },
+
     /** agg_cube — all grouping-set combinations of (status, priority). */
     Q("agg_cube",
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
