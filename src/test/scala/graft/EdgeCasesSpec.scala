@@ -210,4 +210,52 @@ class EdgeCasesSpec extends SparkSpec {
       Seq("city", "country", "ts"), "date")
     assert(spark.read.parquet(dir).collect().toSet == before)
   }
+
+  test("substring ops on an empty corpus yield empty results") {
+    assert(Dedup.substringDupStats(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.substringPrune(noDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("funnel with no first-step events is empty; later-step-only users absent") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val onlyLater = Seq((1L, "click", ts(0)), (1L, "purchase", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    assert(graft.ops.Funnel.windowed(onlyLater, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 3600).count() == 0)
+    assert(graft.ops.Funnel.windowed(
+      noEvents.select("user_id", "event_type", "ts"),
+      "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 3600).count() == 0)
+  }
+
+  test("semDedup on an empty embedding table is empty, not a crash") {
+    val model = Seq((0L, Array(1.0, 0.0))).toDF("cid", "cv")
+    assert(Similarity.semDedup(noVecs, "vec_id", "embedding", model, 0.9)
+      .count() == 0)
+  }
+
+  test("merged KMV states with fewer than k hashes report the shortfall") {
+    import graft.ops.Sketch
+    val a = Sketch.kmvState(Seq(1L, 2L).toDF("v"), col("v"), k = 32)
+    val b = Sketch.kmvState(Seq(2L, 3L).toDF("v"), col("v"), k = 32)
+    val row = Sketch.kmvFromStates(Seq(a, b), k = 32).head()
+    // 3 distinct values across both shards — k_actual must say so
+    // (the underpopulation signal consumers threshold on)
+    assert(row.getAs[Long]("k_actual") == 3L)
+  }
+
+  test("incremental summary state merged with an empty batch is the identity") {
+    import graft.analytics.Incremental
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val st = Incremental.lineitemSummaryState(li)
+    val merged = Incremental.mergeStates(st,
+      Incremental.lineitemSummaryState(li.filter(lit(false))))
+    assert(Incremental.summaryFromState(merged)
+      .orderBy("ship_date", "l_returnflag", "l_linestatus")
+      .collect().map(_.toSeq).toSeq ==
+      Incremental.summaryFromState(st)
+        .orderBy("ship_date", "l_returnflag", "l_linestatus")
+        .collect().map(_.toSeq).toSeq)
+  }
 }
