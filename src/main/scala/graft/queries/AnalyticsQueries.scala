@@ -726,6 +726,85 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    /** tpch_q3 — the TPC-H shipping-priority query on our corpus's
+      * TPC-H-shaped tables (o_orderpriority standing in for the
+      * schema's absent o_shippriority): segment-filtered customer ⨝
+      * orders ⨝ lineitem, revenue per urgent order, top 10. The plan
+      * this exists to keep honest: both dimension filters pushed to
+      * their scans, broadcast-hash joins (never sort-merge for
+      * broadcast-able dims), and the top-10 as TakeOrderedAndProject,
+      * not a global sort. Revenue sums the double product through
+      * DECIMAL(18,4) — the product of two 2-dp values is 4-dp, so the
+      * cast never rounds at a tie and both engines agree bit-wise. */
+    Q("tpch_q3",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val rev = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double")
+      table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(table(s, dir, "orders")
+            .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(table(s, dir, "lineitem")
+            .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          Enrich.deriveDate(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"))
+        .agg(rev.as("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    /** tpch_q5 — the TPC-H local-supplier-volume query: the 6-table
+      * join (customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝
+      * region) with the local-supplier constraint c_nationkey =
+      * s_nationkey, revenue per nation in ASIA for one order-year.
+      * Exercises the deepest join chain in the registry — every
+      * dimension broadcasts, the fact streams once. */
+    Q("tpch_q5",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val rev = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double")
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(table(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(table(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(table(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(rev.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     /** agg_cube — all grouping-set combinations of (status, priority). */
     Q("agg_cube",
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -397,6 +397,18 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "the dim must broadcast")
   }
 
+  test("tpch q3/q5: broadcast join chains, pushed dim filters, top-k not global sort") {
+    val p3 = plan("tpch_q3")
+    assert(p3.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(!p3.contains("SortMergeJoin"), "q3 dims must broadcast")
+    assert(p3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+        || p3.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer scan")
+    val p5 = plan("tpch_q5")
+    assert(!p5.contains("CartesianProduct"))
+    assert(!p5.contains("SortMergeJoin"), "q5's six-table chain must broadcast")
+  }
+
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
