@@ -765,6 +765,42 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
 
+    /** tpch_q1 — the TPC-H pricing-summary report, the most-quoted
+      * scan-and-aggregate benchmark query: one filtered pass over
+      * lineitem, six groups, eight aggregates. disc_price (2-dp ×
+      * 2-dp = 4-dp) and charge (× another 2-dp = 6-dp) sum through
+      * DECIMAL casts wide enough that the cast never rounds at a tie;
+      * both engines evaluate the identical double product
+      * left-to-right, so the sums agree bit-wise. */
+    Q("tpch_q1",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity", "sum_qty")},
+         |  ${dsumSql("l_extendedprice", "sum_base_price")},
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |  ${davgSql("l_quantity", "avg_qty")},
+         |  ${davgSql("l_extendedprice", "avg_price")},
+         |  ${davgSql("l_discount", "avg_disc")},
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val discPrice = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice.cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+          sum((discPrice * (lit(1) + col("l_tax")))
+            .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     /** tpch_q5 — the TPC-H local-supplier-volume query: the 6-table
       * join (customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝
       * region) with the local-supplier constraint c_nationkey =
