@@ -101,7 +101,100 @@ def gen_events():
     pq.write_table(tbl, f"{OUT}/events.parquet")
 
 
+N_CUST = 150_000
+N_ORDERS = 1_500_000
+N_SUPP = 10_000
+N_PART = 200_000
+
+TS0 = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
+
+
+def _ts(lo_days, hi_days, n):
+    us_per_day = 24 * 3600 * 1_000_000
+    return pa.array(
+        TS0 + rng.integers(lo_days * us_per_day, hi_days * us_per_day, n),
+        pa.timestamp("us"))
+
+
+def gen_tpch():
+    """10x the sf0.1 TPC-H-shaped tables: dense 0-based keys, uniform
+    value mixes matched to the shipped corpus (probed 2026-08-14 —
+    statuses O/P/F, 5 priorities/segments, flags A/N/R x F/O, nation
+    regionkey = key % 5, 2-dp money columns, dates 1995..2001)."""
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(np.arange(5), pa.int64()),
+        "r_name": pa.array(
+            ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"], pa.string()),
+    }), f"{OUT}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(25), pa.int64()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)], pa.string()),
+        "n_regionkey": pa.array(np.arange(25) % 5, pa.int64()),
+    }), f"{OUT}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(N_CUST), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUST)], pa.string()),
+        "c_nationkey": pa.array(rng.integers(0, 25, N_CUST), pa.int64()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, N_CUST), 2), pa.float64()),
+        "c_mktsegment": pa.array(rng.choice(
+            ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"],
+            N_CUST), pa.string()),
+    }), f"{OUT}/customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(N_SUPP), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPP)], pa.string()),
+        "s_nationkey": pa.array(rng.integers(0, 25, N_SUPP), pa.int64()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, N_SUPP), 2), pa.float64()),
+    }), f"{OUT}/supplier.parquet")
+    adjectives = ["large", "hot", "small", "cold", "steel", "brushed"]
+    nouns = ["ring", "bolt", "plate", "washer", "gear", "pin"]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(N_PART), pa.int64()),
+        "p_name": pa.array([f"{adjectives[i % 6]} {nouns[(i // 6) % 6]}"
+                            for i in range(N_PART)], pa.string()),
+        "p_brand": pa.array([f"Brand#{i % 25}" for i in range(N_PART)], pa.string()),
+        "p_type": pa.array(rng.choice(
+            ["LARGE", "ECONOMY", "STANDARD", "SMALL", "PROMO"], N_PART), pa.string()),
+        "p_size": pa.array(rng.integers(1, 51, N_PART), pa.int64()),
+        "p_retailprice": pa.array(np.round(900 + 0.1 * np.arange(N_PART) % 1000, 2),
+                                  pa.float64()),
+    }), f"{OUT}/part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(N_ORDERS), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, N_CUST, N_ORDERS), pa.int64()),
+        "o_orderstatus": pa.array(rng.choice(["O", "P", "F"], N_ORDERS), pa.string()),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, N_ORDERS), 2),
+                                 pa.float64()),
+        "o_orderdate": _ts(0, 2404, N_ORDERS),  # 1995-01-01 .. 2001-08-01
+        "o_orderpriority": pa.array(rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            N_ORDERS), pa.string()),
+    }), f"{OUT}/orders.parquet")
+    # 1-7 lines per order (~6M rows), mirroring the shipped 4 lines/order mean
+    n_lines = rng.integers(1, 8, N_ORDERS)
+    okeys = np.repeat(np.arange(N_ORDERS), n_lines)
+    n_li = int(okeys.shape[0])
+    linenum = np.concatenate([np.arange(1, k + 1) for k in n_lines])
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, N_PART, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, N_SUPP, n_li), pa.int64()),
+        "l_linenumber": pa.array(linenum.astype(np.int32), pa.int32()),
+        "l_quantity": pa.array(np.round(rng.uniform(1, 50, n_li), 2), pa.float64()),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n_li), 2),
+                                    pa.float64()),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2), pa.float64()),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2), pa.float64()),
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li), pa.string()),
+        "l_linestatus": pa.array(rng.choice(["F", "O"], n_li), pa.string()),
+        "l_shipdate": _ts(1, 2499, n_li),  # 1995-01-02 .. 2001-11
+    }), f"{OUT}/lineitem.parquet")
+    return n_li
+
+
 gen_documents()
 gen_embeddings()
 gen_events()
-print(f"wrote documents({N_DOCS}), embeddings({N_VECS}), events({N_EVENTS}) to {OUT}")
+n_li = gen_tpch()
+print(f"wrote documents({N_DOCS}), embeddings({N_VECS}), events({N_EVENTS}), "
+      f"lineitem({n_li}), orders({N_ORDERS}), customer({N_CUST}) to {OUT}")
