@@ -738,7 +738,7 @@ object AnalyticsQueries {
       * cast never rounds at a tie and both engines agree bit-wise. */
     Q("tpch_q3",
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
         |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -748,8 +748,9 @@ object AnalyticsQueries {
         |  AND l_shipdate > TIMESTAMP '1998-03-15'
         |GROUP BY 1, 3, 4
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
-      val rev = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast(DecimalType(18, 4))).cast("double")
+      val rev = sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+        .cast("double")
       table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .join(table(s, dir, "orders")
             .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15"))),
@@ -776,24 +777,35 @@ object AnalyticsQueries {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity", "sum_qty")},
          |  ${dsumSql("l_extendedprice", "sum_base_price")},
-         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
          |  ${davgSql("l_quantity", "avg_qty")},
          |  ${davgSql("l_extendedprice", "avg_price")},
          |  ${davgSql("l_discount", "avg_disc")},
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val discPrice = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      // decimal-FACTOR multiplication, not a decimal cast of the double
+      // product: at 6M rows one product double landed where Spark's
+      // shortest-repr cast and DuckDB's binary-expansion cast round a
+      // 6th decimal apart. Each factor is exact at its own 2-dp scale,
+      // decimal x decimal is exact, so the sums agree at ANY scale.
+      val epD = col("l_extendedprice").cast(DecimalType(18, 2))
+      val discD = lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))
+      val taxD = lit(1).cast(DecimalType(3, 2)) + col("l_tax").cast(DecimalType(3, 2))
       table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(discPrice.cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
-          sum((discPrice * (lit(1) + col("l_tax")))
-            .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+          sum(epD * discD).cast("double").as("sum_disc_price"),
+          // sum_charge stays DECIMAL end to end: its exact sum in
+          // 10^-6 units exceeds 2^53, where DuckDB's decimal->double
+          // conversion double-rounds (int128 -> double -> / 1e6) while
+          // Spark rounds once — a 1-ulp mismatch at sf1. Exact decimal
+          // out, exact compare, any scale.
+          sum(epD * discD * taxD).cast(DecimalType(38, 6)).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -809,7 +821,7 @@ object AnalyticsQueries {
       * dimension broadcasts, the fact streams once. */
     Q("tpch_q5",
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -820,8 +832,9 @@ object AnalyticsQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
-      val rev = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast(DecimalType(18, 4))).cast("double")
+      val rev = sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+        .cast("double")
       table(s, dir, "customer")
         .join(table(s, dir, "orders")
             .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&

@@ -110,9 +110,12 @@ TS0 = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
 
 
 def _ts(lo_days, hi_days, n):
+    # DAY granularity, like the shipped corpus (dates are midnight-
+    # aligned there — a sub-day component would break the CSV
+    # round-trip row, whose text format is millisecond-truncating)
     us_per_day = 24 * 3600 * 1_000_000
     return pa.array(
-        TS0 + rng.integers(lo_days * us_per_day, hi_days * us_per_day, n),
+        TS0 + rng.integers(lo_days, hi_days, n) * us_per_day,
         pa.timestamp("us"))
 
 
@@ -122,19 +125,19 @@ def gen_tpch():
     statuses O/P/F, 5 priorities/segments, flags A/N/R x F/O, nation
     regionkey = key % 5, 2-dp money columns, dates 1995..2001)."""
     pq.write_table(pa.table({
-        "r_regionkey": pa.array(np.arange(5), pa.int64()),
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32), pa.int32()),
         "r_name": pa.array(
             ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"], pa.string()),
     }), f"{OUT}/region.parquet")
     pq.write_table(pa.table({
-        "n_nationkey": pa.array(np.arange(25), pa.int64()),
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32), pa.int32()),
         "n_name": pa.array([f"NATION_{i}" for i in range(25)], pa.string()),
-        "n_regionkey": pa.array(np.arange(25) % 5, pa.int64()),
+        "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32), pa.int32()),
     }), f"{OUT}/nation.parquet")
     pq.write_table(pa.table({
         "c_custkey": pa.array(np.arange(N_CUST), pa.int64()),
         "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUST)], pa.string()),
-        "c_nationkey": pa.array(rng.integers(0, 25, N_CUST), pa.int64()),
+        "c_nationkey": pa.array(rng.integers(0, 25, N_CUST).astype(np.int32), pa.int32()),
         "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, N_CUST), 2), pa.float64()),
         "c_mktsegment": pa.array(rng.choice(
             ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"],
@@ -143,7 +146,7 @@ def gen_tpch():
     pq.write_table(pa.table({
         "s_suppkey": pa.array(np.arange(N_SUPP), pa.int64()),
         "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPP)], pa.string()),
-        "s_nationkey": pa.array(rng.integers(0, 25, N_SUPP), pa.int64()),
+        "s_nationkey": pa.array(rng.integers(0, 25, N_SUPP).astype(np.int32), pa.int32()),
         "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, N_SUPP), 2), pa.float64()),
     }), f"{OUT}/supplier.parquet")
     adjectives = ["large", "hot", "small", "cold", "steel", "brushed"]
@@ -155,7 +158,7 @@ def gen_tpch():
         "p_brand": pa.array([f"Brand#{i % 25}" for i in range(N_PART)], pa.string()),
         "p_type": pa.array(rng.choice(
             ["LARGE", "ECONOMY", "STANDARD", "SMALL", "PROMO"], N_PART), pa.string()),
-        "p_size": pa.array(rng.integers(1, 51, N_PART), pa.int64()),
+        "p_size": pa.array(rng.integers(1, 51, N_PART).astype(np.int32), pa.int32()),
         "p_retailprice": pa.array(np.round(900 + 0.1 * np.arange(N_PART) % 1000, 2),
                                   pa.float64()),
     }), f"{OUT}/part.parquet")
