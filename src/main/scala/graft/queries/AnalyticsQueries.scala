@@ -134,7 +134,11 @@ object AnalyticsQueries {
       // the "new day" = the latest ship date (bounded 1-row collect)
       val cutoff = li.agg(max(Enrich.deriveDate(col("l_shipdate"))))
         .head().getDate(0)
-      val isNew = Enrich.deriveDate(col("l_shipdate")) === lit(cutoff)
+      // null-safe split (<=>): with ===, a NULL ship date satisfies
+      // neither isNew nor !isNew and vanishes from BOTH state
+      // partitions, while the full-recompute oracle keeps its NULL
+      // group — <=> makes history + day an exact partition of input
+      val isNew = Enrich.deriveDate(col("l_shipdate")) <=> lit(cutoff)
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft_ivm_state").toString
       try {
@@ -618,7 +622,7 @@ object AnalyticsQueries {
       * the 100-TB layout, [[dppFactDir]]) joins a selective dim of
       * qualifying days on the PARTITION column, and Catalyst injects
       * a dynamic pruning subquery into the fact scan's
-      * PartitionFilters (pinned in PlansSpec) — 4 of 30 day-partitions
+      * PartitionFilters (pinned in PlansSpec) — 5 of 30 day-partitions
       * survive at sf0.001, 21 of 30 at the sf0.01 gate; at a year of 100 TB that is the
       * difference between scanning 1.4% and 100% of the table. The
       * oracle states the plain date join over the unpartitioned

@@ -133,6 +133,67 @@ class OpsSpec extends SparkSpec {
       maxDf = 50).count() == 0L)
   }
 
+  test("df pass skew: one gram in every doc stays map-side bounded, no single-task pileup") {
+    // the VERDICT-r11 straggler shape: a boilerplate gram present in
+    // EVERY document. Under the old count-over-hash window, every one
+    // of its occurrences shuffled into ONE task before the df filter
+    // could drop it; the r12 groupBy shape partial-aggregates
+    // map-side, so no task's shuffle read may approach the hot gram's
+    // full df. Measured with real task metrics, not plan text.
+    val nDocs = 2048
+    val boiler = (0 until nDocs).map(i =>
+      (i.toLong, s"terms of service u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text").repartition(32)
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(c => math.max(c, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE's small-data partition COALESCING funnels the whole (tiny)
+    // test exchange into one task — benign, but it would masquerade as
+    // pileup in the metric. Disable it here so per-task reads reflect
+    // the KEY distribution, which is what this test measures; at
+    // corpus scale partitions are above the advisory size and AQE
+    // never coalesces them into one.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    // 32 shuffle partitions (the suite default is 4, where even a
+    // BALANCED 8k-row exchange reads ~2k rows per task and the
+    // hot-key signature is indistinguishable from fair sharing)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "32")
+    try {
+      val out = Dedup.cappedGrams(boiler, "doc_id", "text", 3, 100)
+      assert(out.count() == nDocs * 3L,
+        "each doc keeps its three unique trigrams after the cap")
+      // metrics arrive on the async listener bus — settle
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && maxRead.get() != last) {
+        last = maxRead.get(); Thread.sleep(200)
+      }
+    } finally {
+      spark.conf.set(coalesceKey, prevCoalesce)
+      spark.conf.set(partKey, prevParts)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // 2048 docs × 4 trigrams ≈ 8k gram rows over 32 shuffle partitions:
+    // balanced tasks read a few hundred rows. The window shape forced
+    // ≥ nDocs (every boilerplate occurrence) into one task — assert we
+    // stay well under that signature.
+    assert(maxRead.get() < nDocs / 2,
+      s"max task shuffle-read ${maxRead.get()} rows — hot-key pileup " +
+        s"(window-shape signature is ≥ $nDocs; balanced is ~${8 * nDocs / 32})")
+    assert(maxRead.get() > 0, "expected the listener to observe shuffle reads")
+  }
+
   test("df cap: jaccard is computed over the capped gram sets") {
     val d = Seq(
       (1L, "b1 b2 b3 p q r s"),

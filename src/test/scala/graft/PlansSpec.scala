@@ -283,14 +283,45 @@ class PlansSpec extends SparkSpec {
 
   test("dedup_ngram_jaccard: df cap rides gram-hash exchanges, text never shuffles") {
     val p = plan("dedup_ngram_jaccard")
-    // both the df window and the candidate join key on the 60-bit gram
-    // hash — the cap must not introduce a text-keyed or cartesian shape
-    assert(p.contains("hashpartitioning(gram"),
-      "df/candidate exchanges must carry the 60-bit gram hash")
+    // the candidate join keys on the 60-bit gram hash (broadcast at
+    // gate scale, hash exchange at corpus scale — the df pass itself
+    // is pinned separately on the cappedGrams subplan: it runs before
+    // the capped relation's checkpoint and is not in THIS plan)
+    assert(p.contains("hashpartitioning(gram") || p.contains("BroadcastExchange"),
+      "candidate join must key on the 60-bit gram hash")
     assert(!p.contains("hashpartitioning(text") &&
       !p.contains("rangepartitioning(text"),
       "document text must never be a shuffle key")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cappedGrams df pass: map-side partial aggregate + broadcast anti join, no window") {
+    // the r12 skew fix (VERDICT r11 #2): document frequency must be a
+    // groupBy(hash).count() — partial-aggregated map-side, so a
+    // boilerplate gram in every document sends one row per mapper
+    // through the exchange — with the hot set removed by a BROADCAST
+    // anti join. A count(*) OVER (PARTITION BY hash) window has no
+    // partial aggregation and would pin a df ≈ 10⁸ gram in ONE task.
+    // only the RAW gram rows are checkpoint-materialized, so the
+    // returned plan still carries the whole df-pass shape: hot-set
+    // aggregate, broadcast anti join, sizes aggregate + join
+    import spark.implicits._
+    val docs = (1L to 50L)
+      .map(i => (i, s"alpha beta gamma unique$i token${i * 7} tail${i % 9}"))
+      .toDF("doc_id", "text")
+    val g = graft.ops.Dedup.cappedGrams(docs, "doc_id", "text", 3, 10)
+    val p = g.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "df/sizes must not be window functions")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "df pass must partial-aggregate map-side")
+    assert(p.contains("BroadcastExchange"),
+      "the hot set must arrive by broadcast, never a shuffled join on the hot hash")
+    assert(!p.contains("CartesianProduct"))
+    // and the cap semantics survive the new shape: "alpha beta gamma"
+    // (df = 50 > 10) is gone, per-doc sizes counted after the cap
+    val out = g.collect()
+    assert(out.nonEmpty && out.forall(_.getLong(2) == 3L),
+      "each doc keeps its 3 sub-cap grams")
   }
 
   test("text_unigram_lm: model join keyed by the token hash, scalar N broadcast") {
@@ -330,15 +361,21 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("], true, 0"), "the sort must be per-partition, never global")
   }
 
-  test("substring dedup owns no pair space: no join at all, map-side partials") {
+  test("substring dedup owns no pair space: aggregate df pass, equi-join flag, no window") {
     // ExactSubstr's whole scale story is that duplicated-window
-    // detection is an AGGREGATE over window fingerprints — if a join
-    // (let alone a cartesian) ever appears here, the O(corpus) bound
-    // is gone
+    // detection is an AGGREGATE over window fingerprints (map-side
+    // combined — r12 replaced the count-over-hash window, which had
+    // no partial aggregation and pinned a hot fingerprint's every
+    // occurrence in one task) with the duplicated-set flag returning
+    // through an AQE-skew-splittable EQUI-join. A cartesian/BNLJ here
+    // means the O(corpus) bound is gone.
     val p = plan("dedup_substring")
-    assert(!p.contains("Join"), "substring dup stats must not join")
+    assert(!p.contains("Window"),
+      "occurrence counting must be an aggregate, not a window over the hash")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("partial_"), "per-doc rollup must map-side combine")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the duplicated-set flag must come back by equi-join")
+    assert(p.contains("partial_"), "df pass + per-doc rollup must map-side combine")
   }
 
   test("substring prune: coverage join is a narrow equi-join, no cartesian") {

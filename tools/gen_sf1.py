@@ -159,7 +159,7 @@ def gen_tpch():
         "p_type": pa.array(rng.choice(
             ["LARGE", "ECONOMY", "STANDARD", "SMALL", "PROMO"], N_PART), pa.string()),
         "p_size": pa.array(rng.integers(1, 51, N_PART).astype(np.int32), pa.int32()),
-        "p_retailprice": pa.array(np.round(900 + 0.1 * np.arange(N_PART) % 1000, 2),
+        "p_retailprice": pa.array(np.round(900 + (np.arange(N_PART) % 1000) / 10, 2),
                                   pa.float64()),
     }), f"{OUT}/part.parquet")
     pq.write_table(pa.table({
