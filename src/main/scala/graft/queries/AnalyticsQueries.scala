@@ -858,6 +858,71 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    /** tpch_q4 — the TPC-H order-priority-checking query: the
+      * correlated-EXISTS class (every BI tool emits it; reference
+      * analogue: the ad-hoc SQL layer, README.md:219-231). The corpus
+      * lineitem has no commit/receipt dates, so "a late line exists"
+      * is stated as l_shipdate > o_orderdate — same correlated
+      * semi-join shape, one equality + one non-equality correlated
+      * predicate. Stated in SQL deliberately: the scale property this
+      * row pins is Catalyst DECORRELATION — the EXISTS must plan as
+      * one left SEMI join on the order key (PlansSpec), never a
+      * per-outer-row subplan, which at 100 TB is the difference
+      * between one shuffle and O(|orders|) subqueries. */
+    Q("tpch_q4",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("tpch_q4_orders")
+      table(s, dir, "lineitem").createOrReplaceTempView("tpch_q4_lineitem")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM tpch_q4_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM tpch_q4_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    /** tpch_q17 — the TPC-H small-quantity-order query: the
+      * correlated SCALAR-subquery class (per-group average compared
+      * per row). The decorrelated plan aggregates lineitem per part
+      * key ONCE and joins the per-key average back — PlansSpec pins
+      * that no scalar-subquery node survives into the physical plan.
+      * Double parity: the per-key average and the final sum go
+      * through exact DECIMAL sums (both engines agree bit-wise), and
+      * fractional literals are cast to DOUBLE explicitly (DuckDB
+      * parses them as DECIMAL, Spark too — the cast keeps the
+      * comparison in double on both sides). */
+    Q("tpch_q17",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / CAST(7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size <= 15
+        |  AND l_quantity < (
+        |    SELECT CAST(0.2 AS DOUBLE) *
+        |           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |              / COUNT(l_quantity))
+        |    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem").createOrReplaceTempView("tpch_q17_lineitem")
+      table(s, dir, "part").createOrReplaceTempView("tpch_q17_part")
+      s.sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / CAST(7.0 AS DOUBLE) AS avg_yearly
+        |FROM tpch_q17_lineitem li JOIN tpch_q17_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size <= 15
+        |  AND l_quantity < (
+        |    SELECT CAST(0.2 AS DOUBLE) *
+        |           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |              / COUNT(l_quantity))
+        |    FROM tpch_q17_lineitem l2 WHERE l2.l_partkey = li.l_partkey)""".stripMargin)
+    },
+
     /** agg_cube — all grouping-set combinations of (status, priority). */
     Q("agg_cube",
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

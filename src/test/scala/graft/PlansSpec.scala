@@ -446,6 +446,38 @@ class PlansSpec extends SparkSpec {
     assert(!p5.contains("SortMergeJoin"), "q5's six-table chain must broadcast")
   }
 
+  test("tpch q4: correlated EXISTS decorrelates to ONE semi join, no per-row subplan") {
+    // the class every BI user hits: an EXISTS correlated on the outer
+    // row must become a left SEMI join on the order key. A surviving
+    // subquery expression (per-outer-row re-execution) or a nested-
+    // loop shape is the 100-TB failure: O(|orders|) subplans instead
+    // of one shuffle.
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
+    assert(!p.toLowerCase.contains("scalar-subquery") &&
+      !p.contains("InSubquery"),
+      "no subquery expression may survive into the physical plan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the semi join must stay an equi-join on the order key")
+    assert(p.contains("partial_count"), "the rollup must map-side combine")
+  }
+
+  test("tpch q17: correlated scalar subquery decorrelates to one per-key aggregate + join") {
+    // the per-group-average-compared-per-row class: the subquery's
+    // avg must be computed ONCE per part key (an aggregate relation
+    // joined back), never re-executed per probe row.
+    val p = plan("tpch_q17")
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      "the correlated scalar subquery must be decorrelated, not re-run per row")
+    assert(p.contains("partial_sum") || p.contains("partial_avg") ||
+      p.contains("partial_"),
+      "the per-key average must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the average must join back on the part key equi-join")
+  }
+
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
