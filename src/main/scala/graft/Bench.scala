@@ -40,6 +40,13 @@ import org.apache.spark.sql.SparkSession
   *     named in `"retried"`, with every iteration's time in
   *     `"retry_times"` so post-hoc analysis sees the spread — a one-off
   *     scheduling stall must not masquerade as a regression.
+  *   - the PER-QUERY axis (r12 — the failure that shipped the r5/r10/
+  *     r11 artifacts): a load window that covers BOTH of a query's
+  *     iterations leaves no intra-run spread and can stay under the
+  *     1.25× total gate, so each query is ALSO compared against its
+  *     time in the last clean same-sf artifact; >2.5× outliers (with
+  *     ≥ 0.5 s excess) re-run at the END of the bench, after the
+  *     window has passed, minima reported, names in `"rebaselined"`.
   */
 object Bench {
   private val Iters = 2
@@ -86,6 +93,24 @@ object Bench {
       * not a number to trust silently).
       */
     def inflated(ratio: Option[Double]): Boolean = ratio.exists(_ > 1.25)
+    /** The PER-QUERY axis (added r12 — the r5/r10/r11 artifact bug):
+      * a transient load window that swallows BOTH timed iterations of
+      * a query defeats the intra-run spread check (both iterations
+      * agree, both are inflated), and a ~19 s window across four
+      * consecutive rows squeaked the TOTAL ratio under the 1.25 gate
+      * in r11. A successful query more than 3× its time in the last
+      * clean same-sf artifact — with ≥ 0.5 s absolute excess, so 3×
+      * of a 50 ms row is not noise-flagged — is re-run at the END of
+      * the bench, after the window has passed, and the min over all
+      * iterations is reported. The ratio fence is 2.5× (not 3×):
+      * replayed against the r11 incident, 3× misses two of the four
+      * window rows (dedup_incremental 7.19 vs 2.45 = 2.93×,
+      * ann_lsh_quantized 1.55 vs 0.55 = 2.8×) while 2.5× catches all
+      * four; the 0.5 s absolute-excess fence keeps jitter on small
+      * rows from triggering spurious re-runs.
+      */
+    def slowVsBaseline(cur: Double, base: Double): Boolean =
+      cur >= 0 && base >= 0.05 && cur > 2.5 * base && cur - base > 0.5
     /** The fixed-floor families: streaming-engine rows (RocksDB state
       * + AvailableNow micro-batch startup — scales with state, not
       * corpus) and sink/write-protocol rows (JDBC round trips, staged
@@ -225,22 +250,43 @@ object Bench {
         beans.map(b => math.max(0L, b.getCollectionCount)).sum)
     }
     val (gcMs0, gcN0) = gcTotals()
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val results = queries.map { case (name, fn) =>
-      def timeOnce(): (Boolean, Double) = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
-      }
-      val first = (1 to Iters).map(_ => timeOnce())
+    val mainResults = queries.map { case (name, fn) =>
+      val first = (1 to Iters).map(_ => timeOnce(fn))
       val all =
         if (Guards.needsRetry(first.forall(_._1), first.map(_._2))) {
-          val rerun = first ++ (1 to Iters).map(_ => timeOnce())
+          val rerun = first ++ (1 to Iters).map(_ => timeOnce(fn))
           retried += name -> rerun.map(_._2)
           rerun
         } else first
       name -> (if (all.forall(_._1)) all.map(_._2).min else -1.0)
+    }
+    // per-query rebaseline pass (Guards.slowVsBaseline): queries far
+    // above their last-clean-artifact time re-run NOW — at the end of
+    // the bench, when a transient load window that covered both of
+    // their original iterations has passed. The min over all
+    // iterations is reported; names + per-iteration times surface in
+    // the env block so post-hoc analysis sees what happened.
+    val fnByName = queries.toMap
+    val slowNames = baseline.map { base =>
+      mainResults.collect { case (n, t)
+        if base.get(n).exists(b => Guards.slowVsBaseline(t, b)) => n }
+    }.getOrElse(Seq.empty)
+    val rebaselined = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val results = mainResults.map { case (name, t) =>
+      if (!slowNames.contains(name)) name -> t
+      else {
+        val extra = (1 to Iters).map(_ => timeOnce(fnByName(name)))
+        rebaselined += name -> extra.map(_._2)
+        name -> (if (extra.forall(_._1)) math.min(t, extra.map(_._2).min) else t)
+      }
     }
     val (gcMs1, gcN1) = gcTotals()
     val loadEnd = os.getSystemLoadAverage
@@ -262,6 +308,10 @@ object Bench {
       s""""slept_for_load":$sleptForLoad,""" +
       s""""retried":${retried.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""retry_times":$retryTimes,""" +
+      s""""rebaselined":${rebaselined.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""rebaseline_times":${rebaselined.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")},""" +
       s""""baseline_common_ratio":${ratio.map(_.toString).getOrElse("null")},""" +
       s""""exec_order":"registry","corpus":$corpusJson,""" +
       s""""gc_ms":${gcMs1 - gcMs0},"gc_count":${gcN1 - gcN0}}"""

@@ -95,6 +95,28 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(Guards.fixedFloorSeconds(times) == 9.0)
   }
 
+  test("per-query axis: the r11 window rows re-run at end of bench, small rows don't") {
+    // the failure the total-ratio gate structurally missed in r11: a
+    // ~19 s transient window covered BOTH iterations of four
+    // consecutive rows and the common ratio (1.2455) squeaked under
+    // the 1.25 gate. Each committed r11 row vs its isolated re-run:
+    assert(Guards.slowVsBaseline(8.05, 0.66), "mm_resize 8.05 vs 0.66 must re-run")
+    assert(Guards.slowVsBaseline(4.47, 0.65), "mm_audio_decode 4.47 vs 0.65 must re-run")
+    // the two rows a 3x fence would MISS — why the rule is 2.5x
+    assert(Guards.slowVsBaseline(7.19, 2.45), "dedup_incremental 7.19 vs 2.45 (2.93x) must re-run")
+    assert(Guards.slowVsBaseline(1.55, 0.55), "ann_lsh_quantized 1.55 vs 0.55 (2.8x) must re-run")
+    // just under the ratio fence: a 2x drift is round-over-round noise
+    assert(!Guards.slowVsBaseline(1.20, 0.55))
+    // 3x of a tiny row is noise, not a window: both fences hold
+    assert(!Guards.slowVsBaseline(0.30, 0.04), "base under 50 ms carries no signal")
+    assert(!Guards.slowVsBaseline(0.60, 0.15), "sub-0.5 s excess is jitter")
+    // failed queries are surfaced via errors, never re-timed here
+    assert(!Guards.slowVsBaseline(-1.0, 2.0))
+    // a genuinely regressed query also re-runs — and will reproduce
+    // its slow time at end of bench, keeping the regression visible
+    assert(Guards.slowVsBaseline(9.0, 2.0))
+  }
+
   test("a baseline is usable only at the same sf AND cpu count, and only if clean") {
     def art(sf: String, cpus: Int, dirty: Boolean) =
       s"""{"metric":"total","value":1.0,"unit":"sec","contaminated":$dirty,""" +
