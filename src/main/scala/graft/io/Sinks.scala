@@ -280,6 +280,96 @@ object Sinks {
     }
   }
 
+  /** The PostgreSQL-native upsert statement: INSERT ... ON CONFLICT
+    * (keys) DO UPDATE SET col = EXCLUDED.col — the dialect path the
+    * reference drives one row and one round trip at a time
+    * (reference: src/load.py:403-427, its ON CONFLICT statement for
+    * weather_data on the (city, country, timestamp) unique key). Here
+    * the statement is GENERATED from (columns, keys, updateCols) and
+    * meant to be prepared once per executor partition and streamed
+    * through in batches ([[jdbcWriteBatched]]) — same SQL, one
+    * statement per partition instead of per row. Parameter style is
+    * JDBC positional (?), the prepared-statement form.
+    *
+    * PgDialectSpec pins the generated text against the reference's
+    * statement AND executes it on an embedded PostgreSQL 15 server
+    * (insert + conflict-update semantics verified on the real
+    * dialect); the no-driver sandbox keeps the Spark JDBC round trip
+    * itself on Derby (JdbcSinksSpec).
+    */
+  def pgUpsertSql(table: String, columns: Seq[String], keys: Seq[String],
+                  updateCols: Seq[String]): String = {
+    require(keys.nonEmpty, "ON CONFLICT requires at least one key column")
+    require(keys.forall(columns.contains),
+      s"keys must be inserted columns: ${keys.filterNot(columns.contains)}")
+    require(updateCols.forall(columns.contains),
+      s"update columns must be inserted columns: ${updateCols.filterNot(columns.contains)}")
+    require(updateCols.forall(!keys.contains(_)),
+      "conflict keys cannot be DO UPDATE targets")
+    s"INSERT INTO $table (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET " +
+      updateCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+  }
+
+  /** Executor-side batched parameterized DML: each partition opens ONE
+    * connection, prepares `sql` once, and streams its rows through
+    * addBatch/executeBatch in `batchSize` chunks — the shape a
+    * native-dialect statement (e.g. [[pgUpsertSql]]) runs at scale:
+    * writes fan out across executors, round trips amortize over the
+    * batch, and the driver never touches a row. Contrast with the
+    * reference's one-execute-per-row loop (src/load.py:385-421).
+    * Parameters bind positionally from the DataFrame's column order;
+    * NULLs bind through the schema's SQL type.
+    */
+  def jdbcWriteBatched(df: DataFrame, url: String, sql: String,
+                       props: java.util.Properties = new java.util.Properties,
+                       batchSize: Int = 500): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+    def sqlType(dt: DataType): Int = dt match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType => java.sql.Types.SMALLINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.FLOAT
+      case BooleanType => java.sql.Types.BOOLEAN
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case DateType => java.sql.Types.DATE
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case BinaryType => java.sql.Types.BINARY
+      case _ => java.sql.Types.VARCHAR
+    }
+    val types = schema.fields.map(f => sqlType(f.dataType))
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          try {
+            var n = 0
+            while (rows.hasNext) {
+              val r = rows.next()
+              var i = 0
+              while (i < types.length) {
+                val v = r.get(i)
+                if (v == null) st.setNull(i + 1, types(i))
+                else st.setObject(i + 1, v)
+                i += 1
+              }
+              st.addBatch()
+              n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } finally st.close()
+        } finally conn.close()
+      }
+    }
+  }
+
   /** Table-existence probe via JDBC metadata. Unquoted identifiers are
     * case-folded dialect-specifically (Derby/Oracle upper, Postgres
     * lower), so all three spellings are checked. Connection failures

@@ -109,6 +109,31 @@ class JdbcSinksSpec extends SparkSpec {
     }
   }
 
+  test("jdbcWriteBatched: executor-side prepared-statement batches round-trip") {
+    // the machinery the PG-native ON CONFLICT path ([[Sinks.pgUpsertSql]],
+    // PgDialectSpec) runs on: one prepared statement per partition,
+    // rows streamed through addBatch/executeBatch. Derby exercises the
+    // connection/bind/batch/commit protocol with a plain INSERT (it
+    // has no ON CONFLICT); NULLs bind through schema-derived SQL types.
+    val df = Seq(
+      (1L, Some("London"), Some(15.5)),
+      (2L, Some("Tokyo"), None),
+      (3L, None, Some(18.0))
+    ).toDF("id", "city", "temp").repartition(3)
+    Sinks.jdbc(df.limit(0), url, "w_batched", "replace", keys = Nil, props,
+      Some("city VARCHAR(64)"))
+    // Spark's JDBC writer creates QUOTED (case-exact) column names —
+    // unquoted id would case-fold to ID and miss
+    Sinks.jdbcWriteBatched(df, url,
+      """INSERT INTO w_batched ("id", "city", "temp") VALUES (?, ?, ?)""",
+      props, batchSize = 2)
+    val back = readBack("w_batched").collect()
+    assert(back.length == 3)
+    assert(back.count(_.isNullAt(1)) == 1, "NULL city must bind as NULL")
+    assert(back.count(_.isNullAt(2)) == 1, "NULL temp must bind as NULL")
+    assert(back.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("registry JDBC queries drop their Derby tables (soak-safe)") {
     // each invocation creates a uniquely-named table in the shared
     // in-memory graftio database; without teardown a soak-looped bench
