@@ -710,7 +710,16 @@ object AnalyticsQueries {
       * of each event. Value-defined frames include timestamp-tie
       * peers identically in both engines, so the result is
       * deterministic under any shuffle layout — unlike a ROWS frame
-      * over a non-unique order. One shuffle on the user key. */
+      * over a non-unique order.
+      *
+      * NOT stated as the literal bounded-preceding window: Spark's
+      * sliding frame re-aggregates per row (no sum retraction), which
+      * the r12 zipfian probe measured as a 52 s single-task quadratic
+      * on one hot user at sf0.1. [[graft.ops.Rolling.trailingCountSum]]
+      * restates it exactly as a difference of two O(n) cumulative
+      * frames (event time and frame start via probe rows) — same
+      * result bit-for-bit (the oracle still states the plain RANGE
+      * window), linear on the hot key. */
     Q("window_rolling_7d",
       """SELECT event_id, user_id,
         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
@@ -719,14 +728,13 @@ object AnalyticsQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY s
         |  RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(expr("unix_timestamp(ts)"))
-        .rangeBetween(-604799L, Window.currentRow)
-      table(s, dir, "events").select(
-        col("event_id"), col("user_id"),
-        count(lit(1)).over(w).as("n_7d"),
-        sum(col("value").cast(DecimalType(18, 2))).over(w)
-          .cast("double").as("sum_7d"))
+      graft.ops.Rolling.trailingCountSum(
+          table(s, dir, "events")
+            .withColumn("__s", expr("unix_timestamp(ts)")),
+          "event_id", "user_id", "__s", "value", windowSec = 604800L)
+        .select(col("event_id"), col("user_id"),
+          col("n").as("n_7d"),
+          col("sum_dec").cast("double").as("sum_7d"))
         .orderBy("event_id")
     },
 

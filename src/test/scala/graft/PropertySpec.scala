@@ -359,6 +359,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Rolling.trailingCountSum ≡ the literal RANGE-preceding window on random streams") {
+    // the prefix-sum restatement (two O(n) growing frames + probe
+    // rows) must equal Spark's direct bounded-preceding frame
+    // BIT-for-bit — including timestamp-tie peers (duplicate t per
+    // key, the RANGE semantics that a ROWS frame would break) and
+    // exact decimal sums. Random keys/times with heavy tie density.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val rng = new scala.util.Random(4242)
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, rng.nextInt(7).toLong, rng.nextInt(200).toLong * 10L,
+        BigDecimal(rng.nextInt(100000)) / 100)
+    }
+    val df = rows.toDF("id", "k", "t", "v")
+    val win = 500L // trailing [t-499, t] — RANGE 499 PRECEDING
+    val w = Window.partitionBy($"k").orderBy($"t")
+      .rangeBetween(-(win - 1), Window.currentRow)
+    val direct = df.select($"id",
+        count(lit(1)).over(w).as("n"),
+        sum($"v".cast(DecimalType(18, 2))).over(w).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2)))
+      .toMap
+    val got = graft.ops.Rolling
+      .trailingCountSum(df, "id", "k", "t", "v", windowSec = win)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDecimal(3))).toMap
+    assert(got.keySet == direct.keySet)
+    got.foreach { case (id, (n, s)) =>
+      assert(n == direct(id)._1, s"count diverged at id=$id")
+      assert(s.compareTo(direct(id)._2) == 0, s"sum diverged at id=$id")
+    }
+  }
+
   test("incremental summary ≡ direct summary for ANY split of the input") {
     import graft.analytics.Incremental
     // merge must be split-invariant — not just for the registered

@@ -35,7 +35,9 @@ passed, failed, skipped = [], [], []
 import sys as _sys, time as _time
 for name in sorted(os.listdir(OUT_DIR)):
     d = os.path.join(OUT_DIR, name)
-    if not os.path.isdir(d):
+    # underscore-prefixed dirs are tooling state (the _excluded stash),
+    # not query results
+    if not os.path.isdir(d) or name.startswith("_"):
         continue
     # progress to stderr (stdout keeps the machine-readable verdicts):
     # heavyweight oracles at large sf run for minutes — a silent check

@@ -28,9 +28,12 @@ for a in sys.argv[4:]:
         for q in a.split("=", 1)[1].split(","):
             EXCLUDED[q.strip()] = True
 
-# stash excluded dirs so check.py never opens their oracle
+# stash excluded dirs so check.py never opens their oracle (stash
+# created only when needed: an empty leftover _excluded dir would be
+# reported by check.py as an unreadable result)
 stash = os.path.join(OUT_DIR, "_excluded")
-os.makedirs(stash, exist_ok=True)
+if EXCLUDED:
+    os.makedirs(stash, exist_ok=True)
 for q in EXCLUDED:
     src = os.path.join(OUT_DIR, q)
     if os.path.isdir(src):
