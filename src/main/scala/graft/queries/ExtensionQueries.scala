@@ -45,6 +45,27 @@ object ExtensionQueries {
       |n AS (SELECT vec_id, v,
       |  sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
 
+  /** CLUSTERED embeddings CTE (VERDICT r11 #6): the shipped
+    * embeddings are near-uniform on the sphere (exact top-5 cosines
+    * ~0.33), so recall numbers measured on them do not transfer to
+    * real corpora, whose embeddings cluster. This derives a
+    * deterministic mixture IN-QUERY from the same table — cluster
+    * c = vec_id % 8, center[c][d] = ((c*37 + d*11) % 19 - 9) / 9,
+    * v' = 0.25*v + center[c] — so both engines compute the identical
+    * clustered corpus with integer arithmetic, one exact power-of-two
+    * scale, and one IEEE division per element (bit-identical, no new
+    * data files, works at every sf).
+    */
+  private val embClusteredCte =
+    """e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+      |e AS (SELECT vec_id,
+      |  list_transform(range(1, len(v0) + 1), i ->
+      |    v0[CAST(i AS INTEGER)] * 0.25::DOUBLE +
+      |    CAST(((vec_id % 8) * 37 + (CAST(i AS BIGINT) - 1) * 11) % 19 - 9 AS DOUBLE) / 9.0::DOUBLE) AS v
+      |  FROM e0),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_inner_product(v, v)) AS nrm FROM e)""".stripMargin
+
   /** DuckDB's NATIVE inner product over the DOUBLE-cast lists —
     * bit-identical to the engine side's sequential double
     * accumulation (verified empirically against the Spark dump at
@@ -346,6 +367,27 @@ object ExtensionQueries {
     * do this through the index's stored centroids/). Keyed like the
     * pair cache so a new application retrains.
     */
+  /** Spark side of [[embClusteredCte]]: the identical deterministic
+    * mixture transform over the shipped embeddings — 0-based element
+    * index here vs DuckDB's 1-based (i - 1). Elements are double;
+    * every downstream op casts-to-double idempotently.
+    */
+  private def clusteredEmb(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") * lit(0.25) +
+          ((((col("vec_id") % 8) * 37 + i * 11) % 19) - 9).cast("double")
+            / lit(9.0)).as("embedding"))
+
+  private val modelCacheClustered =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
+  private def ivfModelClustered(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    modelCacheClustered.computeIfAbsent((s.sparkContext.applicationId, dir), _ =>
+      Similarity.trainedCentroids(clusteredEmb(s, dir),
+        "vec_id", "embedding", NCENT_IVF, steps = 2).localCheckpoint(true))
+
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
   private def ivfModel(s: org.apache.spark.sql.SparkSession,
@@ -504,6 +546,110 @@ object ExtensionQueries {
     */
   private val mixWeights = Seq(
     "en" -> 0.4, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1)
+
+  /** The full recall@5 oracle (exact / ivf / ivfadc / lsh / pq
+    * paths), parameterized on the embeddings CTE so the SAME
+    * measurement runs on the raw corpus (ann_recall) and on the
+    * deterministic clustered corpus (ann_recall_clustered).
+    */
+  private def annRecallSql(emb: String): String =
+    s"""WITH $emb,
+         |bits AS (SELECT vec_id, v, nrm,
+         |    $lshBitsSql
+         |  FROM n),
+         |bands AS (
+         |  ${lshBandsSqlFor(4)}),
+         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.vec_id < b.vec_id),
+         |exact AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, row_number() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
+         |  WHERE rank <= 5),
+         |${ivfTrainedCtes("TRUE")},
+         |qbr AS (SELECT q_id, bucket FROM (
+         |  SELECT p.vec_id AS q_id, c.cid AS bucket, row_number() OVER (
+         |    PARTITION BY p.vec_id
+         |    ORDER BY ${dotSql("p.v", "c.cv")} / (p.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM n p CROSS JOIN centv c WHERE p.vec_id < 10) WHERE rn <= 3),
+         |ivf AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT qbr.q_id, m.vec_id AS neighbor_id, row_number() OVER (
+         |      PARTITION BY qbr.q_id
+         |      ORDER BY ${dotSql("p.v", "m.v")} / (p.nrm * m.nrm) DESC, m.vec_id) AS rank
+         |  FROM qbr JOIN n p ON p.vec_id = qbr.q_id
+         |  JOIN asg ma ON ma.bucket = qbr.bucket
+         |  JOIN n m ON m.vec_id = ma.vec_id
+         |  WHERE m.vec_id <> qbr.q_id) WHERE rank <= 5),
+         |lshdir AS (
+         |  SELECT ia AS q_id, ib AS neighbor_id FROM cand WHERE ia < 10
+         |  UNION ALL
+         |  SELECT ib, ia FROM cand WHERE ib < 10),
+         |lshs AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT d.q_id, d.neighbor_id, row_number() OVER (
+         |      PARTITION BY d.q_id
+         |      ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, d.neighbor_id) AS rank
+         |  FROM lshdir d JOIN n a ON a.vec_id = d.q_id
+         |  JOIN n b ON b.vec_id = d.neighbor_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.25::DOUBLE)
+         |  WHERE rank <= 5),
+         |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+         |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+         |  FROM e, UNNEST(range(0, 8)) AS r(m)),
+         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 256),
+         |dist AS (SELECT s.vec_id, s.m, c.cid,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
+         |  FROM sub s JOIN cb c USING (m)),
+         |codes AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+         |  FROM dist) WHERE rn = 1),
+         |mdx AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.m,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
+         |  FROM codes c JOIN cb b ON b.m = c.m AND b.cid = c.cid
+         |  JOIN sub q ON q.m = c.m AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |pqs AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM (SELECT q_id, neighbor_id,
+         |      list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc
+         |    FROM mdx GROUP BY q_id, neighbor_id)) WHERE rank <= 5),
+         |mdi AS (SELECT qbr.q_id, c.vec_id AS neighbor_id, c.m,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
+         |  FROM qbr JOIN asg ma ON ma.bucket = qbr.bucket
+         |  JOIN codes c ON c.vec_id = ma.vec_id
+         |  JOIN cb b ON b.m = c.m AND b.cid = c.cid
+         |  JOIN sub q ON q.m = c.m AND q.vec_id = qbr.q_id
+         |  WHERE c.vec_id <> qbr.q_id),
+         |ivfadcs AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM (SELECT q_id, neighbor_id,
+         |      list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc
+         |    FROM mdi GROUP BY q_id, neighbor_id)) WHERE rank <= 5),
+         |ne AS (SELECT COUNT(*) AS n_exact FROM exact)
+         |SELECT method, n_hits, n_exact,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT 'ivf' AS method,
+         |    (SELECT COUNT(*) FROM ivf JOIN exact USING (q_id, neighbor_id)) AS n_hits
+         |  UNION ALL
+         |  SELECT 'ivfadc',
+         |    (SELECT COUNT(*) FROM ivfadcs JOIN exact USING (q_id, neighbor_id))
+         |  UNION ALL
+         |  SELECT 'lsh',
+         |    (SELECT COUNT(*) FROM lshs JOIN exact USING (q_id, neighbor_id))
+         |  UNION ALL
+         |  SELECT 'pq',
+         |    (SELECT COUNT(*) FROM pqs JOIN exact USING (q_id, neighbor_id)))
+         |CROSS JOIN ne
+         |ORDER BY method""".stripMargin
+
 
   val all: Seq[Q] = Seq(
 
@@ -1052,106 +1198,31 @@ object ExtensionQueries {
       * keeps its high-precision dedup setting, which is the right
       * tool for its job, just not for top-k retrieval. */
     Q("ann_recall",
-      s"""WITH $embCte,
-         |bits AS (SELECT vec_id, v, nrm,
-         |    $lshBitsSql
-         |  FROM n),
-         |bands AS (
-         |  ${lshBandsSqlFor(4)}),
-         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  WHERE a.vec_id < b.vec_id),
-         |exact AS (SELECT q_id, neighbor_id FROM (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, row_number() OVER (
-         |      PARTITION BY q.vec_id
-         |      ORDER BY ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
-         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
-         |  WHERE rank <= 5),
-         |${ivfTrainedCtes("TRUE")},
-         |qbr AS (SELECT q_id, bucket FROM (
-         |  SELECT p.vec_id AS q_id, c.cid AS bucket, row_number() OVER (
-         |    PARTITION BY p.vec_id
-         |    ORDER BY ${dotSql("p.v", "c.cv")} / (p.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM n p CROSS JOIN centv c WHERE p.vec_id < 10) WHERE rn <= 3),
-         |ivf AS (SELECT q_id, neighbor_id FROM (
-         |  SELECT qbr.q_id, m.vec_id AS neighbor_id, row_number() OVER (
-         |      PARTITION BY qbr.q_id
-         |      ORDER BY ${dotSql("p.v", "m.v")} / (p.nrm * m.nrm) DESC, m.vec_id) AS rank
-         |  FROM qbr JOIN n p ON p.vec_id = qbr.q_id
-         |  JOIN asg ma ON ma.bucket = qbr.bucket
-         |  JOIN n m ON m.vec_id = ma.vec_id
-         |  WHERE m.vec_id <> qbr.q_id) WHERE rank <= 5),
-         |lshdir AS (
-         |  SELECT ia AS q_id, ib AS neighbor_id FROM cand WHERE ia < 10
-         |  UNION ALL
-         |  SELECT ib, ia FROM cand WHERE ib < 10),
-         |lshs AS (SELECT q_id, neighbor_id FROM (
-         |  SELECT d.q_id, d.neighbor_id, row_number() OVER (
-         |      PARTITION BY d.q_id
-         |      ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC, d.neighbor_id) AS rank
-         |  FROM lshdir d JOIN n a ON a.vec_id = d.q_id
-         |  JOIN n b ON b.vec_id = d.neighbor_id
-         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.25::DOUBLE)
-         |  WHERE rank <= 5),
-         |sub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
-         |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
-         |  FROM e, UNNEST(range(0, 8)) AS r(m)),
-         |cb AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 256),
-         |dist AS (SELECT s.vec_id, s.m, c.cid,
-         |    list_reduce(list_transform(range(1, 9),
-         |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
-         |  FROM sub s JOIN cb c USING (m)),
-         |codes AS (SELECT vec_id, m, cid FROM (
-         |  SELECT vec_id, m, cid, row_number() OVER (
-         |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
-         |  FROM dist) WHERE rn = 1),
-         |mdx AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.m,
-         |    list_reduce(list_transform(range(1, 9),
-         |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
-         |  FROM codes c JOIN cb b ON b.m = c.m AND b.cid = c.cid
-         |  JOIN sub q ON q.m = c.m AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
-         |pqs AS (SELECT q_id, neighbor_id FROM (
-         |  SELECT q_id, neighbor_id, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rank
-         |  FROM (SELECT q_id, neighbor_id,
-         |      list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc
-         |    FROM mdx GROUP BY q_id, neighbor_id)) WHERE rank <= 5),
-         |mdi AS (SELECT qbr.q_id, c.vec_id AS neighbor_id, c.m,
-         |    list_reduce(list_transform(range(1, 9),
-         |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
-         |  FROM qbr JOIN asg ma ON ma.bucket = qbr.bucket
-         |  JOIN codes c ON c.vec_id = ma.vec_id
-         |  JOIN cb b ON b.m = c.m AND b.cid = c.cid
-         |  JOIN sub q ON q.m = c.m AND q.vec_id = qbr.q_id
-         |  WHERE c.vec_id <> qbr.q_id),
-         |ivfadcs AS (SELECT q_id, neighbor_id FROM (
-         |  SELECT q_id, neighbor_id, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rank
-         |  FROM (SELECT q_id, neighbor_id,
-         |      list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc
-         |    FROM mdi GROUP BY q_id, neighbor_id)) WHERE rank <= 5),
-         |ne AS (SELECT COUNT(*) AS n_exact FROM exact)
-         |SELECT method, n_hits, n_exact,
-         |  CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
-         |FROM (
-         |  SELECT 'ivf' AS method,
-         |    (SELECT COUNT(*) FROM ivf JOIN exact USING (q_id, neighbor_id)) AS n_hits
-         |  UNION ALL
-         |  SELECT 'ivfadc',
-         |    (SELECT COUNT(*) FROM ivfadcs JOIN exact USING (q_id, neighbor_id))
-         |  UNION ALL
-         |  SELECT 'lsh',
-         |    (SELECT COUNT(*) FROM lshs JOIN exact USING (q_id, neighbor_id))
-         |  UNION ALL
-         |  SELECT 'pq',
-         |    (SELECT COUNT(*) FROM pqs JOIN exact USING (q_id, neighbor_id)))
-         |CROSS JOIN ne
-         |ORDER BY method""".stripMargin) { (s, dir) =>
+      annRecallSql(embCte)) { (s, dir) =>
       Similarity.recallAtK(table(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, nCentroids = NCENT_IVF,
           nPlanes = NPLANES, nBands = 4, threshold = 0.25,
           model = ivfModel(s, dir))
+        .orderBy("method")
+    },
+
+    /** ann_recall_clustered — the SAME recall@5 measurement over the
+      * deterministic CLUSTERED corpus ([[embClusteredCte]]): the raw
+      * synthetic embeddings are near-uniform (top-5 cosines ~0.33),
+      * so their recall numbers do not transfer to real corpora, whose
+      * embeddings cluster; this row re-measures every path (ivf /
+      * ivfadc / lsh / pq vs the exact baseline) on a
+      * mixture-of-8-centers corpus derived in-query — committed
+      * alongside the uniform row so tuning claims carry both
+      * regimes. The IVF model retrains on the clustered vectors (the
+      * oracle's trained-Lloyd CTEs do the same over the swapped
+      * embeddings CTE). */
+    Q("ann_recall_clustered",
+      annRecallSql(embClusteredCte)) { (s, dir) =>
+      Similarity.recallAtK(clusteredEmb(s, dir), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, nCentroids = NCENT_IVF,
+          nPlanes = NPLANES, nBands = 4, threshold = 0.25,
+          model = ivfModelClustered(s, dir))
         .orderBy("method")
     },
 
