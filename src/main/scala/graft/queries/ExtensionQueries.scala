@@ -358,6 +358,127 @@ object ExtensionQueries {
   }
   private lazy val annIvfPqSql: String = annIvfPqSqlFor(8)
 
+  /** Oracle for ann_ivf_pq_residual — IVFADC with RESIDUAL encoding
+    * (Jegou et al. 2011's actual form): codes quantize r = v −
+    * centroid(v), scores are the exact per-(probe, bucket) constant
+    * ⟨q, c_b⟩ plus the residual ADC sum. The residual codebook seeds
+    * from the residuals of the 256 lowest-id vectors under their
+    * trained buckets — the same seeding rule as the raw-vector family,
+    * stated over the residual relation.
+    */
+  private lazy val annIvfPqResidualSql: String =
+    s"""WITH $embCte,
+       |${ivfTrainedCtes("TRUE")},
+       |qb AS (SELECT q_id, bucket FROM (
+       |  SELECT p.vec_id AS q_id, c.cid AS bucket, row_number() OVER (
+       |    PARTITION BY p.vec_id
+       |    ORDER BY ${dotSql("p.v", "c.cv")} / (p.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n p CROSS JOIN centv c
+       |  WHERE p.vec_id BETWEEN 100 AND 109) WHERE rn <= 3),
+       |res AS (SELECT n.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> n.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv
+       |  FROM n JOIN asg a USING (vec_id) JOIN centv c ON c.cid = a.bucket),
+       |rsub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+       |    rv[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+       |  FROM res, UNNEST(range(0, 8)) AS r(m)),
+       |rcb AS (SELECT m, vec_id AS cid, sv AS cv FROM rsub WHERE vec_id < 256),
+       |rdist AS (SELECT s.vec_id, s.m, c.cid,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
+       |  FROM rsub s JOIN rcb c USING (m)),
+       |rcodes AS (SELECT vec_id, m, cid FROM (
+       |  SELECT vec_id, m, cid, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+       |  FROM rdist) WHERE rn = 1),
+       |qsv AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+       |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+       |  FROM e, UNNEST(range(0, 8)) AS r(m)
+       |  WHERE vec_id BETWEEN 100 AND 109),
+       |qc AS (SELECT qb.q_id, qb.bucket, ${dotSql("p.v", "c.cv")} AS qdotc
+       |  FROM qb JOIN n p ON p.vec_id = qb.q_id
+       |  JOIN centv c ON c.cid = qb.bucket),
+       |md AS (SELECT qb.q_id, c.vec_id AS neighbor_id, ma.bucket, c.m,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
+       |  FROM qb JOIN asg ma ON ma.bucket = qb.bucket
+       |  JOIN rcodes c ON c.vec_id = ma.vec_id
+       |  JOIN rcb b ON b.m = c.m AND b.cid = c.cid
+       |  JOIN qsv q ON q.m = c.m AND q.vec_id = qb.q_id
+       |  WHERE c.vec_id <> qb.q_id),
+       |scored AS (SELECT md.q_id, md.neighbor_id, md.bucket,
+       |    MAX(qc.qdotc) + list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc_dot
+       |  FROM md JOIN qc ON qc.q_id = md.q_id AND qc.bucket = md.bucket
+       |  GROUP BY md.q_id, md.neighbor_id, md.bucket)
+       |SELECT q_id, neighbor_id, bucket, adc_dot, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dot DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Oracle for ann_ivf_pq_rerank — the residual-ADC SHORTLIST
+    * (top 50 by adc_dot) re-ranked by EXACT cosine, top 3 kept. The
+    * shortlist CTEs are the ann_ivf_pq_residual chain verbatim; the
+    * re-rank states the same dot/(nrm*nrm) cosine as every exact
+    * path.
+    */
+  private lazy val annIvfPqRerankSql: String =
+    s"""WITH $embCte,
+       |${ivfTrainedCtes("TRUE")},
+       |qb AS (SELECT q_id, bucket FROM (
+       |  SELECT p.vec_id AS q_id, c.cid AS bucket, row_number() OVER (
+       |    PARTITION BY p.vec_id
+       |    ORDER BY ${dotSql("p.v", "c.cv")} / (p.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n p CROSS JOIN centv c
+       |  WHERE p.vec_id BETWEEN 100 AND 109) WHERE rn <= 3),
+       |res AS (SELECT n.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> n.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv
+       |  FROM n JOIN asg a USING (vec_id) JOIN centv c ON c.cid = a.bucket),
+       |rsub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+       |    rv[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+       |  FROM res, UNNEST(range(0, 8)) AS r(m)),
+       |rcb AS (SELECT m, vec_id AS cid, sv AS cv FROM rsub WHERE vec_id < 256),
+       |rdist AS (SELECT s.vec_id, s.m, c.cid,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
+       |  FROM rsub s JOIN rcb c USING (m)),
+       |rcodes AS (SELECT vec_id, m, cid FROM (
+       |  SELECT vec_id, m, cid, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+       |  FROM rdist) WHERE rn = 1),
+       |qsv AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+       |    v[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+       |  FROM e, UNNEST(range(0, 8)) AS r(m)
+       |  WHERE vec_id BETWEEN 100 AND 109),
+       |qc AS (SELECT qb.q_id, qb.bucket, ${dotSql("p.v", "c.cv")} AS qdotc
+       |  FROM qb JOIN n p ON p.vec_id = qb.q_id
+       |  JOIN centv c ON c.cid = qb.bucket),
+       |md AS (SELECT qb.q_id, c.vec_id AS neighbor_id, ma.bucket, c.m,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
+       |  FROM qb JOIN asg ma ON ma.bucket = qb.bucket
+       |  JOIN rcodes c ON c.vec_id = ma.vec_id
+       |  JOIN rcb b ON b.m = c.m AND b.cid = c.cid
+       |  JOIN qsv q ON q.m = c.m AND q.vec_id = qb.q_id
+       |  WHERE c.vec_id <> qb.q_id),
+       |short AS (SELECT q_id, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc_dot DESC, neighbor_id) AS rank
+       |  FROM (SELECT md.q_id, md.neighbor_id, md.bucket,
+       |      MAX(qc.qdotc) + list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc_dot
+       |    FROM md JOIN qc ON qc.q_id = md.q_id AND qc.bucket = md.bucket
+       |    GROUP BY md.q_id, md.neighbor_id, md.bucket)) WHERE rank <= 50)
+       |SELECT q_id, neighbor_id, cos, rank FROM (
+       |  SELECT s.q_id, s.neighbor_id,
+       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC,
+       |        s.neighbor_id) AS rank
+       |  FROM short s JOIN n a ON a.vec_id = s.q_id
+       |  JOIN n b ON b.vec_id = s.neighbor_id) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   /** The trained IVF model shared by ann_ivf / ann_ivf_pq /
     * ann_recall — one (application, sf dir) trains ONCE
     * ([[Similarity.trainedCentroids]], 16 centroids × 2 quantized
@@ -632,6 +753,53 @@ object ExtensionQueries {
          |  FROM (SELECT q_id, neighbor_id,
          |      list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc
          |    FROM mdi GROUP BY q_id, neighbor_id)) WHERE rank <= 5),
+         |rres AS (SELECT n.vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> n.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv
+         |  FROM n JOIN asg a USING (vec_id) JOIN centv c ON c.cid = a.bucket),
+         |rrsub AS (SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+         |    rv[CAST(r.m*8+1 AS INTEGER):CAST(r.m*8+8 AS INTEGER)] AS sv
+         |  FROM rres, UNNEST(range(0, 8)) AS r(m)),
+         |rrcb AS (SELECT m, vec_id AS cid, sv AS cv FROM rrsub WHERE vec_id < 256),
+         |rrdist AS (SELECT s.vec_id, s.m, c.cid,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])), (a,b) -> a+b) AS d2
+         |  FROM rrsub s JOIN rrcb c USING (m)),
+         |rrcodes AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+         |  FROM rrdist) WHERE rn = 1),
+         |rqc AS (SELECT qbr.q_id, qbr.bucket, ${dotSql("p.v", "c.cv")} AS qdotc
+         |  FROM qbr JOIN n p ON p.vec_id = qbr.q_id
+         |  JOIN centv c ON c.cid = qbr.bucket),
+         |rmdi AS (SELECT qbr.q_id, c.vec_id AS neighbor_id, qbr.bucket, c.m,
+         |    list_reduce(list_transform(range(1, 9),
+         |      i -> q.sv[i]*b.cv[i]), (a,b) -> a+b) AS pd
+         |  FROM qbr JOIN asg ma ON ma.bucket = qbr.bucket
+         |  JOIN rrcodes c ON c.vec_id = ma.vec_id
+         |  JOIN rrcb b ON b.m = c.m AND b.cid = c.cid
+         |  JOIN sub q ON q.m = c.m AND q.vec_id = qbr.q_id
+         |  WHERE c.vec_id <> qbr.q_id),
+         |ivfadcrs AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM (SELECT m2.q_id, m2.neighbor_id,
+         |      MAX(rqc.qdotc) + list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc
+         |    FROM rmdi m2 JOIN rqc ON rqc.q_id = m2.q_id AND rqc.bucket = m2.bucket
+         |    GROUP BY m2.q_id, m2.neighbor_id, m2.bucket)) WHERE rank <= 5),
+         |ivfadcrr AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT s.q_id, s.neighbor_id, row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) DESC,
+         |        s.neighbor_id) AS rk
+         |  FROM (SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rank
+         |    FROM (SELECT m2.q_id, m2.neighbor_id,
+         |        MAX(rqc.qdotc) + list_reduce(list(pd ORDER BY m), (a,b) -> a+b) AS adc
+         |      FROM rmdi m2 JOIN rqc ON rqc.q_id = m2.q_id AND rqc.bucket = m2.bucket
+         |      GROUP BY m2.q_id, m2.neighbor_id, m2.bucket)) WHERE rank <= 50) s
+         |  JOIN n a ON a.vec_id = s.q_id
+         |  JOIN n b ON b.vec_id = s.neighbor_id) WHERE rk <= 5),
          |ne AS (SELECT COUNT(*) AS n_exact FROM exact)
          |SELECT method, n_hits, n_exact,
          |  CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
@@ -641,6 +809,12 @@ object ExtensionQueries {
          |  UNION ALL
          |  SELECT 'ivfadc',
          |    (SELECT COUNT(*) FROM ivfadcs JOIN exact USING (q_id, neighbor_id))
+         |  UNION ALL
+         |  SELECT 'ivfadc_rerank',
+         |    (SELECT COUNT(*) FROM ivfadcrr JOIN exact USING (q_id, neighbor_id))
+         |  UNION ALL
+         |  SELECT 'ivfadc_res',
+         |    (SELECT COUNT(*) FROM ivfadcrs JOIN exact USING (q_id, neighbor_id))
          |  UNION ALL
          |  SELECT 'lsh',
          |    (SELECT COUNT(*) FROM lshs JOIN exact USING (q_id, neighbor_id))
@@ -1374,6 +1548,38 @@ object ExtensionQueries {
       * remaining gap to ivf's exact-cosine 0.88 stays quantization,
       * not candidate loss (pq m=16 full-corpus ADC = 0.78). Same
       * trained model, same seeding rule, dsub = 4. */
+    /** ann_ivf_pq_rerank — the TWO-TIER serving shape: the residual
+      * ADC ranking as a 50-deep SHORTLIST, re-ranked by exact cosine
+      * ([[graft.ops.Similarity.ivfPqRerankTopK]]). What the clustered
+      * recall grade showed single-stage ADC cannot do (rank within
+      * tight clusters: 0.14-0.16 recall for every code variant), the
+      * re-rank recovers to the IVF candidate ceiling (0.86/0.88) at
+      * the cost of 50 full-vector fetches per probe — codes stay the
+      * hot tier, vectors the cold one. */
+    Q("ann_ivf_pq_rerank", annIvfPqRerankSql) { (s, dir) =>
+      Similarity.ivfPqRerankTopK(table(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3,
+          model = ivfModel(s, dir))
+        .orderBy("q_id", "rank")
+    },
+
+    /** ann_ivf_pq_residual — IVFADC with RESIDUAL encoding, the
+      * literature's actual form and the answer to the failure
+      * ann_recall_clustered measured (raw-vector ADC recall 0.16 on
+      * the clustered corpus): codes quantize v − centroid(v), the
+      * exact ⟨q, centroid⟩ rides as a per-(probe, bucket) constant,
+      * and the codebook spends all 256 entries on WITHIN-bucket
+      * structure ([[graft.ops.Similarity.ivfPqResidualTopK]]). Same
+      * candidate restriction and 8-byte corpus I/O as ann_ivf_pq. */
+    Q("ann_ivf_pq_residual", annIvfPqResidualSql) { (s, dir) =>
+      Similarity.ivfPqResidualTopK(table(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3,
+          model = ivfModel(s, dir))
+        .orderBy("q_id", "rank")
+    },
+
     Q("ann_ivf_pq_m16", annIvfPqSqlFor(16)) { (s, dir) =>
       Similarity.ivfPqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
           nCentroids = NCENT_IVF, col("vec_id").between(100, 109), k = 3,
