@@ -38,8 +38,63 @@ object Scratch {
       println(f"[scratch] bpe:$trainer k=$k merges=$n " +
         f"${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    // join_bucketed cost split (VERDICT r12 #7): the registry row
+    // exists to demonstrate the zero-exchange bucketed join, but its
+    // wall time is write-dominated — this probe times the two
+    // bucketed table writes and the join separately so a bench drift
+    // can be attributed before diagnosing a plan regression
+    args.filter(_ == "bktprobe").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      (1 to 3).foreach { it =>
+        val liT = s"li_probe_$it"; val ordT = s"ord_probe_$it"
+        val t0 = System.nanoTime()
+        graft.io.Sources.table(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/$liT").saveAsTable(liT)
+        graft.io.Sources.table(spark, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/$ordT").saveAsTable(ordT)
+        val tw = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        spark.table(liT).hint("merge")
+          .join(spark.table(ordT).hint("merge"), "l_orderkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"))
+          .count()
+        val tj = (System.nanoTime() - t1) / 1e9
+        println(f"[scratch] bktprobe iter$it write=$tw%.3f s join=$tj%.3f s")
+        spark.sql(s"DROP TABLE IF EXISTS $liT")
+        spark.sql(s"DROP TABLE IF EXISTS $ordT")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+    // IVF bucket-occupancy spread probe (VERDICT r12 #8): hot buckets
+    // are ANN's skew analogue. Measures max/median member count per
+    // bucket on the CLUSTERED corpus (the pathological input — real
+    // embedding corpora are clustered, that is why IVF works) for the
+    // seed assignment (steps=0) vs the trained model (steps=2), at
+    // the registry's nlist=16 and at the sizing rule's nlistFor(n).
+    args.filter(_ == "annprobe").foreach { _ =>
+      import graft.ops.Similarity
+      val emb = graft.queries.ExtensionQueries.clusteredEmb(spark, dir)
+      val n = emb.count()
+      for ((steps, label) <- Seq((0, "seed"), (1, "lloyd1"), (2, "trained"));
+           k <- Seq(16, Similarity.nlistFor(n)).distinct) {
+        val asg = Similarity.ivfAssignTrained(emb, "vec_id", "embedding",
+          nCentroids = k, steps = steps)
+        val (nb, mx, med, ratio) = Similarity.bucketSpread(asg)
+        println(f"""{"probe":"annprobe","corpus":"clustered","n":$n,""" +
+          f""""nlist":$k,"model":"$label","buckets":$nb,"max_occ":$mx,""" +
+          f""""median_occ":$med,"max_over_median":$ratio%.2f,""" +
+          f""""needs_rebalance":${Similarity.needsRebalance(ratio)}}""")
+      }
+    }
     val names = args.filterNot(a =>
-      a.startsWith("explain:") || a.startsWith("bpe:"))
+      a.startsWith("explain:") || a.startsWith("bpe:") || a == "bktprobe" ||
+      a == "annprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>
       names.foreach { n =>

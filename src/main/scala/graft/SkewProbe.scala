@@ -49,25 +49,36 @@ object SkewProbe {
       // unused output columns and with them whole windows/projections
       // — the probe must execute the query's OWN physical plan
       fn(spark, sfDir).queryExecution.toRdd.count() // warmup, uncounted
+      // the listener bus is async: drain it to a fixpoint BEFORE
+      // clearing (late task-end events from the previous execution
+      // would otherwise land after the clear and pollute this one)
+      // and again AFTER each timed run before reading its metrics
+      def settle(): Unit = {
+        var last = -1; var size = reads.size
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (size != last && System.nanoTime() < deadline) {
+          last = size; Thread.sleep(300); size = reads.size
+        }
+      }
       // min of 2 timed iterations (the Bench discipline): a single
-      // sample bills JIT/GC noise from the previous query to this one
-      def once(): (Long, Double) = {
+      // sample bills JIT/GC noise from the previous query to this one.
+      // Metrics are captured PER ITERATION (drain → clear → run →
+      // drain → snapshot), so max/median reflect exactly one
+      // execution, never a mix of two.
+      import scala.jdk.CollectionConverters._
+      def once(): (Long, Double, Seq[Long]) = {
+        settle(); reads.clear()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).queryExecution.toRdd.count()
-        (n, (System.nanoTime() - t0) / 1e9)
+        val w = (System.nanoTime() - t0) / 1e9
+        settle()
+        (n, w, reads.asScala.map(_.longValue).toSeq.sorted)
       }
-      reads.clear()
-      val (n, w1) = once()
-      val w2 = once()._2
+      val (n, w1, xs1) = once()
+      val (_, w2, xs2) = once()
       val wall = math.min(w1, w2)
-      // listener bus is async — settle before reading the metrics
-      var last = -1; var size = reads.size
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (size != last && System.nanoTime() < deadline) {
-        last = size; Thread.sleep(300); size = reads.size
-      }
-      import scala.jdk.CollectionConverters._
-      val xs = reads.asScala.map(_.longValue).toSeq.sorted
+      // report the steady-state (second) iteration's distribution
+      val xs = if (xs2.nonEmpty) xs2 else xs1
       val (mx, med) =
         if (xs.isEmpty) (0L, 0L) else (xs.last, xs(xs.size / 2))
       val ratio = if (med > 0) mx.toDouble / med else Double.NaN

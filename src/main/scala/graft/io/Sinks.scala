@@ -312,6 +312,33 @@ object Sinks {
       updateCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")
   }
 
+  /** The SQLite-native upsert statement: REPLACE INTO — the
+    * reference's OTHER deployment dialect (reference:
+    * src/load.py:441-486, `_load_upsert_sqlite`'s REPLACE statement
+    * for weather_data), generated from the column list with JDBC
+    * positional (?) params instead of SQLAlchemy's named params, for
+    * the same prepare-once-per-partition batched path
+    * ([[jdbcWriteBatched]]) as [[pgUpsertSql]].
+    *
+    * REPLACE INTO is NOT ON CONFLICT DO UPDATE: the conflict key is
+    * whatever UNIQUE constraint the table declares (no key list in
+    * the statement — the reference's schema.sql puts it on
+    * (city, country, timestamp)), and a conflicting row is DELETED
+    * and re-inserted whole, so any column absent from the column
+    * list resets to its default rather than surviving the update.
+    * With the reference's full 26-column list the two dialects
+    * converge on the same final rows — SqliteDialectSpec pins the
+    * generated text against the reference statement and executes
+    * insert-then-replace on a real SQLite database.
+    */
+  def sqliteUpsertSql(table: String, columns: Seq[String]): String = {
+    require(columns.nonEmpty, "REPLACE INTO requires at least one column")
+    require(columns.distinct == columns,
+      s"duplicate columns: ${columns.diff(columns.distinct)}")
+    s"REPLACE INTO $table (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+  }
+
   /** Executor-side batched parameterized DML: each partition opens ONE
     * connection, prepares `sql` once, and streams its rows through
     * addBatch/executeBatch in `batchSize` chunks — the shape a
@@ -321,6 +348,21 @@ object Sinks {
     * reference's one-execute-per-row loop (src/load.py:385-421).
     * Parameters bind positionally from the DataFrame's column order;
     * NULLs bind through the schema's SQL type.
+    *
+    * RETRY CONTRACT: `sql` must be IDEMPOTENT per row (an upsert such
+    * as [[pgUpsertSql]], or REPLACE INTO via [[sqliteUpsertSql]]).
+    * Each partition commits independently, and Spark re-runs a task
+    * whose executor dies AFTER conn.commit() but BEFORE the task
+    * reports success — a plain INSERT would then re-insert every row
+    * of the retried partition (duplicates, or a key violation that
+    * fails the whole retry). Exactly-once for non-idempotent DML
+    * needs a transactional sink protocol (per-partition epoch
+    * markers) that plain JDBC does not give you; keyed upserts get
+    * effective exactly-once for free because the retry overwrites the
+    * same keys with the same values. Plain INSERT is acceptable only
+    * against a scratch/staging table that the caller truncates or
+    * replaces on failure (the JdbcSinksSpec round trip runs in that
+    * mode).
     */
   def jdbcWriteBatched(df: DataFrame, url: String, sql: String,
                        props: java.util.Properties = new java.util.Properties,

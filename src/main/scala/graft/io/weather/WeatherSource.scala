@@ -44,7 +44,11 @@ import graft.model.Schemas
   * `urlTemplate` with `{city}` (and optional `{country}`) placeholders;
   * `maxRetries` (3), `backoffMs` (1000, doubling per attempt — the
   * reference session's backoff_factor=1, src/ingest.py:63-77),
-  * `timeoutMs` (10000, src/ingest.py:102), `failFast` (false).
+  * `timeoutMs` (10000, src/ingest.py:102), `failFast` (false);
+  * `minRequestIntervalMs` (0 = off — the reference's 1-city/sec
+  * courtesy throttle, src/ingest.py:146-147: successive requests to
+  * the endpoint from one executor JVM are spaced at least this far
+  * apart, see [[WeatherRateLimiter]]).
   */
 class WeatherSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-weather"
@@ -93,6 +97,8 @@ object WeatherScan {
       backoffMs = options.getOrElse("backoffms", "1000").toLong,
       timeoutMs = options.getOrElse("timeoutms", "10000").toInt,
       failFast = options.getOrElse("failfast", "false").toBoolean,
+      minRequestIntervalMs =
+        options.getOrElse("minrequestintervalms", "0").toLong,
       skips = scala.util.Try(org.apache.spark.sql.SparkSession.active)
         .toOption.map(s => WeatherMetrics.accumulator(s,
           options.getOrElse("skipmetricname", WeatherMetrics.DefaultName))))
@@ -189,9 +195,57 @@ final class WeatherMicroBatchStream(options: Map[String, String])
 
 final case class CityPartition(city: String, country: String) extends InputPartition
 
+/** Executor-JVM-wide request spacing — the Spark shape of the
+  * reference's 1-city/sec courtesy throttle (reference:
+  * src/ingest.py:146-147, `time.sleep(1)` between cities). The
+  * reference fetches serially so a sleep between iterations IS the
+  * rate limit; here each city is a task, so with 32 concurrent
+  * partitions per executor an un-throttled scan fires 32 requests in
+  * the same instant — exactly what a free-tier API 429s. The limiter
+  * hands out reserved start slots per (endpoint template) from one
+  * JVM-global ledger: any two HTTP attempts to the same endpoint from
+  * this executor — across tasks, cities, and retries — start at least
+  * `intervalMs` apart.
+  *
+  * Scale note: the ledger is per EXECUTOR (Spark has no cheap
+  * cluster-wide mutual exclusion, and a driver-coordinated token
+  * bucket would put a network round trip in front of every request).
+  * Aggregate cluster rate = executors / interval; sizing a truly
+  * global budget means sizing the executor count (or fronting the API
+  * with a proxy) — stated here rather than pretending a global limit.
+  */
+object WeatherRateLimiter {
+  private val nextFree =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Blocks until this caller's reserved slot arrives; slots are
+    * CAS-reserved so concurrent tasks serialize without holding a
+    * lock while sleeping.
+    */
+  def acquire(key: String, intervalMs: Long): Unit = {
+    if (intervalMs <= 0) return
+    val slot = nextFree.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong(Long.MinValue))
+    var waitNanos = 0L
+    var reserved = false
+    while (!reserved) {
+      val now = System.nanoTime()
+      val prev = slot.get()
+      val start = if (prev == Long.MinValue) now else math.max(now, prev)
+      if (slot.compareAndSet(prev, start + intervalMs * 1000000L)) {
+        waitNanos = start - now
+        reserved = true
+      }
+    }
+    if (waitNanos > 0)
+      Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
+  }
+}
+
 final case class WeatherReaderFactory(urlTemplate: String, maxRetries: Int,
                                       backoffMs: Long, timeoutMs: Int,
                                       failFast: Boolean,
+                                      minRequestIntervalMs: Long = 0L,
                                       skips: Option[org.apache.spark.util.LongAccumulator] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -207,8 +261,13 @@ final case class WeatherReaderFactory(urlTemplate: String, maxRetries: Int,
             .replace("{city}", p.city.replace(" ", "%20"))
             .replace("{country}", p.country)
           try {
-            val bytes = WeatherFetch.withRetry(maxRetries, backoffMs)(
-              () => WeatherFetch.get(url, timeoutMs))
+            // the limiter gates each ATTEMPT (retries included): the
+            // contract is request spacing at the endpoint, and a
+            // retry is another request
+            val bytes = WeatherFetch.withRetry(maxRetries, backoffMs)(() => {
+              WeatherRateLimiter.acquire(urlTemplate, minRequestIntervalMs)
+              WeatherFetch.get(url, timeoutMs)
+            })
             row = WeatherFetch.parse(new String(bytes, "UTF-8"))
           } catch {
             // after retries: skip the city, don't fail the job

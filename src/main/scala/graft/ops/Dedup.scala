@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Parity
 
@@ -21,14 +20,27 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical normalized text.
     * Partitioning key is the 60-bit fingerprint (not the text) so the
-    * shuffle moves fixed-width keys; the winner is pinned with
-    * row_number, never dropDuplicates (shuffle-order-dependent).
+    * shuffle moves fixed-width keys; the winner is pinned by the
+    * MINIMUM id, never dropDuplicates (shuffle-order-dependent).
+    *
+    * The winner is a `min_by(struct(row), id)` AGGREGATE, not a
+    * fingerprint-partitioned row_number window: an aggregate has a
+    * partial (map-side) phase, so a text duplicated across a large
+    * fraction of the corpus contributes one candidate row per map
+    * partition to the exchange — a window has no partial phase, so
+    * the same input would land every copy of the hot text in a
+    * single task (linear, but a one-task straggler at 100 TB — the
+    * same class of pileup the gram pipelines eliminated with
+    * map-side-combined df counts). Deterministic because ids are
+    * unique within a duplicate group (min_by ties would otherwise be
+    * shuffle-order-dependent).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
-      .orderBy(col(idCol).asc)
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = docs.columns.toSeq
+    docs
+      .groupBy(TextOps.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__w"))
+      .select(cols.map(c => col("__w").getField(c).as(c)): _*)
   }
 
   /** Word n-grams over an ALREADY-MATERIALIZED token-array column.
@@ -122,8 +134,42 @@ object Dedup {
     val hot = grams.groupBy("gram")
       .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
       .select("gram")
-    grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    grams.join(boundedBroadcast(hot), Seq("gram"), "left_anti")
       .select("doc_id", "gram")
+  }
+
+  /** Hot-set row count above which [[boundedBroadcast]] stops forcing
+    * a broadcast and lets the anti join shuffle. |hot| is bounded by
+    * total-gram-occurrences / maxDf, which is broadcast-sized on any
+    * real corpus — but at the 100 TB target that bound can in theory
+    * exceed Spark's 8 GB broadcast hard limit (and driver memory),
+    * where an unconditional broadcast() hint hard-fails the job
+    * instead of degrading. 4M 8-byte keys ≈ ~130 MB as a broadcast
+    * hash relation: far under every hard limit, far above any
+    * observed boilerplate vocabulary.
+    */
+  val HotBroadcastMaxRows: Long = 4000000L
+
+  /** The hot/bench-side relation of the gram anti/semi joins,
+    * materialized once (localCheckpoint) and broadcast ONLY while its
+    * measured row count stays under [[HotBroadcastMaxRows]] — above
+    * that the plain (AQE-planned, skew-splittable) shuffled join is
+    * the degradation path, not an 8-GB-broadcast OOM. The count is
+    * one aggregate over the already-checkpointed gram rows — noise
+    * next to the join it right-sizes.
+    *
+    * Fault-tolerance note (applies to every localCheckpoint in this
+    * file): localCheckpoint stores partitions on executor block
+    * managers only — an executor loss kills the query and it must be
+    * re-run. That is the right trade for ephemeral per-query
+    * materialization (reliable checkpointing would pay a distributed-
+    * FS write of the full gram relation per query); a standing
+    * relation that must survive executor churn belongs in a persisted
+    * index (see DedupIndex / AnnIndex) instead.
+    */
+  def boundedBroadcast(hot: DataFrame): DataFrame = {
+    val h = hot.localCheckpoint()
+    if (h.count() <= HotBroadcastMaxRows) broadcast(h) else h
   }
 
   /** Exact n-gram Jaccard near-dup pairs: candidates from an equi-join
@@ -274,9 +320,11 @@ object Dedup {
     val lg0 = gramTable(left, idCol, textCol, n)
       .select(col("doc_id").as("left_id"), Parity.md5_60(col("gram")).as("gram"))
       .localCheckpoint()
-    val lgKept = lg0.join(broadcast(hot), Seq("gram"), "left_anti")
+    // one checkpoint + count serves both sides' anti joins
+    val hotSide = boundedBroadcast(hot)
+    val lgKept = lg0.join(hotSide, Seq("gram"), "left_anti")
       .select("left_id", "gram")
-    val rgKept = rg0.join(broadcast(hot), Seq("gram"), "left_anti")
+    val rgKept = rg0.join(hotSide, Seq("gram"), "left_anti")
       .select("right_id", "gram")
     // per-doc sizes join the AGGREGATED pair relation, not the gram
     // rows — one lookup per candidate pair (see [[ngramJaccardPairs]])
@@ -399,11 +447,17 @@ object Dedup {
   def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
                         windowLen: Int = 8): DataFrame = {
     require(windowLen > 1, s"windowLen must exceed 1: $windowLen")
+    // rel feeds two branches (the occurrence aggregate and the probe
+    // join): without the checkpoint the tokenize/explode pipeline
+    // executes once PER BRANCH — Spark reuses no exchange across
+    // them (the same per-branch re-evaluation trap documented at
+    // cappedGramRows). Materialized rows are (long, long) — narrow.
     val rel = docs.select(col(idCol).as("doc_id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
       .select(col("doc_id"),
         explode(ngramsOfTokens(col("__toks"), windowLen)).as("w"))
       .select(col("doc_id"), Parity.md5_60(col("w")).as("wh"))
+      .localCheckpoint()
     val dup = rel.groupBy("wh").agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
       .select(col("wh"), lit(true).as("__dup"))

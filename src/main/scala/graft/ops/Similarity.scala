@@ -1008,4 +1008,51 @@ object Similarity {
       .withColumn("centroid_q",
         col("s").cast("double") / col("n").cast("double"))
   }
+
+  // ---- IVF skew instrumentation + sizing rule (VERDICT r12 #8) -----
+
+  /** Bucket-occupancy spread of an IVF assignment — ANN's skew
+    * statistic, the analogue of the dedup family's per-task
+    * shuffle-read spread: a hot bucket is a hot key (every probe
+    * routed to it scans its whole member list, and the bucket's
+    * partition is the straggler). One map-side-combined aggregate
+    * over (vec_id, bucket); the collect is bounded by the bucket
+    * COUNT (= nlist), never the corpus.
+    * Returns (nBuckets, maxOcc, medianOcc, maxOverMedian).
+    */
+  def bucketSpread(assign: DataFrame): (Int, Long, Long, Double) = {
+    val occ = assign.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .select(col("n").cast("long")).collect().map(_.getLong(0)).sorted
+    if (occ.isEmpty) (0, 0L, 0L, Double.NaN)
+    else {
+      val mx = occ.last; val med = occ(occ.length / 2)
+      (occ.length, mx, med,
+        if (med > 0) mx.toDouble / med else Double.NaN)
+    }
+  }
+
+  /** Spread above which an IVF layout needs rebalancing (SCALING.md
+    * §ANN-skew): past ~8× max/median the hottest bucket dominates
+    * probe latency (nprobe buckets per probe ⇒ one 8×-sized bucket
+    * ≈ the whole rest of the probe set) and its partition dominates
+    * relayout tasks. The remedies, in preference order: another
+    * Lloyd step (training balances occupancy — measured on the
+    * clustered corpus, seed assignment is the pathological case),
+    * then scaling nlist with the corpus ([[nlistFor]]) so mean
+    * occupancy stays bounded as n grows.
+    */
+  val MaxBucketSpread: Double = 8.0
+  def needsRebalance(maxOverMedian: Double): Boolean =
+    !maxOverMedian.isNaN && maxOverMedian > MaxBucketSpread
+
+  /** nlist sizing rule: k = √n (clamped to [16, 65536]) holds probe
+    * cost (nprobe · n/k members scored) and centroid-scan cost (k
+    * centroids ranked per probe) at the same √n growth — the
+    * standard IVF balance point; a FIXED k turns probe cost linear
+    * in n once n ≫ k². The gate corpora sit at the 16 floor
+    * (n ≤ 20k ⇒ √n ≤ 141 but the trained-model rows pin 16 for
+    * oracle stability); a 10⁹-vector shard sizes to k ≈ 31623.
+    */
+  def nlistFor(n: Long): Int =
+    math.min(65536L, math.max(16L, math.round(math.sqrt(n.toDouble)))).toInt
 }

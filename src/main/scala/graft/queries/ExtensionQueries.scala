@@ -493,8 +493,8 @@ object ExtensionQueries {
     * index here vs DuckDB's 1-based (i - 1). Elements are double;
     * every downstream op casts-to-double idempotently.
     */
-  private def clusteredEmb(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame =
+  private[graft] def clusteredEmb(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
     table(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"), (x, i) =>
         x.cast("double") * lit(0.25) +

@@ -199,7 +199,14 @@ object PipelineQueries {
       val lf = docs.filter(TextOps.langId(col("text"), stops).isin("en", "mixed"))
       val qf = lf.filter(TextOps.qualityScore(col("text"), stops) >= 75.0)
       val dd = Dedup.exact(qf, "doc_id", "text")
+      // the pruned relation feeds TWO branches of decontaminateBatch
+      // (the batch rows and their gram probe): materialize it once or
+      // the whole prune rollup (aggregate + covered join over the
+      // checkpointed token relation) executes per branch — the r12
+      // pipeline_pretrain regression (1.96 → 2.98 s) was exactly this
+      // double execution
       val pr = Dedup.substringPrune(dd, "doc_id", "text", windowLen = 8)
+        .localCheckpoint()
       val bg = Dedup.benchGrams(
         docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text", 3)
       Dedup.decontaminateBatch(pr, bg, "doc_id", "text_pruned", 3, 0.8)

@@ -1460,4 +1460,27 @@ class OpsSpec extends SparkSpec {
     val some = Literal.create(ArrayData.toArrayData(Array(3L, 4L)), ArrayType(LongType))
     assert(QuantizedCosine(zero, some).eval(null) == 0.0)
   }
+
+  test("IVF skew rule: bucketSpread statistic, nlistFor sizing, training balances the clustered corpus") {
+    import graft.ops.Similarity
+    // the statistic itself on a hand-stated assignment: buckets of
+    // size 8 / 2 / 2 / 1 → median 2, max 8, spread 4.0
+    val asg = ((1L to 8L).map((_, 0L)) ++ Seq((9L, 1L), (10L, 1L),
+      (11L, 2L), (12L, 2L), (13L, 3L))).toDF("vec_id", "bucket")
+    val (nb, mx, med, ratio) = Similarity.bucketSpread(asg)
+    assert((nb, mx, med) == (4, 8L, 2L) && math.abs(ratio - 4.0) < 1e-12)
+    assert(!Similarity.needsRebalance(4.0) && Similarity.needsRebalance(8.5))
+    // sizing rule: sqrt(n) clamped to [16, 65536]
+    assert(Similarity.nlistFor(100) == 16)        // floor
+    assert(Similarity.nlistFor(1000000) == 1000)  // sqrt
+    assert(Similarity.nlistFor(Long.MaxValue) == 65536) // ceiling
+    // on the clustered corpus (ANN's pathological input), 2 Lloyd
+    // steps must leave bucket occupancy within the rebalance bound —
+    // the measured claim behind SCALING.md's ANN-skew entry
+    val emb = graft.queries.ExtensionQueries.clusteredEmb(spark, sf)
+    val trained = Similarity.bucketSpread(
+      Similarity.ivfAssignTrained(emb, "vec_id", "embedding", 16, steps = 2))
+    assert(!Similarity.needsRebalance(trained._4),
+      s"trained clustered-corpus spread must be <= ${Similarity.MaxBucketSpread}: $trained")
+  }
 }

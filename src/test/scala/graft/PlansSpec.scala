@@ -283,12 +283,20 @@ class PlansSpec extends SparkSpec {
 
   test("dedup_ngram_jaccard: df cap rides gram-hash exchanges, text never shuffles") {
     val p = plan("dedup_ngram_jaccard")
-    // the candidate join keys on the 60-bit gram hash (broadcast at
-    // gate scale, hash exchange at corpus scale — the df pass itself
-    // is pinned separately on the cappedGrams subplan: it runs before
-    // the capped relation's checkpoint and is not in THIS plan)
-    assert(p.contains("hashpartitioning(gram") || p.contains("BroadcastExchange"),
-      "candidate join must key on the 60-bit gram hash")
+    // the CANDIDATE join specifically (the a×b self-join that builds
+    // pairs) must key on the 60-bit gram hash: an INNER join whose
+    // both sides key on gram — broadcast at gate scale, hash exchange
+    // at corpus scale. Asserting mere BroadcastExchange presence would
+    // be satisfied by the hot-set ANTI joins and let a text-keyed
+    // candidate join slip through.
+    val candJoin =
+      """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[gram#\d+L?\], \[gram#\d+L?\], Inner""".r
+    assert(p.contains("hashpartitioning(gram") ||
+      candJoin.findFirstIn(p).isDefined,
+      "the a-b candidate join must key on the 60-bit gram hash")
+    // and no join anywhere keys on raw document text
+    assert("""Join \[[^\]]*text#""".r.findFirstIn(p).isEmpty,
+      "no join may key on document text")
     assert(!p.contains("hashpartitioning(text") &&
       !p.contains("rangepartitioning(text"),
       "document text must never be a shuffle key")
@@ -376,6 +384,15 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "the duplicated-set flag must come back by equi-join")
     assert(p.contains("partial_"), "df pass + per-doc rollup must map-side combine")
+    // single-execution pin: the window relation feeds two branches
+    // (occurrence aggregate + probe join) and is materialized ONCE
+    // via localCheckpoint — both branches must read the checkpointed
+    // rows, so the tokenize/explode pipeline (a Generate) appears in
+    // NEITHER branch of the final plan
+    assert(!p.contains("Generate"),
+      "tokenize/explode must run once (checkpointed), not once per branch")
+    assert(p.contains("ExistingRDD"),
+      "both branches must read the checkpointed window relation")
   }
 
   test("substring prune: coverage join is a narrow equi-join, no cartesian") {

@@ -181,6 +181,51 @@ class WeatherSourceSpec extends SparkSpec {
     assert(failCalls == 3) // initial attempt + 2 retries, then rethrow
   }
 
+  test("minRequestIntervalMs spaces concurrent requests at the endpoint") {
+    import graft.io.weather.WeatherRateLimiter
+    // the limiter itself: 4 threads race for slots on one key; the
+    // acquired start times must be pairwise >= interval apart
+    val key = s"spec-endpoint-${System.nanoTime()}"
+    val times = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val threads = (1 to 4).map(_ => new Thread(() => {
+      WeatherRateLimiter.acquire(key, 120)
+      times.add(System.nanoTime())
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val sorted = times.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).sorted
+    val gaps = sorted.sliding(2).map(p => (p(1) - p(0)) / 1e6).toSeq
+    assert(gaps.forall(_ >= 100.0), // 120ms nominal, scheduler slack
+      s"request starts must be spaced: gaps ${gaps.map(g => f"$g%.0f").mkString(",")}ms")
+    // and zero interval means no gate at all (the default path)
+    val t0 = System.nanoTime()
+    (1 to 8).foreach(_ => WeatherRateLimiter.acquire(key + "-off", 0))
+    assert((System.nanoTime() - t0) / 1e6 < 50.0)
+  }
+
+  test("a throttled scan serializes its city fetches end to end") {
+    val dir = writeFixtures(("London", "GB", 1.0), ("Tokyo", "JP", 2.0),
+      ("Paris", "FR", 3.0))
+    def elapsed(opts: Map[String, String]): Double = {
+      val r = spark.read.format("graft-weather")
+        .option("cities", "London:GB,Tokyo:JP,Paris:FR")
+        // per-test template => per-test limiter key: the ledger is
+        // JVM-global, a shared template would inherit earlier waits
+        .option("urlTemplate", s"file://$dir/{city}.json")
+      val t0 = System.nanoTime()
+      val n = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }
+        .load().count()
+      assert(n == 3)
+      (System.nanoTime() - t0) / 1e6
+    }
+    elapsed(Map.empty) // warmup (plan + codegen, uncounted)
+    // 3 cities at >=150ms spacing: first fires immediately, the scan
+    // cannot finish under 2 intervals
+    assert(elapsed(Map("minRequestIntervalMs" -> "150")) >= 300.0,
+      "throttled scan must space its 3 requests")
+  }
+
   test("config file and fallback city resolution") {
     val cfg = Files.createTempDirectory("graft_cities")
       .resolve("cities.json")

@@ -21,7 +21,15 @@ a source corpus so the whole registry still runs:
 Deterministic (seed 1337). Timestamp unit matches the driver's current
 events unit (TIMESTAMP MICROS, no tz).
 
-Usage: python3 tools/gen_skew.py [outDir=/tmp/skew01] [srcDir=/root/testdata/sf0.1]
+An optional `dupfrac=F` argument (VERDICT r12 #2) additionally copies
+ONE text verbatim onto F of all docs — the exact-dedup straggler
+shape: a row_number window partitioned by the text fingerprint would
+pin every copy of the hot text in a single task, while the min_by
+aggregate winner combines map-side. Generate it as a SEPARATE corpus
+(e.g. /tmp/skewdup) so the default corpus stays comparable across
+rounds.
+
+Usage: python3 tools/gen_skew.py [outDir=/tmp/skew01] [srcDir=/root/testdata/sf0.1] [dupfrac=0.2]
 """
 import json
 import os
@@ -34,6 +42,10 @@ import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/skew01"
 SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+DUP_FRAC = 0.0
+for a in sys.argv[3:]:
+    if a.startswith("dupfrac="):
+        DUP_FRAC = float(a.split("=", 1)[1])
 SEED = 1337
 N_EVENTS = 100_000
 N_USERS = 1_500
@@ -114,6 +126,16 @@ def gen_documents():
         toks = texts[src].split(" ")
         toks[int(rng.integers(0, len(toks)))] = "dup"
         texts[i] = " ".join(toks)
+    if DUP_FRAC > 0:
+        # ONE hot text duplicated verbatim across DUP_FRAC of the
+        # corpus: a single fingerprint owns that whole fraction, so a
+        # winner-selection window would be a one-task straggler
+        hot_ids = rng.choice(N_DOCS, size=int(N_DOCS * DUP_FRAC),
+                             replace=False)
+        hot_text = texts[int(hot_ids[0])]
+        for i in hot_ids:
+            texts[i] = hot_text
+        print(f"documents: {len(hot_ids)}/{N_DOCS} share one duplicated text")
     exact = rng.choice(N_DOCS, size=int(N_DOCS * 0.003), replace=False)
     for i in exact:
         src = int(rng.integers(0, N_DOCS))
