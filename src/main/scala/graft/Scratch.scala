@@ -92,9 +92,45 @@ object Scratch {
           f""""needs_rebalance":${Similarity.needsRebalance(ratio)}}""")
       }
     }
+    // pipeline_pretrain stage-cost split: times each curation stage
+    // cumulatively so composition overhead is attributable
+    args.filter(_ == "ppprobe").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import graft.ops.{Dedup, TextOps}
+      val stops = Seq("the", "a")
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scratch] ppprobe $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      (1 to 3).foreach { it =>
+        println(s"[scratch] ppprobe --- iter $it ---")
+        val docs = graft.io.Sources.table(spark, dir, "documents")
+        val lf = docs.filter(TextOps.langId(col("text"), stops).isin("en", "mixed"))
+        val qf = lf.filter(TextOps.qualityScore(col("text"), stops) >= 75.0)
+        t("qf.count")(qf.count())
+        val dd = Dedup.exact(qf, "doc_id", "text")
+        t("dd.count")(dd.count())
+        t("prune.raw.count")(
+          Dedup.substringPrune(docs, "doc_id", "text", windowLen = 8).count())
+        t("prune.dd.count")(
+          Dedup.substringPrune(dd, "doc_id", "text", windowLen = 8).count())
+        val ddc = t("dd.ckpt")(dd.localCheckpoint())
+        t("prune.ddckpt.count")(
+          Dedup.substringPrune(ddc, "doc_id", "text", windowLen = 8).count())
+        val pr = t("prune.ckpt")(
+          Dedup.substringPrune(dd, "doc_id", "text", windowLen = 8)
+            .localCheckpoint())
+        val bg = t("benchGrams")(Dedup.benchGrams(
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text", 3))
+        t("decon.final")(
+          Dedup.decontaminateBatch(pr, bg, "doc_id", "text_pruned", 3, 0.8)
+            .select("doc_id", "n_kept", "text_pruned").orderBy("doc_id").count())
+      }
+    }
     val names = args.filterNot(a =>
       a.startsWith("explain:") || a.startsWith("bpe:") || a == "bktprobe" ||
-      a == "annprobe")
+      a == "annprobe" || a == "ppprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>
       names.foreach { n =>
