@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cleaning stage (reference: src/transform.py:81-123). */
@@ -11,17 +10,29 @@ object Clean {
     * (keys, hour-truncated ts), keeping the FIRST occurrence.
     *
     * pandas' "first occurrence" is input order; under a shuffle that is
-    * not a total order, so the winner is pinned with row_number over
-    * (ts, tieBreak) — deterministic at any parallelism. One shuffle on
-    * the dedup key; no global sort.
+    * not a total order, so the winner is pinned by the MINIMUM
+    * (ts, tieBreak) tuple — deterministic at any parallelism provided
+    * the tuple is unique within a group (the tieBreak contract). One
+    * shuffle on the dedup key; no global sort.
+    *
+    * Same skew shape as [[graft.ops.Dedup.exact]]: the winner is a
+    * `min_by(struct(row), struct(ts, tieBreak*))` AGGREGATE, not a
+    * key-partitioned row_number window — the aggregate's partial
+    * (map-side) phase sends one candidate row per map partition per
+    * hot (keys, hour) group through the exchange, where a window
+    * would land every duplicate of a hot key-hour in one task (a
+    * sensor spamming one hour at 100 TB = a one-task straggler).
+    * Struct ordering is lexicographic with nulls-first per field —
+    * identical to the window's multi-column ascending order.
     */
   def dedupFirstPerKeyHour(df: DataFrame, keys: Seq[String], tsCol: String,
                            tieBreak: Seq[String]): DataFrame = {
-    val parts: Seq[Column] = keys.map(col) :+ date_trunc("hour", col(tsCol))
-    val w = Window.partitionBy(parts: _*)
-      .orderBy((col(tsCol).asc +: tieBreak.map(col(_).asc)): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toSeq
+    val ord = struct((col(tsCol) +: tieBreak.map(col)): _*)
+    df.groupBy((keys.map(col) :+
+        date_trunc("hour", col(tsCol)).as("__hr")): _*)
+      .agg(min_by(struct(cols.map(col): _*), ord).as("__w"))
+      .select(cols.map(c => col("__w").getField(c).as(c)): _*)
   }
 
   /** fill_const (reference: src/transform.py:108-109) — null → constant. */
