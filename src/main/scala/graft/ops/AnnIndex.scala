@@ -164,6 +164,49 @@ object AnnIndex {
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/members")
   }
 
+  /** Occupancy-health check over the PERSISTED assignments — reads
+    * ONLY the index: one map-side-combined aggregate over the
+    * (vec_id, bucket) rows, with the collect bounded by the bucket
+    * count (nlist), never the corpus. The statistic feeding the
+    * [[maybeRebalance]] rule; see [[Similarity.bucketSpread]].
+    */
+  def bucketSpreadOf(spark: SparkSession, dir: String): (Int, Long, Long, Double) =
+    Similarity.bucketSpread(spark.read.parquet(s"$dir/assignments"))
+
+  /** The SCALING.md ANN-skew sizing rule as an index maintenance
+    * operation: measure bucket-occupancy spread
+    * ([[bucketSpreadOf]]); past [[Similarity.MaxBucketSpread]] (8×
+    * max/median — the point where the hottest bucket dominates probe
+    * latency and relayout tasks), REBUILD the index from its own
+    * members: retrain with `trainSteps` Lloyd refinements and
+    * nCentroids re-sized by [[Similarity.nlistFor]] (√n) so occupancy
+    * bounds hold as the corpus grows through [[append]]s. The corpus
+    * is never rescanned — the members relation IS the vector store —
+    * and the members are materialized (localCheckpoint) before the
+    * overwrite so the rebuild holds no lineage on the directories it
+    * replaces. A healthy index is untouched (None). Returns
+    * (before, after) spread tuples when a rebuild ran.
+    *
+    * Scale note: a rebuild is the heavy offline path by design (one
+    * train + one full re-home + one partitioned rewrite — the same
+    * cost as [[build]]); the rule exists so that cost is paid when
+    * MEASUREMENT says the layout degraded, not on a timer and not
+    * never.
+    */
+  def maybeRebalance(spark: SparkSession, dir: String,
+                     trainSteps: Int = 2)
+      : Option[((Int, Long, Long, Double), (Int, Long, Long, Double))] = {
+    val before = bucketSpreadOf(spark, dir)
+    if (!Similarity.needsRebalance(before._4)) None
+    else {
+      val members = spark.read.parquet(s"$dir/members")
+        .select("vec_id", "v").localCheckpoint(true)
+      val n = members.count()
+      build(members, "vec_id", "v", Similarity.nlistFor(n), dir, trainSteps)
+      Some((before, bucketSpreadOf(spark, dir)))
+    }
+  }
+
   /** Restore the index's layout invariants after a run of [[append]]s
     * — the periodic maintenance the append contract defers to:
     * assignments are re-laid-out range-disjoint by vec_id (appended

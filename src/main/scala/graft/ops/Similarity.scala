@@ -1019,6 +1019,11 @@ object Similarity {
     * over (vec_id, bucket); the collect is bounded by the bucket
     * COUNT (= nlist), never the corpus.
     * Returns (nBuckets, maxOcc, medianOcc, maxOverMedian).
+    *
+    * Caveat: with very few buckets the median degenerates toward the
+    * max (at 2 buckets they coincide and the ratio is blind to any
+    * imbalance) — the statistic is meaningful at the [[nlistFor]]
+    * floor of 16 buckets and above, which every real index satisfies.
     */
   def bucketSpread(assign: DataFrame): (Int, Long, Long, Double) = {
     val occ = assign.groupBy("bucket").agg(count(lit(1)).as("n"))

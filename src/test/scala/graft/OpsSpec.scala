@@ -1461,6 +1461,44 @@ class OpsSpec extends SparkSpec {
     assert(QuantizedCosine(zero, some).eval(null) == 0.0)
   }
 
+  test("maybeRebalance: healthy index untouched; degraded layout rebuilt from members only") {
+    import graft.ops.AnnIndex
+    val emb = (0L until 80L)
+      .map(i => (i, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ann_rebal").toString
+    AnnIndex.build(emb, "vec_id", "embedding", nCentroids = 4, dir = dir)
+    // a freshly trained index is healthy: the rule must not touch it
+    assert(AnnIndex.maybeRebalance(spark, dir).isEmpty)
+    val untouched = spark.read.parquet(s"$dir/centroids").count()
+    assert(untouched == 4L)
+    // doctor the ASSIGNMENTS into a pathological layout (77 vectors
+    // in bucket 0, one each in buckets 1-3 → occupancies [1,1,1,77],
+    // median 1, spread 77 ≫ 8): the rule must fire and rebuild FROM
+    // MEMBERS (it never reads the corpus, and the doctored
+    // assignments only feed the before-measurement)
+    val bad = emb.select(col("vec_id"),
+      when(col("vec_id") < 3L, col("vec_id") + 1L).otherwise(lit(0L))
+        .as("bucket"))
+    graft.ops.Layout.rewriteInPlace(spark, s"$dir/assignments") { tmp =>
+      graft.ops.Layout.writeRangeSorted(bad, tmp, nFiles = 2, keyCol = "vec_id")
+    }
+    val before = AnnIndex.bucketSpreadOf(spark, dir)
+    assert(graft.ops.Similarity.needsRebalance(before._4), s"doctored: $before")
+    val Some((b, a)) = AnnIndex.maybeRebalance(spark, dir)
+    assert(b == before)
+    assert(!graft.ops.Similarity.needsRebalance(a._4),
+      s"rebuilt layout must be healthy: $a")
+    // nlist re-sized by the rule (floor 16 at 80 vectors), and the
+    // rebuilt index still serves: every member is present exactly once
+    assert(a._1 == 16)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 16L)
+    val asg = spark.read.parquet(s"$dir/assignments")
+    assert(asg.count() == 80L &&
+      asg.select("vec_id").distinct().count() == 80L)
+    assert(spark.read.parquet(s"$dir/members").count() == 80L)
+  }
+
   test("IVF skew rule: bucketSpread statistic, nlistFor sizing, training balances the clustered corpus") {
     import graft.ops.Similarity
     // the statistic itself on a hand-stated assignment: buckets of
