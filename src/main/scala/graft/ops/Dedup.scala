@@ -167,9 +167,10 @@ object Dedup {
     * relation that must survive executor churn belongs in a persisted
     * index (see DedupIndex / AnnIndex) instead.
     */
-  def boundedBroadcast(hot: DataFrame): DataFrame = {
+  def boundedBroadcast(hot: DataFrame,
+                       maxRows: Long = HotBroadcastMaxRows): DataFrame = {
     val h = hot.localCheckpoint()
-    if (h.count() <= HotBroadcastMaxRows) broadcast(h) else h
+    if (h.count() <= maxRows) broadcast(h) else h
   }
 
   /** Exact n-gram Jaccard near-dup pairs: candidates from an equi-join

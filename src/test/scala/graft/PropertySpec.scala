@@ -489,4 +489,69 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("min_by winners ≡ the row_number window over random colliding corpora") {
+    // the r13 de-skew moved both keep-first winner selections from
+    // key-partitioned row_number windows to map-side-combined min_by
+    // aggregates — this pins the two shapes row-for-row equal on
+    // random data built to collide heavily (tiny text alphabet, tight
+    // key/hour space), so the faster shape can never drift from the
+    // reference keep-first semantics
+    import org.apache.spark.sql.expressions.Window
+    (1 to 4).foreach { s =>
+      val rnd = new scala.util.Random(900 + s)
+      // exact dedup: ~40 distinct texts over 300 docs
+      val docs = (1L to 300L).map { i =>
+        (i, s"t${rnd.nextInt(40)} body", rnd.nextInt(100))
+      }.toDF("doc_id", "text", "aux")
+      val viaWindow = {
+        val w = Window
+          .partitionBy(graft.ops.TextOps.fingerprint(col("text")))
+          .orderBy(col("doc_id").asc)
+        docs.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+      val got = graft.ops.Dedup.exact(docs, "doc_id", "text")
+      assert(got.collect().map(_.toSeq).toSet ==
+        viaWindow.collect().map(_.toSeq).toSet,
+        s"seed $s: exact-dedup winners diverged")
+      // dedup_hour: 5 keys × 3 hours × shared ts values force both
+      // group collisions and (ts, tieBreak) ordering to matter
+      val evs = (1L to 400L).map { i =>
+        (i, rnd.nextInt(5).toLong, 3600L * rnd.nextInt(3) + 60L * rnd.nextInt(4),
+          rnd.nextDouble())
+      }.toDF("event_id", "k", "es", "v")
+        .withColumn("ts", timestamp_seconds(col("es"))).drop("es")
+      val viaWindow2 = {
+        val w = Window.partitionBy(col("k"), date_trunc("hour", col("ts")))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        evs.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+      val got2 = graft.etl.Clean.dedupFirstPerKeyHour(
+        evs, Seq("k"), "ts", Seq("event_id"))
+      assert(got2.collect().map(_.toSeq).toSet ==
+        viaWindow2.collect().map(_.toSeq).toSet,
+        s"seed $s: dedup_hour winners diverged")
+    }
+  }
+
+  test("boundedBroadcast above the row cap: same rows, no forced broadcast hint") {
+    // the gram pipelines' hot-set anti join degrades to a plain
+    // shuffled join past the cap instead of an 8-GB-broadcast
+    // hard-fail — pin that both modes return identical rows and that
+    // the over-cap mode carries no broadcast hint into the optimizer
+    val rel = (1L to 200L).map(i => (i, i % 23)).toDF("doc_id", "gram")
+    val hot = (0L until 7L).toDF("gram")
+    def anti(side: org.apache.spark.sql.DataFrame) =
+      rel.join(side, Seq("gram"), "left_anti")
+    val forced = anti(graft.ops.Dedup.boundedBroadcast(hot))
+    val fallback = anti(graft.ops.Dedup.boundedBroadcast(hot, maxRows = 3))
+    assert(forced.collect().map(_.toSeq).toSet ==
+      fallback.collect().map(_.toSeq).toSet)
+    assert(forced.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "under the cap the hint must be present")
+    assert(!fallback.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "over the cap no broadcast may be forced (AQE stays free to choose)")
+  }
 }
