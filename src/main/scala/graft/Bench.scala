@@ -250,11 +250,23 @@ object Bench {
         beans.map(b => math.max(0L, b.getCollectionCount)).sum)
     }
     val (gcMs0, gcN0) = gcTotals()
+    // SPARK_GRAFT_BENCH_FULL=1 executes each query's OWN physical plan
+    // (queryExecution.toRdd — the SkewProbe discipline) instead of
+    // count(): a count() aggregate lets Catalyst prune output-only
+    // columns and with them whole aggregates (e.g. the ordered text
+    // rebuild in text_substring_prune — measured in SCALING.md's r13
+    // ppprobe notes). count() stays the DEFAULT so the artifact series
+    // and its contamination baselines remain comparable across rounds;
+    // the full-plan mode exists to quantify the pruning effect.
+    val fullPlan = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     def timeOnce(fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+      val ok = try {
+        val df = fn(spark, sfDir)
+        if (fullPlan) df.queryExecution.toRdd.count() else df.count()
+        true
+      } catch { case _: Throwable => false }
       (ok, (System.nanoTime() - t0) / 1e9)
     }
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]

@@ -134,6 +134,36 @@ class JdbcSinksSpec extends SparkSpec {
     assert(back.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("jdbcWriteBatched retry contract: an idempotent MERGE replayed twice leaves the table unchanged") {
+    // the scaladoc's retry contract made executable: Spark re-runs a
+    // partition whose task dies after commit, so the statement must be
+    // an upsert. Derby's upsert dialect is MERGE; the batched writer
+    // binds one ? per DataFrame column in order, so columns the
+    // statement needs twice (key in ON + INSERT, value in UPDATE +
+    // INSERT) are simply duplicated in the projection.
+    val rows = Seq((1L, 15.5), (2L, 22.0), (3L, 18.0))
+    val df = rows.toDF("id", "temp")
+      .select($"id", $"temp", $"id".as("id2"), $"temp".as("temp2"))
+      .repartition(2)
+    Sinks.jdbc(rows.toDF("id", "temp").limit(0), url, "w_merge", "replace",
+      keys = Nil, props, None)
+    val merge =
+      """MERGE INTO w_merge t USING SYSIBM.SYSDUMMY1 s
+        |ON t."id" = CAST(? AS BIGINT)
+        |WHEN MATCHED THEN UPDATE SET t."temp" = ?
+        |WHEN NOT MATCHED THEN INSERT ("id", "temp") VALUES (?, ?)""".stripMargin
+    Sinks.jdbcWriteBatched(df, url, merge, props, batchSize = 2)
+    val first = readBack("w_merge").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(first == rows.toMap, s"initial merge must insert all rows: $first")
+    // the simulated task retry: the whole write replays verbatim
+    Sinks.jdbcWriteBatched(df, url, merge, props, batchSize = 2)
+    val second = readBack("w_merge").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(second == rows.toMap && readBack("w_merge").count() == 3,
+      "replaying the partition must be a no-op for keyed upsert DML")
+  }
+
   test("registry JDBC queries drop their Derby tables (soak-safe)") {
     // each invocation creates a uniquely-named table in the shared
     // in-memory graftio database; without teardown a soak-looped bench
