@@ -147,47 +147,85 @@ object Bench {
     (s""""$field":(true|false)""").r.findFirstMatchIn(json).map(_.group(1).toBoolean)
 
   /** A stored artifact is a usable baseline iff it ran the same sf at
-    * the same cpu count and did not label itself contaminated. The
-    * cpus check is anchored to the env object — every artifact
-    * serializes cpus as env's FIRST key — so a literal "cpus":N inside
-    * an error string or query name cannot satisfy it; the env-var
-    * value is regex-quoted, not interpolated raw.
+    * the same cpu count, in the same execution mode (count vs
+    * full-plan — the two series time different work per query, so
+    * cross-mode comparison would flag every full run as inflated),
+    * and did not label itself contaminated. The cpus check is
+    * anchored to the env object — every artifact serializes cpus as
+    * env's FIRST key — so a literal "cpus":N inside an error string
+    * or query name cannot satisfy it; the env-var value is
+    * regex-quoted, not interpolated raw. Artifacts from before the
+    * mode field carry no "mode" key and are count-mode by
+    * construction.
     */
   private[graft] def baselineMatches(json: String, sfDir: String,
-                                     cpus: String): Boolean =
+                                     cpus: String,
+                                     mode: String = "count"): Boolean =
     parseStringField(json, "sf").contains(sfDir) &&
       (""""env":\{"cpus":""" + java.util.regex.Pattern.quote(cpus) + "[,}]").r
         .findFirstIn(json).isDefined &&
-      parseBoolField(json, "contaminated").contains(false)
+      parseBoolField(json, "contaminated").contains(false) &&
+      parseStringField(json, "mode").getOrElse("count") == mode
 
-  /** Previous artifact to compare against: SPARK_GRAFT_BENCH_BASELINE
-    * if set, else the out file left by the last run — used only when
-    * [[baselineMatches]] accepts it (a dirty baseline would hide equal
-    * dirt in the current run; a different-cpus baseline would flag a
-    * clean run as inflated — or mask a dirty one — purely from
-    * parallelism).
+  /** Committed per-round artifacts under `artifacts/` (newest round
+    * first) — the fallback baseline chain. The r13 lesson: the
+    * previous-run out file is gitignored, so the DRIVER's official
+    * run always started with no baseline (`baseline_common_ratio:
+    * null`) and the per-query inflation guard never fired — r13's
+    * layout_zorder shipped at 6.7× its r12 time unguarded. Committing
+    * each round's full per-query artifact (~6 KB) and falling back to
+    * it makes the official run self-guarding.
+    */
+  private[graft] def committedArtifacts(dir: String = "artifacts"): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Seq.empty
+    else {
+      val round = """r(\d+)""".r
+      d.listFiles.toSeq
+        .filter(f => f.isFile && f.getName.startsWith("bench") &&
+          f.getName.endsWith(".json"))
+        .sortBy(f => round.findFirstMatchIn(f.getName)
+          .map(-_.group(1).toInt).getOrElse(0))
+        .map(_.getPath)
+    }
+  }
+
+  /** Previous artifact to compare against, first usable of:
+    * SPARK_GRAFT_BENCH_BASELINE if set, the out file left by the last
+    * run, then the newest committed `artifacts/bench*r{N}*.json` —
+    * each used only when [[baselineMatches]] accepts it (a dirty
+    * baseline would hide equal dirt in the current run; a
+    * different-cpus baseline would flag a clean run as inflated — or
+    * mask a dirty one — purely from parallelism; a different-mode one
+    * purely from the execution shape).
     */
   private def loadBaseline(outPath: String, sfDir: String,
-                           cpus: String): Option[Map[String, Double]] = {
-    val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
-      .getOrElse(outPath)
-    try {
-      val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) None
-      else {
-        val json = java.nio.file.Files.readString(p)
-        if (baselineMatches(json, sfDir, cpus))
-          Some(parseQueryTimes(json)).filter(_.nonEmpty)
-        else None
-      }
-    } catch { case _: Throwable => None }
+                           cpus: String, mode: String): Option[Map[String, Double]] = {
+    val candidates =
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE").toSeq ++
+        (outPath +: committedArtifacts())
+    candidates.iterator.flatMap { path =>
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val json = java.nio.file.Files.readString(p)
+          if (baselineMatches(json, sfDir, cpus, mode))
+            Some(parseQueryTimes(json)).filter(_.nonEmpty)
+          else None
+        }
+      } catch { case _: Throwable => None }
+    }.buffered.headOption
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val baseline = loadBaseline(outPath, sfDir, cpus)
+    val fullPlan = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    val mode = if (fullPlan) "full" else "count"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (fullPlan) "bench_full_out.json" else "bench_out.json")
+    val baseline = loadBaseline(outPath, sfDir, cpus, mode)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     var loadStart = os.getSystemLoadAverage
     var sleptForLoad = false
@@ -257,8 +295,9 @@ object Bench {
     // rebuild in text_substring_prune — measured in SCALING.md's r13
     // ppprobe notes). count() stays the DEFAULT so the artifact series
     // and its contamination baselines remain comparable across rounds;
-    // the full-plan mode exists to quantify the pruning effect.
-    val fullPlan = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    // the full-plan mode is a second committed artifact series
+    // (bench_full_*.json) with its own baseline epoch (the "mode"
+    // field keeps the two series from cross-guarding).
     def timeOnce(fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
       val t0 = System.nanoTime()
@@ -329,7 +368,8 @@ object Bench {
       s""""gc_ms":${gcMs1 - gcMs0},"gc_count":${gcN1 - gcN0}}"""
     val fixedFloor = Guards.fixedFloorSeconds(curTimes)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode",""" +
+        s""""contaminated":$contaminated,""" +
         s""""inflated":$inflated,"fixed_floor_seconds":$fixedFloor,""" +
         s""""queries":$qs,"errors":$errors,"sf":"$sfDir",$env}"""
     println(json)

@@ -128,4 +128,40 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(!Bench.baselineMatches(art("/y", 32, dirty = false), "/x", "32"))
     assert(!Bench.baselineMatches(art("/x", 32, dirty = true), "/x", "32"))
   }
+
+  test("count and full-plan artifacts are separate baseline epochs") {
+    def art(mode: Option[String]) =
+      s"""{"metric":"total","value":1.0,"unit":"sec",""" +
+        mode.map(m => s""""mode":"$m",""").getOrElse("") +
+        s""""contaminated":false,"queries":{"a":1.0},"errors":[],""" +
+        s""""sf":"/x","env":{"cpus":32,"gc_ms":1}}"""
+    // a full-plan run times different work per query (toRdd vs a
+    // prunable count aggregate) — cross-mode guarding would flag every
+    // full run as ~1.4x inflated against the count series
+    assert(Bench.baselineMatches(art(Some("count")), "/x", "32", "count"))
+    assert(Bench.baselineMatches(art(Some("full")), "/x", "32", "full"))
+    assert(!Bench.baselineMatches(art(Some("full")), "/x", "32", "count"))
+    assert(!Bench.baselineMatches(art(Some("count")), "/x", "32", "full"))
+    // pre-mode artifacts (rounds <= 13) are count-mode by construction
+    assert(Bench.baselineMatches(art(None), "/x", "32", "count"))
+    assert(!Bench.baselineMatches(art(None), "/x", "32", "full"))
+  }
+
+  test("committed artifacts resolve newest-round-first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_art")
+    def put(name: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), "{}")
+    put("bench_r9.json"); put("bench_r13.json"); put("bench_r12.json")
+    put("bench_full_r13.json"); put("notes.txt")
+    val got = Bench.committedArtifacts(dir.toString).map(p =>
+      new java.io.File(p).getName)
+    // r13 artifacts (either series) ahead of r12 ahead of r9; the
+    // non-artifact file never enters the chain. loadBaseline's
+    // baselineMatches mode check picks the right series from the pair.
+    assert(got.size == 4 && !got.contains("notes.txt"))
+    assert(got.take(2).toSet == Set("bench_r13.json", "bench_full_r13.json"))
+    assert(got(2) == "bench_r12.json" && got(3) == "bench_r9.json")
+    // absent directory: empty chain, not a throw
+    assert(Bench.committedArtifacts(dir.resolve("nope").toString).isEmpty)
+  }
 }
