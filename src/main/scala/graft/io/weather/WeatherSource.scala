@@ -220,18 +220,24 @@ object WeatherRateLimiter {
 
   /** Blocks until this caller's reserved slot arrives; slots are
     * CAS-reserved so concurrent tasks serialize without holding a
-    * lock while sleeping.
+    * lock while sleeping. Returns the RESERVED slot time (nanos) —
+    * the spacing invariant lives on these reservations (consecutive
+    * slots on one key are >= interval apart by construction), so the
+    * spec asserts on them rather than on post-sleep wall timestamps,
+    * which scheduler jitter can compress below the nominal gap
+    * (ADVICE r13).
     */
-  def acquire(key: String, intervalMs: Long): Unit = {
-    if (intervalMs <= 0) return
+  def acquire(key: String, intervalMs: Long): Long = {
+    if (intervalMs <= 0) return System.nanoTime()
     val slot = nextFree.computeIfAbsent(key,
       _ => new java.util.concurrent.atomic.AtomicLong(Long.MinValue))
     var waitNanos = 0L
+    var start = 0L
     var reserved = false
     while (!reserved) {
       val now = System.nanoTime()
       val prev = slot.get()
-      val start = if (prev == Long.MinValue) now else math.max(now, prev)
+      start = if (prev == Long.MinValue) now else math.max(now, prev)
       if (slot.compareAndSet(prev, start + intervalMs * 1000000L)) {
         waitNanos = start - now
         reserved = true
@@ -239,6 +245,7 @@ object WeatherRateLimiter {
     }
     if (waitNanos > 0)
       Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
+    start
   }
 }
 

@@ -33,13 +33,19 @@ object Dedup {
     * same class of pileup the gram pipelines eliminated with
     * map-side-combined df counts). Deterministic because ids are
     * unique within a duplicate group (min_by ties would otherwise be
-    * shuffle-order-dependent).
+    * shuffle-order-dependent) — same tieBreak-uniqueness contract as
+    * [[graft.etl.Clean.dedupFirstPerKeyHour]]. The ordering key is
+    * struct-wrapped so a NULL id orders nulls-first exactly like the
+    * row_number window shape this replaced (a bare-column min_by
+    * would silently EXCLUDE null-id rows from winning); at most one
+    * null id per group keeps the winner deterministic, the same way
+    * uniqueness does for non-null ids.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = docs.columns.toSeq
     docs
       .groupBy(TextOps.fingerprint(col(textCol)).as("__fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__w"))
+      .agg(min_by(struct(cols.map(col): _*), struct(col(idCol))).as("__w"))
       .select(cols.map(c => col("__w").getField(c).as(c)): _*)
   }
 

@@ -49,8 +49,17 @@ object Layout {
     * committed after completion: snapshot readers pinned to the
     * pre-rewrite manifest resolve the original files — live, then in
     * trash — at every instant of the rewrite.
+    *
+    * `commitManifest = false` skips the manifest version (the swap
+    * discipline alone): for a MULTI-TABLE root like an ANN index
+    * (centroids + assignments + members under one dir) a root-level
+    * manifest cannot be committed — `Manifest.commit` reads the root
+    * as one parquet table to type partition columns, and a
+    * mixed-schema root has no such reading. The rename protocol and
+    * [[restoreIfCrashed]] recovery are unchanged.
     */
-  def rewriteInPlace(spark: SparkSession, path: String)
+  def rewriteInPlace(spark: SparkSession, path: String,
+                     commitManifest: Boolean = true)
                     (write: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,7 +81,7 @@ object Layout {
       require(fs.rename(oldMd,
         new org.apache.hadoop.fs.Path(target, graft.io.Manifest.DirName)),
         s"rewriteInPlace: manifest history restore failed for $target")
-    graft.io.Manifest.commit(spark, path)
+    if (commitManifest) graft.io.Manifest.commit(spark, path)
   }
 
   /** Restore a directory stranded by a crash between

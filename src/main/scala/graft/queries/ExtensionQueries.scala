@@ -136,10 +136,15 @@ object ExtensionQueries {
     * centroid cosine; rank 1 is its own bucket). The persisted index
     * must be byte-identical to the direct computation, so ann_ivf and
     * ann_ivf_indexed state the same SQL; appended/relayout state it
-    * with the 90% training subset.
+    * with the 90% training subset, and ann_ivf_rebalanced states it
+    * over the CLUSTERED corpus with the full member set as the
+    * training subset (the rebuilt model).
     */
   private def annIvfSql(trainWhere: String): String =
-    s"""WITH $embCte,
+    annIvfSqlOn(embCte, trainWhere)
+
+  private def annIvfSqlOn(emb: String, trainWhere: String): String =
+    s"""WITH $emb,
        |${ivfTrainedCtes(trainWhere)},
        |qb AS (SELECT q_id, bucket FROM (
        |  SELECT p.vec_id AS q_id, c.cid AS bucket, row_number() OVER (
@@ -1498,6 +1503,36 @@ object ExtensionQueries {
         emb.filter(pmod(col("vec_id"), lit(10)) =!= 9),
         emb.filter(pmod(col("vec_id"), lit(10)) === 9),
         "vec_id", "embedding", nCentroids = NCENT_IVF, withRelayout = true)
+      graft.ops.AnnIndex.probe(s, idx, col("vec_id").between(100, 109), k = 3)
+        .orderBy("q_id", "rank")
+    },
+
+    /** ann_ivf_rebalanced — the maintenance loop that CLOSES the
+      * index lifecycle (build → appends → measure → conditional
+      * rebuild → probe), on the clustered corpus where appends
+      * genuinely degrade the layout: the index is built on ONE
+      * cluster (vec_id % 8 = 0 — all 16 centroids land inside that
+      * cluster's region), then the other seven clusters arrive as two
+      * appended batches and pile onto whichever base centroids happen
+      * to face them — measured bucket spread far past the 8×
+      * threshold (~180× at sf0.01). AnnIndex.maybeRebalance fires the
+      * CONDITIONAL rebuild: retrain on the full member set (staged
+      * through the crash-atomic root swap — the old index is intact
+      * on disk at every instant), re-home, rewrite. The oracle states
+      * the REBUILT model — trained on the whole clustered corpus — so
+      * a silently-skipped rebuild would serve the degraded
+      * one-cluster model and fail the hash gate: the row verifies the
+      * conditional fired, the rebuild read a complete member set, and
+      * the swap left a consistent model. nlist is pinned at 16
+      * (nlistOverride) so the oracle's model is corpus-size-
+      * independent; the √n re-sizing rule is pinned in OpsSpec. */
+    Q("ann_ivf_rebalanced", annIvfSqlOn(embClusteredCte, "TRUE")) { (s, dir) =>
+      val emb = clusteredEmb(s, dir)
+      val idx = graft.ops.AnnIndex.ensureBuiltRebalanced(s, dir + "#rebalanced",
+        emb.filter(pmod(col("vec_id"), lit(8)) === 0),
+        Seq(emb.filter(pmod(col("vec_id"), lit(8)).between(1, 3)),
+          emb.filter(pmod(col("vec_id"), lit(8)) >= 4)),
+        "vec_id", "embedding", nCentroids = NCENT_IVF)
       graft.ops.AnnIndex.probe(s, idx, col("vec_id").between(100, 109), k = 3)
         .orderBy("q_id", "rank")
     },

@@ -1499,6 +1499,104 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/members").count() == 80L)
   }
 
+  test("maybeRebalance crash windows: old index intact or new complete, never a mixed model") {
+    import graft.ops.AnnIndex
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val emb = (0L until 80L)
+      .map(i => (i, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    def doctor(dir: String): Unit = {
+      // 77 vectors in bucket 0, spread 77 >> 8 — forces the rebuild
+      val bad = emb.select(col("vec_id"),
+        when(col("vec_id") < 3L, col("vec_id") + 1L).otherwise(lit(0L))
+          .as("bucket"))
+      graft.ops.Layout.rewriteInPlace(spark, s"$dir/assignments") { tmp =>
+        graft.ops.Layout.writeRangeSorted(bad, tmp, nFiles = 2, keyCol = "vec_id")
+      }
+    }
+    def probeAll(dir: String): Seq[(Long, Long, Double)] =
+      AnnIndex.probe(spark, dir, col("vec_id") < 4L, k = 2)
+        .select("q_id", "neighbor_id", "cos")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+
+    // WINDOW A — crash mid-staging: the temp sibling holds a partial
+    // rebuild (here: a centroids-only write, the exact post-centroids
+    // state of the old in-place overwrite), the live index is
+    // UNTOUCHED. Probes serve the old index bit-identically; the next
+    // rebuild sweeps the partial staging.
+    val dirA = java.nio.file.Files.createTempDirectory("ann_crashA").toString
+    AnnIndex.build(emb, "vec_id", "embedding", nCentroids = 4, dir = dirA)
+    val beforeA = probeAll(dirA)
+    val rootA = new Path(dirA)
+    val tmpA = new Path(rootA.getParent, s".${rootA.getName}.graft-relayout-tmp")
+    fs.mkdirs(new Path(tmpA, "centroids"))
+    fs.create(new Path(tmpA, "centroids/part-junk.parquet"), true).close()
+    assert(probeAll(dirA) == beforeA, "partial staging must be invisible")
+    assert(spark.read.parquet(s"$dirA/centroids").count() == 4L,
+      "live model untouched by the stranded staging")
+    doctor(dirA)
+    val Some((bA, aA)) = AnnIndex.maybeRebalance(spark, dirA)
+    assert(bA._4 > 8 && !graft.ops.Similarity.needsRebalance(aA._4))
+    assert(!fs.exists(tmpA), "rebuild must sweep the stranded staging")
+    assert(spark.read.parquet(s"$dirA/members").count() == 80L)
+
+    // WINDOW B — crash between the two swap renames: the index root is
+    // ABSENT with the old index intact in the trash sibling. EVERY
+    // entry point self-heals via the recovery preamble and serves the
+    // old index bit-identically — never a mixed model, never a lost
+    // vector store.
+    val dirB = java.nio.file.Files.createTempDirectory("ann_crashB").toString
+    AnnIndex.build(emb, "vec_id", "embedding", nCentroids = 4, dir = dirB)
+    val beforeB = probeAll(dirB)
+    val rootB = new Path(dirB)
+    val trashB = new Path(rootB.getParent, s".${rootB.getName}.graft-relayout-old")
+    require(fs.rename(rootB, trashB))
+    assert(!fs.exists(rootB) && fs.exists(trashB), "simulated crash state")
+    assert(probeAll(dirB) == beforeB, "probe must restore and serve the old index")
+    assert(fs.exists(rootB) && !fs.exists(trashB), "recovery completed the rename")
+    assert(spark.read.parquet(s"$dirB/centroids").count() == 4L &&
+      spark.read.parquet(s"$dirB/members").count() == 80L,
+      "restored index is the complete OLD index — model and members agree")
+  }
+
+  test("maybeRebalance preamble: a crash-stranded members partition is restored BEFORE the rebuild reads") {
+    import graft.ops.AnnIndex
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val emb = (0L until 80L)
+      .map(i => (i, Array.tabulate(6)(d => math.sin(i * 2.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ann_strand").toString
+    AnnIndex.build(emb, "vec_id", "embedding", nCentroids = 4, dir = dir)
+    // strand the largest members partition exactly as a crashed
+    // compaction would: partition dir renamed to its trash sibling
+    val parts = fs.listStatus(new Path(s"$dir/members"))
+      .filter(_.getPath.getName.startsWith("bucket="))
+    val victim = parts.head.getPath
+    val strandedRows = spark.read.parquet(victim.toString).count()
+    assert(strandedRows > 0)
+    require(fs.rename(victim,
+      new Path(victim.getParent, s".${victim.getName}.graft-compact-old")))
+    // without the preamble the rebuild would read 80 - strandedRows
+    // members and bake the loss into the new index permanently
+    val bad = emb.select(col("vec_id"),
+      when(col("vec_id") < 3L, col("vec_id") + 1L).otherwise(lit(0L))
+        .as("bucket"))
+    graft.ops.Layout.rewriteInPlace(spark, s"$dir/assignments") { tmp =>
+      graft.ops.Layout.writeRangeSorted(bad, tmp, nFiles = 2, keyCol = "vec_id")
+    }
+    val Some((_, after)) = AnnIndex.maybeRebalance(spark, dir)
+    assert(!graft.ops.Similarity.needsRebalance(after._4))
+    val m = spark.read.parquet(s"$dir/members")
+    assert(m.count() == 80L &&
+      m.select("vec_id").distinct().count() == 80L,
+      "rebuilt index must contain every vector exactly once — the " +
+        "stranded partition was restored before the members read")
+  }
+
   test("IVF skew rule: bucketSpread statistic, nlistFor sizing, training balances the clustered corpus") {
     import graft.ops.Similarity
     // the statistic itself on a hand-stated assignment: buckets of

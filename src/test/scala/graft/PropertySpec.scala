@@ -500,9 +500,15 @@ class PropertySpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     (1 to 4).foreach { s =>
       val rnd = new scala.util.Random(900 + s)
-      // exact dedup: ~40 distinct texts over 300 docs
+      // exact dedup: ~40 distinct texts over 300 docs. One NULL-id
+      // row per corpus (VERDICT r13 #5): the window's ascending
+      // nulls-first order makes it the winner of its text group, and
+      // the struct-wrapped min_by ordering must agree — a bare-column
+      // min_by would silently exclude it. At most one null id keeps
+      // both shapes deterministic (the uniqueness contract).
       val docs = (1L to 300L).map { i =>
-        (i, s"t${rnd.nextInt(40)} body", rnd.nextInt(100))
+        (if (i == 137L) None else Some(i),
+          s"t${rnd.nextInt(40)} body", rnd.nextInt(100))
       }.toDF("doc_id", "text", "aux")
       val viaWindow = {
         val w = Window
@@ -512,13 +518,21 @@ class PropertySpec extends SparkSpec {
           .filter(col("__rn") === 1).drop("__rn")
       }
       val got = graft.ops.Dedup.exact(docs, "doc_id", "text")
-      assert(got.collect().map(_.toSeq).toSet ==
-        viaWindow.collect().map(_.toSeq).toSet,
+      val gotRows = got.collect().map(_.toSeq).toSet
+      assert(gotRows == viaWindow.collect().map(_.toSeq).toSet,
         s"seed $s: exact-dedup winners diverged")
+      assert(gotRows.exists(_.head == null),
+        s"seed $s: the null-id row must WIN its group (nulls-first), not vanish")
       // dedup_hour: 5 keys × 3 hours × shared ts values force both
-      // group collisions and (ts, tieBreak) ordering to matter
+      // group collisions and (ts, tieBreak) ordering to matter; ~8%
+      // NULL ts (reachable — the reference dedups BEFORE missing-value
+      // handling, transform.py:85-123): null ts lands in the null
+      // hour-group and must win it under nulls-first ts ordering in
+      // BOTH shapes.
       val evs = (1L to 400L).map { i =>
-        (i, rnd.nextInt(5).toLong, 3600L * rnd.nextInt(3) + 60L * rnd.nextInt(4),
+        (i, rnd.nextInt(5).toLong,
+          if (rnd.nextInt(12) == 0) None
+          else Some(3600L * rnd.nextInt(3) + 60L * rnd.nextInt(4)),
           rnd.nextDouble())
       }.toDF("event_id", "k", "es", "v")
         .withColumn("ts", timestamp_seconds(col("es"))).drop("es")
@@ -530,9 +544,12 @@ class PropertySpec extends SparkSpec {
       }
       val got2 = graft.etl.Clean.dedupFirstPerKeyHour(
         evs, Seq("k"), "ts", Seq("event_id"))
-      assert(got2.collect().map(_.toSeq).toSet ==
-        viaWindow2.collect().map(_.toSeq).toSet,
+      val got2Rows = got2.collect().map(_.toSeq).toSet
+      assert(got2Rows == viaWindow2.collect().map(_.toSeq).toSet,
         s"seed $s: dedup_hour winners diverged")
+      assert(evs.filter(col("ts").isNull).count() > 0 &&
+        got2Rows.exists(_.contains(null)),
+        s"seed $s: the null-ts case must actually be exercised")
     }
   }
 

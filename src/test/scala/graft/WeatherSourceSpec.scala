@@ -189,15 +189,20 @@ class WeatherSourceSpec extends SparkSpec {
     val times = java.util.Collections.synchronizedList(
       new java.util.ArrayList[Long]())
     val threads = (1 to 4).map(_ => new Thread(() => {
-      WeatherRateLimiter.acquire(key, 120)
-      times.add(System.nanoTime())
+      times.add(WeatherRateLimiter.acquire(key, 120))
     }))
     threads.foreach(_.start()); threads.foreach(_.join())
+    // assert on the RESERVED slot times, not post-sleep wall clocks:
+    // the reservation arithmetic guarantees >= interval spacing
+    // exactly, while a loaded box's scheduler can delay an earlier
+    // thread's wakeup enough to compress an observed wall-clock gap
+    // (the flake ADVICE r13 named). No slack needed — the invariant
+    // is deterministic.
     val sorted = times.toArray(Array.empty[java.lang.Long])
       .map(_.longValue).sorted
     val gaps = sorted.sliding(2).map(p => (p(1) - p(0)) / 1e6).toSeq
-    assert(gaps.forall(_ >= 100.0), // 120ms nominal, scheduler slack
-      s"request starts must be spaced: gaps ${gaps.map(g => f"$g%.0f").mkString(",")}ms")
+    assert(gaps.forall(_ >= 120.0),
+      s"reserved slots must be spaced: gaps ${gaps.map(g => f"$g%.0f").mkString(",")}ms")
     // and zero interval means no gate at all (the default path)
     val t0 = System.nanoTime()
     (1 to 8).foreach(_ => WeatherRateLimiter.acquire(key + "-off", 0))

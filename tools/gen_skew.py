@@ -29,7 +29,23 @@ aggregate winner combines map-side. Generate it as a SEPARATE corpus
 (e.g. /tmp/skewdup) so the default corpus stays comparable across
 rounds.
 
-Usage: python3 tools/gen_skew.py [outDir=/tmp/skew01] [srcDir=/root/testdata/sf0.1] [dupfrac=0.2]
+Round 14 (VERDICT r13 #4) adds the two family-specific hostile shapes:
+
+  - embeddings: generated (no longer copied verbatim) as a HOT-CLUSTER
+    mixture — 55% of all vectors sit in ONE tight cluster (the rest
+    spread over 7 others), the deliberately hot-bucket shape for the
+    ANN family: a fixed-nlist IVF layout concentrates that mass into
+    few buckets unless training splits it. Cluster membership is
+    deterministic in vec_id (vec_id % 20 < 11 -> hot), centers reuse
+    the embClusteredCte integer pattern, noise is seeded-gaussian.
+  - `bigdoc=1`: doc 0's text becomes itself repeated 100x — the
+    skewed-payload multimodal shape (mm_frame_sample's payload IS the
+    text, so one document carries 100x the frames; the image/audio
+    rows' payload dims are mod-bounded by construction and cannot
+    skew). Generate as a SEPARATE corpus (e.g. /tmp/skewmm) so the
+    text-family rows stay comparable on the default corpus.
+
+Usage: python3 tools/gen_skew.py [outDir=/tmp/skew01] [srcDir=/root/testdata/sf0.1] [dupfrac=0.2] [bigdoc=1]
 """
 import json
 import os
@@ -43,9 +59,12 @@ import pyarrow.parquet as pq
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/skew01"
 SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 DUP_FRAC = 0.0
+BIG_DOC = False
 for a in sys.argv[3:]:
     if a.startswith("dupfrac="):
         DUP_FRAC = float(a.split("=", 1)[1])
+    if a.startswith("bigdoc="):
+        BIG_DOC = a.split("=", 1)[1] == "1"
 SEED = 1337
 N_EVENTS = 100_000
 N_USERS = 1_500
@@ -142,6 +161,11 @@ def gen_documents():
         while src == i:
             src = int(rng.integers(0, N_DOCS))
         texts[i] = texts[src]
+    if BIG_DOC:
+        # one 100x document — applied AFTER the dup loops so nothing
+        # overwrites it; n_chars below reflects the final text
+        texts[0] = " ".join([texts[0]] * 100)
+        print(f"documents: doc 0 inflated to {len(texts[0])} chars (100x)")
     lang = rng.choice(LANGS, size=N_DOCS, p=LANG_P)
     tbl = pa.table({
         "doc_id": pa.array(np.arange(N_DOCS), pa.int64()),
@@ -156,11 +180,38 @@ def gen_documents():
     print(f"documents: {nb}/{N_DOCS} carry the shared boilerplate preamble")
 
 
+N_EMB = 2000
+EMB_DIM = 64
+
+
+def gen_embeddings():
+    # hot-bucket mixture: 55% of vectors in ONE tight cluster, the
+    # rest over 7 spread clusters. Membership deterministic in vec_id;
+    # centers reuse the embClusteredCte integer pattern so cluster
+    # geometry matches the clustered-recall rows' regime. Draws happen
+    # AFTER events/documents so those tables stay byte-identical to
+    # the r12/r13 corpora (rng consumes in generation order).
+    ids = np.arange(N_EMB)
+    cl = np.where(ids % 20 < 11, 0, 1 + (ids % 20 - 11) % 7)
+    centers = np.array([[((c * 37 + d * 11) % 19 - 9) / 9.0
+                         for d in range(EMB_DIM)] for c in range(8)])
+    v = (centers[cl] + rng.normal(0, 0.08, (N_EMB, EMB_DIM))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(v), pa.list_(pa.float32())),
+        "label": pa.array(cl.astype(np.int32), pa.int32()),
+    })
+    pq.write_table(tbl, f"{OUT}/embeddings.parquet")
+    frac = np.mean(cl == 0)
+    print(f"embeddings: {frac:.0%} of {N_EMB} vectors in the hot cluster")
+
+
 COPY = ["region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "embeddings"]
+        "lineitem"]
 
 gen_events()
 gen_documents()
+gen_embeddings()
 for t in COPY:
     src = f"{SRC}/{t}.parquet"
     if os.path.exists(src):
