@@ -92,6 +92,27 @@ object Scratch {
           f""""needs_rebalance":${Similarity.needsRebalance(ratio)}}""")
       }
     }
+    // Same spread probe over the RAW embeddings table (no clustered
+    // mixture transform) — for corpora whose embeddings are ALREADY
+    // hostile, e.g. gen_skew.py's hot-cluster mixture (55% of vectors
+    // in one tight cluster). Reports seed vs trained occupancy at the
+    // registry nlist and the √n rule, the numbers the skew artifact
+    // records for the ANN family.
+    args.filter(_ == "annprobe_raw").foreach { _ =>
+      import graft.ops.Similarity
+      val emb = graft.io.Sources.table(spark, dir, "embeddings")
+      val n = emb.count()
+      for ((steps, label) <- Seq((0, "seed"), (1, "lloyd1"), (2, "trained"));
+           k <- Seq(16, Similarity.nlistFor(n)).distinct) {
+        val asg = Similarity.ivfAssignTrained(emb, "vec_id", "embedding",
+          nCentroids = k, steps = steps)
+        val (nb, mx, med, ratio) = Similarity.bucketSpread(asg)
+        println(f"""{"probe":"annprobe_raw","corpus":"$dir","n":$n,""" +
+          f""""nlist":$k,"model":"$label","buckets":$nb,"max_occ":$mx,""" +
+          f""""median_occ":$med,"max_over_median":$ratio%.2f,""" +
+          f""""needs_rebalance":${Similarity.needsRebalance(ratio)}}""")
+      }
+    }
     // pipeline_pretrain stage-cost split: times each curation stage
     // cumulatively so composition overhead is attributable
     args.filter(_ == "ppprobe").foreach { _ =>
@@ -130,7 +151,7 @@ object Scratch {
     }
     val names = args.filterNot(a =>
       a.startsWith("explain:") || a.startsWith("bpe:") || a == "bktprobe" ||
-      a == "annprobe" || a == "ppprobe")
+      a == "annprobe" || a == "annprobe_raw" || a == "ppprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>
       names.foreach { n =>
