@@ -29,7 +29,13 @@ import graft.functions.Parity
   *   - `hot/` — (gram: bigint) the capped-out grams, tiny by
   *     construction (at most |corpus grams| / maxDf rows): the batch
   *     side anti-joins it so both sides compute Jaccard over the same
-  *     capped sets, matching [[Dedup.jaccardPairsBetween]] exactly.
+  *     capped sets, matching [[Dedup.jaccardPairsBetween]] exactly;
+  *   - `bloom/` — one row (nbits, word→bits map): a Bloom filter over
+  *     `fps/`, rebuilt from it after every mutation (derived state,
+  *     swap-protocol writes). `dedupBatch(useBloom = true)` probes it
+  *     to route definitely-new batch rows AROUND the membership anti
+  *     join — no false negatives, positives verified exactly, so the
+  *     output is byte-identical with or without it.
   *
   * Neither table stores text — 8-byte hashes only, so the index is a
   * small fixed fraction of the corpus and the daily join shuffles
@@ -47,12 +53,54 @@ import graft.functions.Parity
   */
 object DedupIndex {
 
+  /** Bits-per-fingerprint sizing for the `bloom/` sidecar: 16 bits/key
+    * at 3 hashes ≈ 0.5% false positives, rounded up to a word multiple,
+    * floored so tiny corpora still get a real filter, and CAPPED at
+    * 2^27 bits (16 MB broadcast — a bounded driver/executor object at
+    * any corpus size). Past ~8M fingerprints the cap degrades the
+    * false-positive rate gracefully: the filter prunes less but the
+    * exact anti join downstream still guarantees byte-identical
+    * output, so the cap trades speed, never correctness.
+    */
+  def bloomSizeBits(nKeys: Long): Int = {
+    val want = math.max(1024L, 16L * math.max(nKeys, 1L))
+    val capped = math.min(want, 1L << 27)
+    (((capped + 63) / 64) * 64).toInt
+  }
+
+  /** Rebuild the `bloom/` sidecar from the durable `fps/` table — one
+    * row (nbits, word→bits map). Derived state: recomputing from fps
+    * after every mutation (one scan of the 8-byte-hash table, never of
+    * corpus text) is simpler and drift-proof vs OR-merging bits, and
+    * the rewrite goes through the swap protocol so a crash leaves the
+    * old sidecar intact.
+    */
+  private def rebuildBloom(spark: SparkSession, path: String): Unit = {
+    val fps = spark.read.parquet(s"$path/fps")
+    val nBits = bloomSizeBits(fps.count())
+    def writeTo(dst: String): Unit =
+      RuntimeFilter.bloomBits(fps, "fp", nBits)
+        .withColumn("nbits", lit(nBits))
+        .coalesce(1).write.mode("overwrite").parquet(dst)
+    Layout.restoreIfCrashed(spark, s"$path/bloom")
+    val target = new org.apache.hadoop.fs.Path(s"$path/bloom")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target))
+      // first build: the input (fps/) is durable and distinct from the
+      // target, so a crash mid-write just leaves a partial sidecar the
+      // next rebuild overwrites — no swap needed
+      writeTo(target.toString)
+    else
+      Layout.rewriteInPlace(spark, s"$path/bloom", commitManifest = false)(writeTo)
+  }
+
   /** Materialize the corpus's dedup state under `path` (overwrite). */
   def build(corpus: DataFrame, idCol: String, textCol: String, n: Int,
             path: String, nFiles: Int = 32,
             maxDf: Int = Dedup.DefaultMaxDf): Unit = {
     corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
       .write.mode("overwrite").parquet(s"$path/fps")
+    rebuildBloom(corpus.sparkSession, path)
     val raw = rawGrams(corpus, idCol, textCol, n)
     raw.groupBy("gram").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("gram")
@@ -96,6 +144,9 @@ object DedupIndex {
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .sortWithinPartitions("gram")
       .write.mode("append").parquet(s"$path/grams")
+    // fps/ grew — refresh the derived membership filter from it (the
+    // sidecar's nbits re-sizes as the fingerprint set grows)
+    rebuildBloom(spark, path)
   }
 
   /** Restore the gram table's range layout after a run of [[append]]s
@@ -137,19 +188,47 @@ object DedupIndex {
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
                  idCol: String, textCol: String, n: Int,
-                 threshold: Double): DataFrame = {
+                 threshold: Double, useBloom: Boolean = false): DataFrame = {
     // self-heal a crashed relayout before reading (a stranded dir
     // would fail the read loudly; restoring is strictly better)
     Layout.restoreIfCrashed(spark, s"$indexPath/grams")
     Layout.restoreIfCrashed(spark, s"$indexPath/fps")
+    Layout.restoreIfCrashed(spark, s"$indexPath/bloom")
     val corpusFps = spark.read.parquet(s"$indexPath/fps")
       .select(col("fp").as("__fp")).distinct()
     val corpusGrams = spark.read.parquet(s"$indexPath/grams")
       .select(col("doc_id").as("right_id"), col("gram"),
         col("n_grams").as("nr"))
     val b1 = Dedup.exact(batch, idCol, textCol)
-    val b2 = b1.withColumn("__fp", TextOps.fingerprint(col(textCol)))
-      .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    // The membership anti join shuffles the batch winners AND the
+    // corpus fingerprint set on fp. With the persisted `bloom/`
+    // sidecar, winners whose fp the filter rejects are DEFINITELY new
+    // (a Bloom filter has no false negatives) and bypass the join
+    // entirely: for a mostly-novel daily batch the anti join's probe
+    // side shrinks to true duplicates plus ~0.5% false positives, and
+    // AQE sees the tiny probe side at runtime. Byte-identical either
+    // way — every filter-positive is still verified by the exact anti
+    // join.
+    val b2 =
+      if (useBloom) {
+        val bloomRow = spark.read.parquet(s"$indexPath/bloom")
+        val nBits = bloomRow.select("nbits").head().getInt(0)
+        // b1 feeds both branches of the union below — materialize the
+        // (batch-sized) winner set once rather than re-running the
+        // exact-dedup aggregate per branch. Checkpoint BEFORE the
+        // bloom crossJoin: checkpointing after it would materialize a
+        // copy of the broadcast bit map into every row
+        val winners = b1.localCheckpoint(true)
+        val mightMatch = RuntimeFilter.bloomProbe("__fp", nBits)
+        def probed = winners.crossJoin(broadcast(bloomRow.select("bloom")))
+        val definitelyNew = probed.filter(!mightMatch).drop("bloom")
+        val verified = probed.filter(mightMatch).drop("bloom")
+          .join(corpusFps, Seq("__fp"), "left_anti")
+        definitelyNew.unionByName(verified).drop("__fp")
+      } else {
+        b1.join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
+      }
     // batch grams from the RAW batch (not b2) — same subplan-isolation
     // reasoning as Dedup.incremental: the anti join below can only
     // remove rows already gone from b2, and keeping the exact-dedup

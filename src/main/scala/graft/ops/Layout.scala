@@ -233,4 +233,47 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"),
         count(lit(1)).as("n_rows"))
+
+  /** Persist [[fileRanges]] as a zone map — the file-skipping index
+    * that lets a reader prune a table WITHOUT planning a scan over it.
+    * Parquet footers already carry min/max, but at 100 TB "check every
+    * footer" is itself a million-file listing + footer-fetch storm on
+    * the driver; a zone map is one tiny table (a few dozen bytes per
+    * data file) read in one request. Rewrite it whenever the layout
+    * changes ([[writeRangeSorted]] / [[writeZOrdered]] / compaction) —
+    * it is derived state, cheap to rebuild from one stats pass.
+    */
+  def writeZonemap(spark: SparkSession, tablePath: String, keyCol: String,
+                   zonemapPath: String): Unit =
+    fileRanges(spark, tablePath, keyCol)
+      .coalesce(1).write.mode("overwrite").parquet(zonemapPath)
+
+  /** Read only the rows of `tablePath` with `keyCol` in [lo, hi],
+    * consulting the zone map FIRST so files whose [key_min, key_max]
+    * misses the interval are never opened — the scan plans over the
+    * matching file subset only. The residual filter still runs (zone
+    * granularity is the file; row groups and pages prune via parquet
+    * stats inside the surviving files), so the result is exactly the
+    * plain filtered scan, byte for byte.
+    *
+    * The matching file list is collected on the driver — bounded by
+    * the zone map's row count (= file count), the same list the scan
+    * planner would otherwise hold in memory anyway; at a million files
+    * it is a few tens of MB, and the zone-map filter cuts it to the
+    * matching subset before collect for any selective interval.
+    */
+  def readPruned(spark: SparkSession, tablePath: String,
+                 zonemapPath: String, keyCol: String,
+                 lo: Column, hi: Column): DataFrame = {
+    val files = spark.read.parquet(zonemapPath)
+      .filter(col("key_min") <= hi && col("key_max") >= lo)
+      .select("file")
+      .collect().map(_.getString(0))
+    val residual = col(keyCol) >= lo && col(keyCol) <= hi
+    if (files.isEmpty)
+      // schema from the footer of one file; no data read
+      spark.read.parquet(tablePath).filter(residual).limit(0)
+    else
+      spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+  }
 }

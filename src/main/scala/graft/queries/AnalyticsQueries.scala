@@ -360,6 +360,82 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     },
 
+    /** join_temporal_dim — point-in-time-correct dimension join over a
+      * versioned (SCD Type-2) dimension (ops/Scd.pointInTime): each
+      * order gets the customer-attribute VERSION valid at its own
+      * order date, never today's value — the join shape that keeps
+      * post-hoc attribute changes from leaking into historical
+      * training examples. The dimension is built by the same merge
+      * sink_scd2 verifies (two versions for changed keys around the
+      * 1998-07-01 effective date; vanished keys closed, so their
+      * post-effective orders drop out of the inner join). One key
+      * equi-join with the interval as a residual — per-key version
+      * counts are bounded by change frequency, so no range-join
+      * blowup. */
+    Q("join_temporal_dim",
+      """WITH dim AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment, DATE '1995-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM customer),
+        |snap AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 100 = 7),
+        |j AS (SELECT d.c_custkey AS dk, s.c_custkey AS sk,
+        |    d.c_acctbal AS dab, d.c_mktsegment AS dms,
+        |    d.valid_from AS dvf, s.c_acctbal AS sab, s.c_mktsegment AS sms,
+        |    (d.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+        |     AND d.c_name IS NOT DISTINCT FROM s.c_name
+        |     AND d.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
+        |     AND d.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
+        |     AND d.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment) AS same
+        |  FROM dim d FULL OUTER JOIN snap s ON d.c_custkey = s.c_custkey),
+        |merged AS (
+        |  SELECT dk AS c_custkey, dab AS c_acctbal, dms AS c_mktsegment,
+        |    dvf AS valid_from,
+        |    CASE WHEN same THEN NULL ELSE DATE '1998-07-01' END AS valid_to
+        |  FROM j WHERE dk IS NOT NULL
+        |  UNION ALL
+        |  SELECT sk, sab, sms, DATE '1998-07-01', NULL
+        |  FROM j WHERE sk IS NOT NULL AND NOT coalesce(same, FALSE)),
+        |f AS (SELECT o_orderkey, o_custkey,
+        |    CAST(o_orderdate AS DATE) AS od FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey, f.od, m.c_acctbal, m.c_mktsegment
+        |FROM f JOIN merged m ON f.o_custkey = m.c_custkey
+        |  AND f.od >= m.valid_from
+        |  AND (m.valid_to IS NULL OR f.od < m.valid_to)
+        |ORDER BY f.o_orderkey""".stripMargin) { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val dim0 = cust
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .withColumn("valid_from", lit(java.sql.Date.valueOf("1995-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val snapshot = cust
+        .filter(col("c_custkey") % 97 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .unionByName(cust.filter(col("c_custkey") % 100 === 7)
+          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      val dim = graft.ops.Scd.merge2(dim0, snapshot, "c_custkey",
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        lit(java.sql.Date.valueOf("1998-07-01")))
+      val facts = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), Enrich.deriveDate(col("o_orderdate")).as("od"))
+      graft.ops.Scd.pointInTime(facts, dim, "o_custkey", "c_custkey",
+          col("od"), Seq("c_acctbal", "c_mktsegment"))
+        .orderBy("o_orderkey")
+    },
+
     /** agg_rollup — hierarchical subtotals (season ⊃ priority ⊃ total);
       * NULLS FIRST ordering aligned across engines. */
     Q("agg_rollup",

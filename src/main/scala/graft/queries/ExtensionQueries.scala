@@ -2056,6 +2056,53 @@ object ExtensionQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
 
+    /** dedup_incremental_bloom — the indexed daily dedup probing the
+      * PERSISTED Bloom sidecar (DedupIndex `bloom/`, rebuilt from the
+      * durable fps table after every mutation): batch winners whose
+      * fingerprint the filter rejects are definitely new and route
+      * AROUND the membership anti join; only true duplicates plus
+      * ~0.5% false positives reach it, which AQE sees as a tiny probe
+      * side at runtime. No false negatives and every positive is
+      * verified exactly, so the output — and the oracle — is
+      * byte-identical to dedup_incremental_indexed. At 100 TB this is
+      * the difference between shuffling the whole day's batch into
+      * the fingerprint join and shuffling only its duplicate sliver;
+      * the 16 MB sidecar cap and its graceful-degradation contract
+      * are documented at DedupIndex.bloomSizeBits. */
+    Q("dedup_incremental_bloom",
+      s"""WITH $gramsCte,
+         |bg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 = 0),
+         |cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
+         |b1 AS (SELECT doc_id, n_chars, text FROM (
+         |    SELECT doc_id, n_chars, text, row_number() OVER (
+         |      PARTITION BY ${md5_60Sql("lower(trim(text))")} ORDER BY doc_id) AS rn
+         |    FROM documents WHERE doc_id % 5 = 0) WHERE rn = 1),
+         |b2 AS (SELECT doc_id, n_chars FROM b1
+         |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
+         |    SELECT ${md5_60Sql("lower(trim(text))")}
+         |    FROM documents WHERE doc_id % 5 <> 0)),
+         |hot AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > ${Dedup.DefaultMaxDf}),
+         |bgc AS (SELECT doc_id, g FROM bg WHERE g NOT IN (SELECT g FROM hot)),
+         |cgc AS (SELECT doc_id, g FROM cg WHERE g NOT IN (SELECT g FROM hot)),
+         |szb AS (SELECT doc_id, COUNT(*) AS n FROM bgc GROUP BY 1),
+         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cgc GROUP BY 1),
+         |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
+         |  FROM bgc b JOIN cgc c USING (g) GROUP BY 1, 2),
+         |hits AS (SELECT DISTINCT bid FROM inter
+         |  JOIN szb ON szb.doc_id = bid JOIN szc ON szc.doc_id = cid
+         |  WHERE CAST(ni AS DOUBLE) / CAST(szb.n + szc.n - ni AS DOUBLE) >= 0.5::DOUBLE)
+         |SELECT doc_id, n_chars FROM b2
+         |WHERE doc_id NOT IN (SELECT bid FROM hits)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val idx = graft.ops.DedupIndex.ensureBuilt(s, dir,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 3)
+      graft.ops.DedupIndex.dedupBatch(s, batch, idx, "doc_id", "text", 3, 0.5,
+          useBloom = true)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
     /** corpus_mix — target-composition mixture sampling
       * (Corpus.mixSample): per-language keep rates DERIVED from the
       * actual counts so the output hits the recipe (en 40 / de 20 /

@@ -592,6 +592,116 @@ object IoQueries {
       }
     },
 
+    /** scan_zonemap_pruned: the READ-side half of the layout family —
+      * a persisted zone map (Layout.writeZonemap: one tiny stats table,
+      * per-file key_min/key_max/rows) consulted BEFORE the scan plans,
+      * so files whose range misses the predicate are never opened or
+      * even listed into the plan. Parquet footers give the same
+      * min/max, but at a million files "ask every footer" is a driver
+      * listing storm; the zone map answers in one small read. The
+      * oracle proves the pruned read returns exactly the plain filtered
+      * scan; LayoutSpec pins that the surviving file set is the genuine
+      * subset (files-read < files-written for a selective interval). */
+    Q("scan_zonemap_pruned",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 200 AND 900 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val data = tmp("zonemap_data")
+      val zm = tmp("zonemap_idx")
+      try {
+        graft.ops.Layout.writeRangeSorted(o, data, nFiles = 8, keyCol = "o_orderkey")
+        graft.ops.Layout.writeZonemap(s, data, "o_orderkey", zm)
+        graft.ops.Layout.readPruned(s, data, zm, "o_orderkey",
+            lit(200L), lit(900L))
+          .orderBy("o_orderkey")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(data))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zm))
+      }
+    },
+
+    /** sink_scd2 — slowly-changing-dimension Type-2 merge
+      * (ops/Scd.merge2): a full attribute snapshot lands on a
+      * versioned customer dimension — changed keys close their open
+      * version and insert a new one, vanished keys close, new keys
+      * insert, unchanged keys pass through; every version keeps its
+      * [valid_from, valid_to) interval so point-in-time joins
+      * (join_temporal_dim) stay leakage-free. One full-outer key join,
+      * at most two emitted rows per key, history untouched. Written
+      * through a real parquet sink partitioned by is_current — the
+      * partitioning under which a daily merge rewrites ONLY the
+      * current slice — and read back (partition-value type round trip
+      * included: boolean partition values re-infer as strings, so the
+      * read path restores the type). */
+    Q("sink_scd2",
+      """WITH dim AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment, DATE '1995-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM customer),
+        |snap AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 100 = 7),
+        |j AS (SELECT d.c_custkey AS dk, s.c_custkey AS sk,
+        |    d.c_name AS dn, d.c_nationkey AS dnk, d.c_acctbal AS dab,
+        |    d.c_mktsegment AS dms, d.valid_from AS dvf,
+        |    s.c_name AS sn, s.c_nationkey AS snk, s.c_acctbal AS sab,
+        |    s.c_mktsegment AS sms,
+        |    (d.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+        |     AND d.c_name IS NOT DISTINCT FROM s.c_name
+        |     AND d.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
+        |     AND d.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
+        |     AND d.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment) AS same
+        |  FROM dim d FULL OUTER JOIN snap s ON d.c_custkey = s.c_custkey)
+        |SELECT dk AS c_custkey, dn AS c_name, dnk AS c_nationkey,
+        |  dab AS c_acctbal, dms AS c_mktsegment, dvf AS valid_from,
+        |  CASE WHEN same THEN NULL ELSE DATE '1998-07-01' END AS valid_to,
+        |  same AS is_current
+        |FROM j WHERE dk IS NOT NULL
+        |UNION ALL
+        |SELECT sk, sn, snk, sab, sms, DATE '1998-07-01', NULL, TRUE
+        |FROM j WHERE sk IS NOT NULL AND NOT coalesce(same, FALSE)
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (s, dir) =>
+      val cust = table(s, dir, "customer")
+      val dim0 = cust
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .withColumn("valid_from", lit(java.sql.Date.valueOf("1995-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val snapshot = cust
+        .filter(col("c_custkey") % 97 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .unionByName(cust.filter(col("c_custkey") % 100 === 7)
+          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      val merged = graft.ops.Scd.merge2(dim0, snapshot, "c_custkey",
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        lit(java.sql.Date.valueOf("1998-07-01")))
+      val out = tmp("scd2")
+      try {
+        merged.write.mode("overwrite").partitionBy("is_current").parquet(out)
+        s.read.parquet(out)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"), col("valid_from"),
+            col("valid_to"), col("is_current").cast("boolean").as("is_current"))
+          .orderBy("c_custkey", "valid_from")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      }
+    },
+
     /** corpus_shuffle: deterministic seeded GLOBAL shuffle — the
       * reproducible training order every run needs (ops/Layout
       * .writeShuffled): rows keyed by md5(seed:doc_id), materialized

@@ -148,4 +148,34 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("zonemap-pruned read equals the plain scan and plans only matching files") {
+    val data = Files.createTempDirectory("zm_data").toString
+    val zm = Files.createTempDirectory("zm_idx").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(5)
+    Layout.writeRangeSorted(df, data, nFiles = 8, keyCol = "k")
+    Layout.writeZonemap(spark, data, "k", zm)
+
+    val pruned = Layout.readPruned(spark, data, zm, "k", lit(4000L), lit(4050L))
+    // content identical to the plain filtered scan
+    val expect = spark.read.parquet(data)
+      .filter($"k" >= 4000 && $"k" <= 4050)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
+    assert(expect.size == 51)
+    // the PLAN holds only the matching files — the pruning happened
+    // before the scan, not inside it (a sampled range boundary may put
+    // the 50-key interval across two files, never more)
+    val planned = pruned.inputFiles.length
+    assert(planned <= 2, s"expected <=2 planned files, got $planned")
+    assert(spark.read.parquet(data).inputFiles.length == 8)
+
+    // an interval past the key domain prunes everything: empty result,
+    // schema intact, nothing planned
+    val none = Layout.readPruned(spark, data, zm, "k", lit(20000L), lit(30000L))
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == spark.read.parquet(data).columns.toSeq)
+  }
 }

@@ -1427,6 +1427,53 @@ class OpsSpec extends SparkSpec {
       == Seq(21L), "relayout must not change dedup answers")
   }
 
+  test("bloom sidecar: probed dedup byte-identical, no false negatives, refreshed by append") {
+    import graft.ops.{DedupIndex, RuntimeFilter}
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "lorem ipsum dolor sit amet consectetur")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (1L, "a wholly new document about training data pipelines"),
+      (2L, "the quick brown fox jumps over the lazy dog") // exact corpus dup
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "a wholly new document about training data pipelines"), // dup of day-1 survivor
+      (21L, "another fresh doc entirely unlike anything else")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_bloom").toString
+    DedupIndex.build(corpus, "doc_id", "text", 3, dir, nFiles = 2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+
+    // the sidecar exists from build and the probed path changes nothing
+    val plain = DedupIndex.dedupBatch(spark, batch1, dir, "doc_id", "text", 3, 0.5)
+    val probed = DedupIndex.dedupBatch(spark, batch1, dir, "doc_id", "text", 3, 0.5,
+      useBloom = true)
+    assert(ids(probed) == ids(plain) && ids(probed) == Seq(1L))
+
+    // no false negatives ever: EVERY fingerprint in fps/ probes true
+    def falseNegatives(): Long = {
+      val bloomRow = spark.read.parquet(s"$dir/bloom")
+      val nBits = bloomRow.select("nbits").head().getInt(0)
+      spark.read.parquet(s"$dir/fps").withColumnRenamed("fp", "__fp")
+        .crossJoin(broadcast(bloomRow.select("bloom")))
+        .filter(!RuntimeFilter.bloomProbe("__fp", nBits))
+        .count()
+    }
+    assert(falseNegatives() == 0L)
+
+    // append refreshes the sidecar from the grown fps: day-2's dup of a
+    // day-1 survivor must probe TRUE (a stale sidecar would still be
+    // caught by the exact join, but then day-2 equality would not be
+    // exercising the refreshed filter at all)
+    val day1 = probed.localCheckpoint(true)
+    DedupIndex.append(day1, "doc_id", "text", 3, dir)
+    assert(falseNegatives() == 0L, "appended fingerprints missing from the refreshed sidecar")
+    assert(ids(DedupIndex.dedupBatch(spark, batch2, dir, "doc_id", "text", 3, 0.5,
+      useBloom = true)) == Seq(21L))
+  }
+
   test("salted operators refuse non-positive bucket counts loudly") {
     import graft.ops.Skew
     val left = Seq(("a", 1L)).toDF("k", "v")
