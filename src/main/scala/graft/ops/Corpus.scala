@@ -31,6 +31,43 @@ object Corpus {
                            pctByStratum: Column): DataFrame =
     hashSample(df, idCol, pctByStratum)
 
+  /** Bounded deterministic per-key sample: the k rows of each key with
+    * the smallest seeded hash [[Layout.shuffleKey]] of their id — a
+    * uniform k-sample per key (every row's hash rank is exchangeable)
+    * that, unlike a reservoir, is a pure function of (seed, ids):
+    * reproducible across engines, re-runs, and partitionings; a new
+    * seed re-deals every key's sample.
+    *
+    * Skew shape: the [[graft.functions.KSmallestAggregator]] buffer is
+    * bounded at k, and the typed groupByKey aggregate merges partials
+    * map-side, so a hot key ships (mappers × k) candidates through the
+    * exchange — never its full row set, which is what the equivalent
+    * row_number window would drag into one task. The per-key rate cap
+    * [[hashSample]] can't give (pct of a hot key is still huge) is
+    * exactly what a per-key BOUND is for: capping any one
+    * user/domain/site's contribution to a training corpus.
+    *
+    * Key and id must be integral (cast to long internally); ties are
+    * impossible under the (hash, id) total order, so the sample is
+    * unique per (seed, k).
+    */
+  def samplePerKey(df: DataFrame, keyCol: String, idCol: String,
+                   seed: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("_1"),
+        Layout.shuffleKey(seed, col(idCol)).as("_2"),
+        col(idCol).cast("long").as("_3"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.HashedId(t._2, t._3))
+      .agg(new graft.functions.KSmallestAggregator(k).toColumn.name("picked"))
+      .toDF(keyCol, "picked")
+      .select(col(keyCol), explode(col("picked")).as("pick"))
+      .select(col(keyCol), col("pick.id").as(idCol),
+        col("pick.h").as("sample_hash"))
+  }
+
   /** Target-composition mixture sampling — the DATA-MIXTURE step of
     * corpus assembly (web 60% / books 30% / code 10%-style recipes):
     * given target weights per group and a global budget fraction, the

@@ -907,6 +907,33 @@ object ExtensionQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    /** sample_per_key — bounded deterministic per-key sampling
+      * (Corpus.samplePerKey): each user's contribution capped at 3
+      * events chosen by smallest seeded hash — the per-source cap a
+      * training corpus needs (hashSample's RATE can't bound a hot
+      * key's absolute contribution). The bounded KSmallestAggregator
+      * merges map-side, so the zipfian hot user ships mappers×k
+      * candidates through the exchange, never its full row set; the
+      * oracle states the same sample as the row_number window the
+      * aggregate replaces. */
+    Q("sample_per_key",
+      """WITH h AS (SELECT user_id, event_id, value,
+        |    ('0x' || substring(md5('sample-0:' || CAST(event_id AS VARCHAR)),1,15))::BIGINT AS hk
+        |  FROM events),
+        |r AS (SELECT user_id, event_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY hk, event_id) AS rn FROM h)
+        |SELECT user_id, event_id, value FROM r WHERE rn <= 3
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val events = table(s, dir, "events")
+      val picked = Corpus.samplePerKey(
+        events.select("user_id", "event_id"), "user_id", "event_id",
+        seed = "sample-0", k = 3)
+      picked.join(events.select("user_id", "event_id", "value"),
+          Seq("user_id", "event_id"))
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id", "event_id")
+    },
+
     /** Top-k corpus vocabulary (ties broken lexicographically);
       * plans as TakeOrderedAndProject — no global sort. */
     Q("text_vocab_topk",

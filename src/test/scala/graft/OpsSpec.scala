@@ -1474,6 +1474,29 @@ class OpsSpec extends SparkSpec {
       useBloom = true)) == Seq(21L))
   }
 
+  test("samplePerKey: bounded per key, equals the window form, partitioning-invariant, seed re-deals") {
+    import graft.ops.{Corpus, Layout}
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong % 7, i.toLong)).toDF("k", "id")
+    def picks(d: org.apache.spark.sql.DataFrame, seed: String) =
+      Corpus.samplePerKey(d, "k", "id", seed, 3)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+    val base = picks(df, "s0")
+    // equals the row_number-window definition
+    val w = Window.partitionBy(col("k"))
+      .orderBy(Layout.shuffleKey("s0", col("id")), col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("k", "id")
+      .as[(Long, Long)].collect().toSet
+    assert(base == windowed)
+    // bounded at k per key, every key present
+    assert(base.groupBy(_._1).forall(_._2.size == 3) && base.size == 21)
+    // partitioning-invariant (the aggregate's merge order must not matter)
+    assert(picks(df.repartition(13), "s0") == base)
+    // a new seed re-deals
+    assert(picks(df, "s1") != base)
+  }
+
   test("salted operators refuse non-positive bucket counts loudly") {
     import graft.ops.Skew
     val left = Seq(("a", 1L)).toDF("k", "v")

@@ -571,4 +571,28 @@ class PropertySpec extends SparkSpec {
     assert(!fallback.queryExecution.optimizedPlan.toString.contains("broadcast"),
       "over the cap no broadcast may be forced (AQE stays free to choose)")
   }
+
+  test("KSmallest partial merges commute and bound: any split/order of partials equals the direct sort-take") {
+    import graft.functions.{HashedId, KSmallestAggregator}
+    val agg = new KSmallestAggregator(5)
+    val rowGen = for {
+      h <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      id <- Gen.chooseNum(0L, 1000L)
+    } yield HashedId(h, id)
+    seeds.foreach { s =>
+      val rows = sample(Gen.listOfN(60, rowGen), s)
+      val direct = rows.sortBy(r => (r.h, r.id)).take(5)
+      // arbitrary partition split + arbitrary merge order must agree
+      val cut1 = sample(Gen.chooseNum(0, rows.length), s + 1)
+      val cut2 = sample(Gen.chooseNum(0, cut1), s + 2)
+      val parts = Seq(rows.take(cut2), rows.slice(cut2, cut1), rows.drop(cut1))
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+      assert(parts.forall(_.length <= 5), "partials must stay bounded at k")
+      val mergedLR = parts.reduce(agg.merge)
+      val mergedRL = parts.reverse.reduce(agg.merge)
+      assert(agg.finish(mergedLR).toSeq == direct)
+      assert(agg.finish(mergedRL).toSeq == direct,
+        "merge order must not change the retained set")
+    }
+  }
 }
