@@ -132,19 +132,23 @@ object Bench {
 
   /** Extract the per-query seconds map out of a bench artifact line
     * (regex, not a JSON lib — the artifact grammar is ours and flat).
+    * Whitespace-tolerant around `:` — a committed artifact that has
+    * been round-tripped through a pretty-printer (json.dump inserts
+    * ": ") must still parse, or the baseline chain silently breaks
+    * for exactly the committed fallback it exists for.
     */
   private[graft] def parseQueryTimes(json: String): Map[String, Double] =
-    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
+    """"queries":\s*\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
       .map { body =>
-        """"([^"]+)":(-?[0-9][0-9.eE+\-]*)""".r.findAllMatchIn(body)
+        """"([^"]+)":\s*(-?[0-9][0-9.eE+\-]*)""".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
 
   private def parseStringField(json: String, field: String): Option[String] =
-    (s""""$field":"([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1))
+    (s""""$field":\\s*"([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1))
 
   private def parseBoolField(json: String, field: String): Option[Boolean] =
-    (s""""$field":(true|false)""").r.findFirstMatchIn(json).map(_.group(1).toBoolean)
+    (s""""$field":\\s*(true|false)""").r.findFirstMatchIn(json).map(_.group(1).toBoolean)
 
   /** A stored artifact is a usable baseline iff it ran the same sf at
     * the same cpu count, in the same execution mode (count vs
@@ -162,7 +166,7 @@ object Bench {
                                      cpus: String,
                                      mode: String = "count"): Boolean =
     parseStringField(json, "sf").contains(sfDir) &&
-      (""""env":\{"cpus":""" + java.util.regex.Pattern.quote(cpus) + "[,}]").r
+      (""""env":\s*\{\s*"cpus":\s*""" + java.util.regex.Pattern.quote(cpus) + "[,}]").r
         .findFirstIn(json).isDefined &&
       parseBoolField(json, "contaminated").contains(false) &&
       parseStringField(json, "mode").getOrElse("count") == mode

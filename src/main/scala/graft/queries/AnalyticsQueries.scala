@@ -452,6 +452,31 @@ object AnalyticsQueries {
         .orderBy(col("season").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    /** agg_grouping_sets — DISJOINT grouping sets in one pass
+      * ((season), (priority)): the multi-level-aggregation case
+      * rollup/cube can't express (neither set nests in the other).
+      * One scan expands each row once per set — at 100 TB that is one
+      * pass instead of two full aggregations unioned. Both grouping
+      * columns are non-null by construction, so a NULL unambiguously
+      * marks "not in this set"; NULLS FIRST ordering aligned across
+      * engines as in agg_rollup. */
+    Q("agg_grouping_sets",
+      s"""SELECT CASE WHEN extract(month FROM o_orderdate) IN (12,1,2) THEN 'Winter'
+         |       WHEN extract(month FROM o_orderdate) IN (3,4,5) THEN 'Spring'
+         |       WHEN extract(month FROM o_orderdate) IN (6,7,8) THEN 'Summer'
+         |       ELSE 'Autumn' END AS season,
+         |  o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice", "sum_price")}
+         |FROM orders GROUP BY GROUPING SETS ((1), (2))
+         |ORDER BY season NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      table(s, dir, "orders")
+        .select(Enrich.season(col("o_orderdate")).as("season"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .groupingSets(Seq(Seq(col("season")), Seq(col("o_orderpriority"))),
+          col("season"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("season").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
     /** join_range — pairs of same-user events within 10 minutes, via
       * the bucketed range join (graft.ops.RangeJoin): equi-join on
       * (user, time bucket) + exact residual filter, never a

@@ -147,6 +147,24 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(!Bench.baselineMatches(art(None), "/x", "32", "full"))
   }
 
+  test("a pretty-printed committed artifact still parses and matches") {
+    // the r14 full-plan run found NO baseline although
+    // artifacts/bench_full_r13.json matched on every axis: the file
+    // had been round-tripped through json.dump (": " after colons) and
+    // the compact-grammar regexes silently rejected it — breaking the
+    // chain for exactly the committed fallback it exists for
+    val pretty =
+      """{"metric": "total", "value": 1.0, "unit": "sec", "mode": "full",
+        | "contaminated": false,
+        | "queries": {"a": 0.25, "b": 1.2E-4},
+        | "errors": [], "sf": "/x",
+        | "env": {"cpus": 32, "gc_ms": 1}}""".stripMargin
+    assert(Bench.baselineMatches(pretty, "/x", "32", "full"))
+    assert(Bench.parseQueryTimes(pretty) == Map("a" -> 0.25, "b" -> 1.2e-4))
+    assert(!Bench.baselineMatches(pretty, "/x", "32", "count"))
+    assert(!Bench.baselineMatches(pretty, "/x", "4", "full"))
+  }
+
   test("committed artifacts resolve newest-round-first") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_art")
     def put(name: String): Unit =

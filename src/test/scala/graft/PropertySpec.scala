@@ -572,6 +572,82 @@ class PropertySpec extends SparkSpec {
       "over the cap no broadcast may be forced (AQE stays free to choose)")
   }
 
+  test("SCD2 invariants hold over random snapshot chains: one open version, disjoint contiguous intervals, immutable history") {
+    import graft.ops.Scd
+    val attrs = Seq("a", "b")
+    val dates = Seq("2020-01-01", "2020-06-01", "2021-02-01", "2021-09-15")
+      .map(java.sql.Date.valueOf)
+    val snapGen = Gen.listOf(for {
+      k <- Gen.chooseNum(0L, 14L)
+      a <- Gen.chooseNum(0, 3)
+      b <- Gen.oneOf("x", "y", null.asInstanceOf[String])
+    } yield (k, a, b)).map(_.distinctBy(_._1))
+    seeds.foreach { s =>
+      // snapshot 0 seeds the dim; 1..3 merge in date order
+      val snaps = (0 to 3).map(i => sample(snapGen, s * 10 + i))
+      var dim = snaps.head.toDF("k", "a", "b")
+        .withColumn("valid_from", lit(dates.head))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+        .localCheckpoint(true)
+      snaps.tail.zip(dates.tail).foreach { case (snap, d) =>
+        val closedBefore = dim.filter(!$"is_current")
+          .collect().map(_.toSeq).toSet
+        dim = Scd.merge2(dim, snap.toDF("k", "a", "b"), "k", attrs, lit(d))
+          .localCheckpoint(true)
+        // closed rows are immutable: every previously-closed version
+        // survives the merge untouched
+        val closedAfter = dim.filter(!$"is_current")
+          .collect().map(_.toSeq).toSet
+        assert(closedBefore.subsetOf(closedAfter))
+      }
+      val rows = dim
+        .select("k", "valid_from", "valid_to", "is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString,
+          Option(r.getDate(2)).map(_.toString), r.getBoolean(3)))
+      rows.groupBy(_._1).foreach { case (k, vs) =>
+        // at most one open version per key, and it is the current one
+        val open = vs.filter(_._3.isEmpty)
+        assert(open.length <= 1, s"key $k has ${open.length} open versions")
+        assert(open.forall(_._4) && vs.filterNot(_._3.isEmpty).forall(!_._4))
+        // versions never overlap: sorted by valid_from, each closed
+        // version ends at or before the next begins (a gap is legal —
+        // the key was deleted, then re-inserted later; ISO date strings
+        // order lexicographically)
+        val sortedVs = vs.sortBy(_._2)
+        sortedVs.sliding(2).foreach {
+          case Array(prev, next) =>
+            assert(prev._3.exists(_ <= next._2),
+              s"key $k: version [${prev._2},${prev._3}) overlaps ${next._2}")
+          case _ =>
+        }
+        assert(sortedVs.last._3.isEmpty || !sortedVs.last._4)
+      }
+    }
+  }
+
+  test("zonemap-pruned reads ≡ the plain filtered scan for random intervals") {
+    import graft.ops.Layout
+    val data = java.nio.file.Files.createTempDirectory("zm_prop").toString
+    val zm = java.nio.file.Files.createTempDirectory("zm_prop_idx").toString
+    // skewed key space (clusters + gaps) so interval endpoints land
+    // inside, between, and beyond file ranges
+    val keys = (1 to 400).map(i => (i * i % 5000).toLong).distinct
+    Layout.writeRangeSorted(keys.toDF("k").repartition(3), data, 6, "k")
+    Layout.writeZonemap(spark, data, "k", zm)
+    val boundGen = Gen.chooseNum(-100L, 5200L)
+    seeds.foreach { s =>
+      val x = sample(boundGen, s)
+      val y = sample(boundGen, s + 99)
+      val (lo, hi) = (math.min(x, y), math.max(x, y))
+      val pruned = Layout.readPruned(spark, data, zm, "k", lit(lo), lit(hi))
+        .select("k").as[Long].collect().sorted.toSeq
+      val plain = keys.filter(k => k >= lo && k <= hi).sorted
+      assert(pruned == plain, s"[$lo,$hi]: pruned read diverged")
+    }
+  }
+
   test("KSmallest partial merges commute and bound: any split/order of partials equals the direct sort-take") {
     import graft.functions.{HashedId, KSmallestAggregator}
     val agg = new KSmallestAggregator(5)
