@@ -41,6 +41,28 @@ object Sinks {
   def replace(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Dynamic partition overwrite — the idempotent daily-rerun write.
+    * The reference's replace strategy drops and rewrites the WHOLE
+    * table (reference: src/load.py:345-369); at 100 TB a rerun of one
+    * day must replace exactly the partitions present in the incoming
+    * batch and leave every other partition's files untouched. The
+    * `partitionOverwriteMode=dynamic` WRITE OPTION scopes the behavior
+    * to this writer (no session-conf mutation leaking into concurrent
+    * static-overwrite writers); Spark stages the new files and swaps
+    * only the touched partition directories at commit, so a failed job
+    * leaves the old partitions readable.
+    */
+  def overwriteDynamic(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "dynamic overwrite without partition columns would truncate the table; " +
+        "use replace() when full-table overwrite is intended")
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Schema-evolving append — the add-a-column path a long-lived table
     * needs (the reference evolves its schema by DDL,
     * src/load.py:80-263; a parquet table evolves by writing files with
@@ -591,32 +613,135 @@ object Sinks {
       // target is only touched by the post-write metadata renames
       val merged = upsert(existing, updates, keys, updatePriority)
       // stage the ENTIRE merge first (crash here: target untouched,
-      // stage discarded next run) ...
+      // stage discarded next run), then commit via the txn marker
       val stage = new org.apache.hadoop.fs.Path(root, UpsertStageName)
       fs.delete(stage, true)
       partitioned(merged).write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(stage.toString)
-      val staged = fs.listStatus(stage)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .map(_.getPath.getName).sorted
-      // ... then COMMIT by creating the txn marker (write-then-rename,
-      // so a half-written marker is never read as one): from this
-      // instant the merge is durable — any crash rolls forward
-      val marker = new org.apache.hadoop.fs.Path(root, UpsertTxnName)
-      val markerTmp = new org.apache.hadoop.fs.Path(root, UpsertTxnName + ".tmp")
-      val out = fs.create(markerTmp, true)
-      try out.write(staged.mkString("\n").getBytes("UTF-8")) finally out.close()
-      require(fs.rename(markerTmp, marker),
-        s"upsertPartitioned: txn marker commit $markerTmp -> $marker failed")
-      // retainTrash: the superseded partition contents stay in their
-      // hidden trash siblings until the next upsert's repair pass, so
-      // a Manifest reader pinned to the pre-merge snapshot survives
-      // the whole swap (snapshot isolation with one-version retention)
-      staged.foreach(swapStagedPartition(fs, root, stage, _, retainTrash = true))
-      fs.delete(stage, true)
-      fs.delete(marker, false)
-      Manifest.commit(spark, path)
+      commitStagedPartitions(spark, fs, root, stage, path)
     }
+  }
+
+  /** The commit half of the staged-partition protocol, shared by
+    * [[upsertPartitioned]] and [[deleteKeysPartitioned]]: list the
+    * fully-written staged partitions, create the txn marker
+    * (write-then-rename, so a half-written marker is never read as
+    * one — from that instant the change is durable and any crash rolls
+    * forward via [[repairPartitionedUpsert]]), swap each staged
+    * partition into place retaining the superseded contents in their
+    * hidden trash siblings (so a Manifest reader pinned to the
+    * previous snapshot survives the whole swap — one-version
+    * retention, swept by the next repair pass), then clean up and
+    * commit a fresh manifest version.
+    */
+  private def commitStagedPartitions(spark: org.apache.spark.sql.SparkSession,
+                                     fs: org.apache.hadoop.fs.FileSystem,
+                                     root: org.apache.hadoop.fs.Path,
+                                     stage: org.apache.hadoop.fs.Path,
+                                     path: String): Unit = {
+    val staged = fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted
+    val marker = new org.apache.hadoop.fs.Path(root, UpsertTxnName)
+    val markerTmp = new org.apache.hadoop.fs.Path(root, UpsertTxnName + ".tmp")
+    val out = fs.create(markerTmp, true)
+    try out.write(staged.mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(markerTmp, marker),
+      s"upsertPartitioned: txn marker commit $markerTmp -> $marker failed")
+    staged.foreach(swapStagedPartition(fs, root, stage, _, retainTrash = true))
+    fs.delete(stage, true)
+    fs.delete(marker, false)
+    Manifest.commit(spark, path)
+  }
+
+  /** Targeted key purge — the right-to-be-forgotten maintenance shape:
+    * delete every row whose `keys` match a (small) doomed-key list
+    * from a `partitionCol`-partitioned table, rewriting ONLY the
+    * partitions that actually hold matching rows. Unlike
+    * [[upsertPartitioned]] the keys need not be unique and need not
+    * determine the partition — a user's events span years of date
+    * partitions, so the touched-partition set comes from a PROBE, not
+    * from the batch:
+    *
+    *  1. probe: a column-pruned scan of (keys, partitionCol) semi-
+    *     joined to the doomed list (broadcast while its measured count
+    *     stays bounded — [[graft.ops.Dedup.boundedBroadcast]]) finds
+    *     the partitions holding doomed rows; at 100 TB this reads two
+    *     thin columns of the table, never the payload;
+    *  2. rewrite: ONLY those partitions are read in full, anti-joined
+    *     against the doomed keys, and staged — a purge of one user
+    *     from a years-deep table rewrites the handful of directories
+    *     that user appears in;
+    *  3. a partition whose EVERY row died is staged as an explicit
+    *     0-row parquet directory, so the uniform marker/swap protocol
+    *     still replaces (empties) it — without this the staged write
+    *     would simply omit the directory and the doomed rows would
+    *     silently survive;
+    *  4. commit is the same all-or-nothing txn-marker + rename-swap
+    *     as the upsert — a crash before the marker leaves the table
+    *     byte-identical, after it rolls forward; pinned snapshot
+    *     readers resolve superseded files through the retained trash
+    *     siblings until the next repair sweep.
+    *
+    * Same single-writer assumption as [[upsertPartitioned]] (shared
+    * stage/marker names — the two ops serialize per table).
+    */
+  def deleteKeysPartitioned(spark: org.apache.spark.sql.SparkSession,
+                            doomed: DataFrame, path: String,
+                            keys: Seq[String], partitionCol: String): Unit = {
+    require(keys.nonEmpty, "deleteKeysPartitioned: at least one key column")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"deleteKeysPartitioned: target $path does not exist")
+    repairPartitionedUpsert(spark, path)
+    graft.ops.Compaction.repairPartitioned(spark, path)
+    // distinct + bounded-broadcast: the doomed list is small by
+    // contract (a deletion request), but above the measured bound the
+    // joins degrade to AQE-planned shuffles instead of an OOM
+    val doomedKeys = graft.ops.Dedup.boundedBroadcast(
+      doomed.select(keys.map(col): _*).distinct())
+    // the probe pairs each touched partition VALUE (for the pruned
+    // re-read) with its directory NAME taken from the scan's own file
+    // paths — never re-encoded driver-side, so Hive escaping and
+    // type-formatting rules can't drift from what the writer produced
+    val probe = spark.read.parquet(path)
+      .select((keys :+ partitionCol).map(col) :+
+        regexp_extract(input_file_name(), "/([^/]+=[^/]*)/[^/]*$", 1)
+          .as("__pn"): _*)
+      .join(doomedKeys, keys, "left_semi")
+      .select(col(partitionCol).as("__pv"), col("__pn"))
+      .distinct().collect()
+    if (probe.isEmpty) return // nothing matches — table untouched
+    val touchedVals = probe.map(_.get(0)).toIndexedSeq
+    require(!touchedVals.contains(null),
+      s"deleteKeysPartitioned: doomed rows live in the NULL " +
+        s"'$partitionCol' partition, which cannot be pruned-read " +
+        "consistently — rewrite it explicitly instead")
+    val touchedNames = probe.map(_.getString(1)).distinct.sorted
+    require(touchedNames.forall(_.nonEmpty),
+      s"deleteKeysPartitioned: $path is not partitioned by " +
+        s"'$partitionCol' directories — use a full rewrite instead")
+    val remaining = spark.read.parquet(path)
+      .filter(col(partitionCol).isInCollection(touchedVals))
+      .join(doomedKeys, keys, "left_anti")
+    val stage = new org.apache.hadoop.fs.Path(root, UpsertStageName)
+    fs.delete(stage, true)
+    remaining.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(stage.toString)
+    // fully-purged partitions produced no staged directory — stage an
+    // explicit 0-row file (data schema only, as partitioned files
+    // omit the partition column) so the swap empties them too
+    val stagedNames = fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName).toSet
+    touchedNames.filterNot(stagedNames).foreach { name =>
+      remaining.drop(partitionCol).limit(0).coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new org.apache.hadoop.fs.Path(stage, name).toString)
+    }
+    commitStagedPartitions(spark, fs, root, stage, path)
   }
 
   private val UpsertStageName = ".graft-upsert-stage"

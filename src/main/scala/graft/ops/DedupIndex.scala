@@ -201,30 +201,44 @@ object DedupIndex {
         col("n_grams").as("nr"))
     val b1 = Dedup.exact(batch, idCol, textCol)
       .withColumn("__fp", TextOps.fingerprint(col(textCol)))
-    // The membership anti join shuffles the batch winners AND the
-    // corpus fingerprint set on fp. With the persisted `bloom/`
-    // sidecar, winners whose fp the filter rejects are DEFINITELY new
-    // (a Bloom filter has no false negatives) and bypass the join
-    // entirely: for a mostly-novel daily batch the anti join's probe
-    // side shrinks to true duplicates plus ~0.5% false positives, and
-    // AQE sees the tiny probe side at runtime. Byte-identical either
-    // way — every filter-positive is still verified by the exact anti
-    // join.
+    // The membership anti join's EXPENSIVE side is the corpus: its
+    // fingerprint set is corpus-sized (batch-sized left side, LeftAnti
+    // builds right, so the corpus would shuffle — or worse, broadcast —
+    // in full). Two Bloom filters shrink both exchanges, output
+    // byte-identical either way:
+    //   - a query-time filter over the BATCH winners' fingerprints
+    //     (bounded by the day's batch) prunes the corpus scan to rows
+    //     that might match a batch fp — the ~|batch| survivors are
+    //     broadcast-joinable no matter how many billions of
+    //     fingerprints the standing corpus holds. A corpus row equal
+    //     to a batch fp always probes positive (no false negatives),
+    //     so no anti-join match is ever lost;
+    //   - the persisted `bloom/` sidecar routes definitely-new winners
+    //     around the join entirely, so the probe side carries only
+    //     true duplicates plus ~0.5% false positives.
     val b2 =
       if (useBloom) {
         val bloomRow = spark.read.parquet(s"$indexPath/bloom")
         val nBits = bloomRow.select("nbits").head().getInt(0)
-        // b1 feeds both branches of the union below — materialize the
-        // (batch-sized) winner set once rather than re-running the
-        // exact-dedup aggregate per branch. Checkpoint BEFORE the
-        // bloom crossJoin: checkpointing after it would materialize a
-        // copy of the broadcast bit map into every row
+        // b1 feeds the corpus-side filter build AND both branches of
+        // the union below — materialize the (batch-sized) winner set
+        // once rather than re-running the exact-dedup aggregate three
+        // times. Checkpoint BEFORE the bloom crossJoin: checkpointing
+        // after it would materialize a copy of the broadcast bit map
+        // into every row
         val winners = b1.localCheckpoint(true)
+        // count() over the checkpointed winners is one cheap job; the
+        // batch-keyed filter is sized like the sidecar (16 bits/key,
+        // same 16 MB cap — past it the pruning degrades, never the
+        // answer)
+        val prunedCorpus = RuntimeFilter.bloomPruned(
+          corpusFps, "__fp", winners.select("__fp"), "__fp",
+          nBits = bloomSizeBits(winners.count()))
         val mightMatch = RuntimeFilter.bloomProbe("__fp", nBits)
         def probed = winners.crossJoin(broadcast(bloomRow.select("bloom")))
         val definitelyNew = probed.filter(!mightMatch).drop("bloom")
         val verified = probed.filter(mightMatch).drop("bloom")
-          .join(corpusFps, Seq("__fp"), "left_anti")
+          .join(prunedCorpus, Seq("__fp"), "left_anti")
         definitelyNew.unionByName(verified).drop("__fp")
       } else {
         b1.join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")

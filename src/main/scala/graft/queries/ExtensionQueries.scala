@@ -2083,19 +2083,19 @@ object ExtensionQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
 
-    /** dedup_incremental_bloom — the indexed daily dedup probing the
-      * PERSISTED Bloom sidecar (DedupIndex `bloom/`, rebuilt from the
-      * durable fps table after every mutation): batch winners whose
-      * fingerprint the filter rejects are definitely new and route
-      * AROUND the membership anti join; only true duplicates plus
-      * ~0.5% false positives reach it, which AQE sees as a tiny probe
-      * side at runtime. No false negatives and every positive is
-      * verified exactly, so the output — and the oracle — is
-      * byte-identical to dedup_incremental_indexed. At 100 TB this is
-      * the difference between shuffling the whole day's batch into
-      * the fingerprint join and shuffling only its duplicate sliver;
-      * the 16 MB sidecar cap and its graceful-degradation contract
-      * are documented at DedupIndex.bloomSizeBits. */
+    /** dedup_incremental_bloom — the indexed daily dedup with BOTH
+      * Bloom filters in the membership anti join: a query-time filter
+      * keyed by the batch winners' fingerprints prunes the
+      * CORPUS-SIZED fps scan to ~|batch| might-match rows (the
+      * at-scale win — billions of standing fingerprints stop
+      * shuffling; survivors broadcast), and the PERSISTED sidecar
+      * (DedupIndex `bloom/`, rebuilt from the durable fps table after
+      * every mutation) routes definitely-new winners around the join
+      * entirely. No false negatives on either side and every positive
+      * is verified exactly, so the output — and the oracle — is
+      * byte-identical to dedup_incremental_indexed. The 16 MB cap and
+      * graceful-degradation contract are at DedupIndex.bloomSizeBits;
+      * the measured gate-scale overhead vs crossover is in SCALING.md. */
     Q("dedup_incremental_bloom",
       s"""WITH $gramsCte,
          |bg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 = 0),

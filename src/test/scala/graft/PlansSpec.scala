@@ -495,6 +495,32 @@ class PlansSpec extends SparkSpec {
       "the average must join back on the part key equi-join")
   }
 
+  test("sample_per_key: bounded aggregate combines map-side; the picked set broadcasts into the payload join") {
+    val p = plan("sample_per_key")
+    // the load-bearing skew fact: a partial KSmallest runs BEFORE the
+    // exchange, so a hot key ships mappers×k candidates, never its row
+    // set (a single-stage plan here would silently restore the window
+    // shape's one-task pileup)
+    assert(p.contains("partial_ksmallestaggregator"),
+      "expected a map-side partial KSmallest aggregate")
+    // keys×k picked rows are tiny relative to the fact: the payload
+    // join must broadcast them, not sort-merge the events table
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the picked set must broadcast into the payload join")
+  }
+
+  test("join_temporal_dim: key equi-join with the validity interval as residual, dim broadcast") {
+    val p = plan("join_temporal_dim")
+    // the interval must be a residual on a key equi-join — a
+    // nested-loop over facts×versions would be the range-join blowup
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval predicate must ride a key equi-join, not a nested loop")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(p.contains("valid_from") && p.contains("valid_to"),
+      "the validity interval must appear as a join residual")
+  }
+
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString

@@ -195,6 +195,121 @@ class SinksSpec extends SparkSpec {
     assert(temps() == Map("London" -> -1.0, "Tokyo" -> 30.0))
   }
 
+  test("dynamic overwrite replaces exactly the batch's partitions") {
+    val dir = Files.createTempDirectory("graft_dynover").toString + "/t"
+    val v1 = Seq(
+      ("London", 15.5, "2023-11-01"),
+      ("Tokyo", 22.3, "2023-11-02"),
+      ("Paris", 18.0, "2023-11-03")
+    ).toDF("city", "temp", "date")
+    Sinks.overwriteDynamic(v1, dir, Seq("date"))
+    def partFiles(date: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouched02 = partFiles("2023-11-02")
+    val untouched03 = partFiles("2023-11-03")
+    // the rerun carries ONLY 2023-11-01: a static overwrite would
+    // truncate the table to this batch; dynamic must swap one dir
+    val rerun = Seq(("London", -9.0, "2023-11-01")).toDF("city", "temp", "date")
+    Sinks.overwriteDynamic(rerun, dir, Seq("date"))
+    assert(partFiles("2023-11-02") == untouched02, "untouched partition rewritten")
+    assert(partFiles("2023-11-03") == untouched03, "untouched partition rewritten")
+    val back = spark.read.parquet(dir)
+      .select("city", "temp").as[(String, Double)].collect().toMap
+    assert(back == Map("London" -> -9.0, "Tokyo" -> 22.3, "Paris" -> 18.0))
+    // idempotent rerun: same batch again changes nothing
+    Sinks.overwriteDynamic(rerun, dir, Seq("date"))
+    assert(spark.read.parquet(dir).count() == 3)
+    // no partition columns would silently truncate the whole table
+    val e = intercept[IllegalArgumentException](
+      Sinks.overwriteDynamic(rerun, dir, Nil))
+    assert(e.getMessage.contains("truncate"))
+  }
+
+  private val evKeys = Seq("user")
+
+  private def purgeTable(dir: String): Unit = Seq(
+    ("u1", 1.0, "2023-11-01"),
+    ("u2", 2.0, "2023-11-01"),
+    ("u1", 3.0, "2023-11-02"), // u1 spans two partitions
+    ("u3", 4.0, "2023-11-03")  // u3 is partition 03's ONLY row
+  ).toDF("user", "value", "date")
+    .write.partitionBy("date").parquet(dir)
+
+  test("targeted key purge rewrites only partitions holding doomed rows") {
+    val dir = Files.createTempDirectory("graft_purge").toString + "/t"
+    purgeTable(dir)
+    def partFiles(date: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouched03 = partFiles("2023-11-03")
+    val doomed = Seq("u1").toDF("user")
+    Sinks.deleteKeysPartitioned(spark, doomed, dir, evKeys, "date")
+    // u1's rows are gone from BOTH its partitions; u3's partition —
+    // which holds no doomed rows — keeps its exact files
+    val back = spark.read.parquet(dir)
+      .select("user", "value").as[(String, Double)].collect().toSet
+    assert(back == Set(("u2", 2.0), ("u3", 4.0)))
+    assert(partFiles("2023-11-03") == untouched03,
+      "partition without doomed rows was rewritten")
+    // purging an absent key is a no-op that leaves every file alone
+    val before01 = partFiles("2023-11-01")
+    Sinks.deleteKeysPartitioned(spark, Seq("zz").toDF("user"), dir, evKeys, "date")
+    assert(partFiles("2023-11-01") == before01 &&
+      partFiles("2023-11-03") == untouched03,
+      "no-match purge must not touch the table")
+  }
+
+  test("purge empties a partition whose every row is doomed") {
+    val dir = Files.createTempDirectory("graft_purgeall").toString + "/t"
+    purgeTable(dir)
+    // u3 is date=2023-11-03's only row: the staged anti join produces
+    // NO directory for it — the explicit 0-row stage must empty the
+    // partition, or the doomed row silently survives
+    Sinks.deleteKeysPartitioned(spark, Seq("u3").toDF("user"), dir, evKeys, "date")
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"user" === "u3").count() == 0,
+      "doomed rows survived in a fully-purged partition")
+    assert(back.count() == 3)
+    // the emptied partition reads back as zero rows, not a read error
+    assert(back.filter($"date" === "2023-11-03").count() == 0)
+  }
+
+  test("purge crash windows: before the marker nothing happened, after it rolls forward") {
+    val dir = Files.createTempDirectory("graft_purgecrash").toString + "/t"
+    purgeTable(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    def users(): Seq[String] = spark.read.parquet(dir)
+      .select("user").as[String].collect().sorted.toSeq
+    // hand-build the stage a purge of u1 would write (01 keeps u2,
+    // 02 is fully emptied — staged as a 0-row dir)
+    Seq(("u2", 2.0, "2023-11-01")).toDF("user", "value", "date")
+      .write.partitionBy("date").parquet(s"$dir/.graft-upsert-stage")
+    Seq.empty[(String, Double)].toDF("user", "value").coalesce(1)
+      .write.parquet(s"$dir/.graft-upsert-stage/date=2023-11-02")
+    // crash BEFORE the marker: repair discards the stage, table intact
+    Sinks.repairPartitionedUpsert(spark, dir)
+    assert(!fs.exists(p(".graft-upsert-stage")))
+    assert(users() == Seq("u1", "u1", "u2", "u3"))
+    // crash AFTER the marker: repair rolls the purge forward
+    Seq(("u2", 2.0, "2023-11-01")).toDF("user", "value", "date")
+      .write.partitionBy("date").parquet(s"$dir/.graft-upsert-stage")
+    Seq.empty[(String, Double)].toDF("user", "value").coalesce(1)
+      .write.parquet(s"$dir/.graft-upsert-stage/date=2023-11-02")
+    val out = fs.create(p(".graft-upsert-txn"), true)
+    out.write("date=2023-11-01\ndate=2023-11-02".getBytes("UTF-8")); out.close()
+    Sinks.repairPartitionedUpsert(spark, dir)
+    assert(users() == Seq("u2", "u3"),
+      "roll-forward must land the committed purge in every partition")
+    assert(!fs.exists(p(".graft-upsert-txn")) && !fs.exists(p(".graft-upsert-stage")))
+  }
+
   test("partitioned upsert restores a compact-stranded partition before merging") {
     val dir = Files.createTempDirectory("graft_compactstrand").toString + "/t"
     val base = Seq(
