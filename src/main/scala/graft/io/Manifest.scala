@@ -272,7 +272,8 @@ object Manifest {
       lazy val trashDirs = (
         (if (relDir.isEmpty) Seq.empty[Path]
          else Seq(new Path(leafParent, s".$leafName.graft-upsert-old"),
-           new Path(leafParent, s".$leafName.graft-compact-old"))) :+
+           new Path(leafParent, s".$leafName.graft-compact-old"),
+           new Path(leafParent, s".$leafName.graft-retention-old"))) :+
           (if (relDir.isEmpty) rootTrash else new Path(rootTrash, relDir))
         ).map(d => d -> listing(d))
       group.foreach { case (_, name, len, mtime) =>
@@ -427,7 +428,8 @@ object Manifest {
       }
       if (fs.listStatus(trash).isEmpty) fs.delete(trash, true)
     }
-    Seq(".graft-upsert-old", ".graft-compact-old").foreach { suffix =>
+    Seq(".graft-upsert-old", ".graft-compact-old",
+        ".graft-retention-old").foreach { suffix =>
       findSuffixed(root, suffix).foreach { t =>
         val logicalLeaf = t.getName.stripPrefix(".").stripSuffix(suffix)
         val rel = fs.makeQualified(root).toUri

@@ -552,6 +552,10 @@ object Sinks {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) {
+      // a committed-but-unfinished retention drop must complete BEFORE
+      // a new batch lands: otherwise the merge could write fresh rows
+      // into a doomed partition that the roll-forward then drops
+      repairRetention(spark, path)
       repairPartitionedUpsert(spark, path)
       // the upsert repair covers only this protocol's own txn state;
       // a table ALSO maintained by compactPartitioned can be stranded
@@ -694,6 +698,7 @@ object Sinks {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root),
       s"deleteKeysPartitioned: target $path does not exist")
+    repairRetention(spark, path)
     repairPartitionedUpsert(spark, path)
     graft.ops.Compaction.repairPartitioned(spark, path)
     // distinct + bounded-broadcast: the doomed list is small by
@@ -747,6 +752,130 @@ object Sinks {
   private val UpsertStageName = ".graft-upsert-stage"
   private val UpsertTxnName = ".graft-upsert-txn"
   private val UpsertTrashSuffix = ".graft-upsert-old"
+  private val RetentionTxnName = ".graft-retention-txn"
+  private val RetentionTrashSuffix = ".graft-retention-old"
+
+  /** Partition-level retention — the TTL lifecycle a years-deep table
+    * needs: DROP every partition whose value fails `keep`, touching
+    * nothing else (file-identity preserved for retained partitions; no
+    * data is read at all — the decision rides partition VALUES parsed
+    * from the directory layout, bounded by partition count, never
+    * data scale).
+    *
+    * Dropping is the one partition mutation the repair disciplines
+    * must not undo: both the upsert and compaction recoveries RESTORE
+    * an orphaned trash sibling whose partition is absent (their crash
+    * windows strand exactly that state), so a retention drop through
+    * their trash names would resurrect on the next repair. Retention
+    * therefore records intent first: a txn marker naming every doomed
+    * partition is committed (write-then-rename), THEN each directory
+    * is renamed to a retention-specific trash sibling, a fresh
+    * manifest version is committed, and the marker is removed. A
+    * crash before the marker leaves the table byte-identical; after
+    * it, [[repairRetention]] (run by every entry point here) rolls
+    * the drop forward. The trash siblings are RETAINED until the next
+    * retention pass (or explicit repair) sweeps them, and
+    * [[Manifest.readVersion]] resolves superseded files through them
+    * — a reader pinned to the pre-drop snapshot keeps working through
+    * and after the drop, same one-version contract as the upsert
+    * swap.
+    *
+    * Returns the dropped partition directory names (empty when
+    * everything passes `keep`).
+    */
+  def dropPartitions(spark: org.apache.spark.sql.SparkSession,
+                     path: String, partitionCol: String,
+                     keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"dropPartitions: target $path does not exist")
+    repairRetention(spark, path)
+    repairPartitionedUpsert(spark, path)
+    graft.ops.Compaction.repairPartitioned(spark, path)
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+    if (parts.isEmpty) return Nil
+    // type the parsed partition values exactly as a read would, so the
+    // keep predicate compares dates as dates, not strings
+    val pType = spark.read.parquet(path).schema(partitionCol).dataType
+    import spark.implicits._
+    val vals = parts.toSeq.map { n =>
+      val raw = n.split("=", 2)(1)
+      (n, java.net.URLDecoder.decode(raw, "UTF-8"))
+    }.toDF("__name", "__raw")
+      .withColumn("__v",
+        when(col("__raw") === "__HIVE_DEFAULT_PARTITION__", lit(null))
+          .otherwise(col("__raw")).cast(pType))
+    val doomed = vals.filter(!coalesce(keep(col("__v")), lit(false)))
+      .select("__name").as[String].collect().sorted.toSeq
+    if (doomed.isEmpty) return Nil
+    require(doomed.size < parts.length,
+      s"dropPartitions: keep predicate drops EVERY partition of $path — " +
+        "refusing a full-table truncation; use replace()/delete explicitly")
+    // commit point: the marker names every doomed partition
+    val marker = new org.apache.hadoop.fs.Path(root, RetentionTxnName)
+    val markerTmp = new org.apache.hadoop.fs.Path(root, RetentionTxnName + ".tmp")
+    val out = fs.create(markerTmp, true)
+    try out.write(doomed.mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(markerTmp, marker),
+      s"dropPartitions: txn marker commit $markerTmp -> $marker failed")
+    driveRetention(spark, fs, root, doomed, path)
+    doomed
+  }
+
+  /** The roll-forward half of [[dropPartitions]]: rename each doomed
+    * partition to its retention trash sibling (idempotent — a crash
+    * re-drives from any point), commit the post-drop manifest version,
+    * and remove the marker. Trash is retained for pinned readers;
+    * the NEXT retention entry sweeps it.
+    */
+  private def driveRetention(spark: org.apache.spark.sql.SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             doomed: Seq[String], path: String): Unit = {
+    doomed.foreach { name =>
+      val part = new org.apache.hadoop.fs.Path(root, name)
+      val trash = new org.apache.hadoop.fs.Path(root, s".$name$RetentionTrashSuffix")
+      if (fs.exists(part)) {
+        if (fs.exists(trash)) fs.delete(trash, true)
+        require(fs.rename(part, trash),
+          s"dropPartitions: rename $part -> $trash failed")
+      }
+    }
+    Manifest.commit(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, RetentionTxnName), false)
+  }
+
+  /** Crash recovery for [[dropPartitions]] — run by retention itself
+    * and safe to call from any maintenance entry point. Marker
+    * PRESENT: the drop committed — roll it forward (finish the
+    * renames, commit the manifest, drop the marker), retaining trash.
+    * Marker ABSENT: any retention trash belongs to a COMPLETED drop
+    * (trash is created only after the marker, and the marker outlives
+    * the renames) — sweep it. The upsert/compaction repairs never
+    * touch these names (different suffix), so a dropped partition can
+    * never be resurrected by their orphan-restore passes.
+    */
+  def repairRetention(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val marker = new org.apache.hadoop.fs.Path(root, RetentionTxnName)
+    fs.delete(new org.apache.hadoop.fs.Path(root, RetentionTxnName + ".tmp"), false)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList finally in.close()
+      driveRetention(spark, fs, root, names, path)
+    } else {
+      fs.listStatus(root).filter(s => s.isDirectory &&
+          s.getPath.getName.endsWith(RetentionTrashSuffix))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
 
   /** Swap one staged partition into place: old → hidden trash sibling,
     * staged → partition. Idempotent given a complete stage: every step

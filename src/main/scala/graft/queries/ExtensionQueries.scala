@@ -943,6 +943,50 @@ object ExtensionQueries {
       Corpus.vocabTopK(table(s, dir, "documents"), "text", 50)
     },
 
+    /** text_search_inverted — conjunctive token search served from the
+      * PERSISTED positional inverted index (ops/TextIndex: postings
+      * range-sorted by token, so the probe's IN predicate prunes files
+      * and row groups; the scan is posting-list-sized, never
+      * corpus-sized). The oracle states the corpus-scan semantics
+      * (membership in the tokenized text) — the index must reproduce
+      * it exactly. Build is memoized per corpus; probes thereafter
+      * never touch corpus text. */
+    Q("text_search_inverted",
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+        |  FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE list_contains(l, 'data') AND list_contains(l, 'table')
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idx = graft.ops.TextIndex.ensureBuilt(s, dir + "#textidx",
+        table(s, dir, "documents"), "doc_id", "text")
+      graft.ops.TextIndex.searchAll(s, idx, Seq("data", "table"))
+        .orderBy("doc_id")
+    },
+
+    /** text_search_phrase — exact consecutive-token phrase search from
+      * the same positional index: each phrase offset's postings anchor
+      * to the would-be start position and equi-join — a doc matches
+      * iff one start survives every join. The oracle re-derives
+      * positions with generate_subscripts (1-based, same unit as the
+      * index) and joins adjacency — phrase ⊂ AND: tokens present but
+      * non-adjacent must NOT match, which is what separates this row
+      * from text_search_inverted. */
+    Q("text_search_phrase",
+      """WITH toks AS (
+        |  SELECT d.doc_id, u.tok, u.pos
+        |  FROM documents d,
+        |  LATERAL (SELECT unnest(string_split(lower(trim(d.text)), ' ')) AS tok,
+        |           generate_subscripts(string_split(lower(trim(d.text)), ' '), 1) AS pos) u)
+        |SELECT DISTINCT a.doc_id AS doc_id FROM toks a
+        |JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'table' AND b.tok = 'hash'
+        |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      val idx = graft.ops.TextIndex.ensureBuilt(s, dir + "#textidx",
+        table(s, dir, "documents"), "doc_id", "text")
+      graft.ops.TextIndex.searchPhrase(s, idx, Seq("table", "hash"))
+        .orderBy("doc_id")
+    },
+
     /** PII redaction: emails → <EMAIL>, IPv4 → <IP>, long digit runs →
       * <NUM>, counted per class on the raw text. The corpus text
       * carries no PII, so each doc is deterministically augmented with

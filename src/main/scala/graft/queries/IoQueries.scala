@@ -149,6 +149,35 @@ object IoQueries {
       out
     })
 
+  /** ONE standing-table build + retention drop per (application,
+    * corpus) for maintain_retention — the [[stagedUpsertDir]]
+    * memoization rationale: the row's coverage is the on-disk table
+    * equalling the oracle's retained window after the partition-level
+    * TTL drop; a re-run would drop nothing further.
+    */
+  private val retentionStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def stagedRetentionDir(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String =
+    retentionStageCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_retention_stage").toString + "/t"
+      val base = table(s, dir, "events")
+        .filter(col("event_id") % 30 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("d", to_date(col("ts")))
+      base.repartition(col("d")).write.partitionBy("d").parquet(out)
+      // TTL: keep the 10 most recent days — cutoff derived from the
+      // data so the row is corpus-size-independent (one bounded agg)
+      val cutoff = base.agg(date_sub(max(col("d")), 9)).head().getDate(0)
+      Sinks.dropPartitions(s, out, "d", v => v >= lit(cutoff))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(out).getParentFile)))
+      out
+    })
+
   /** The four protocol rows' common projection over any read-back. */
   private def upsertReadBack(back: org.apache.spark.sql.DataFrame) =
     back
@@ -339,6 +368,32 @@ object IoQueries {
         |WHERE event_id % 20 = 0 AND user_id % 97 <> 0
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       upsertReadBack(s.read.parquet(stagedDeleteDir(s, dir)))
+        .localCheckpoint(true)
+    },
+
+    /** maintain_retention — partition-level TTL (Sinks.dropPartitions):
+      * drop every date partition older than the 10-day retention
+      * window, touching no data files at all — the decision rides
+      * partition VALUES parsed from the directory layout (bounded by
+      * partition count, never data scale), and retained partitions
+      * keep their exact files. Drops commit through a retention txn
+      * marker BEFORE any rename, because the upsert/compaction crash
+      * repairs RESTORE orphaned trash — without recorded intent a
+      * repair would resurrect the dropped partitions (pinned in
+      * SinksSpec, along with both crash windows and the pinned-reader
+      * path through the retention trash). The staging runs once per
+      * corpus ([[stagedRetentionDir]]); the read-back proves the
+      * on-disk table equals the retained window the oracle states. */
+    Q("maintain_retention",
+      """SELECT event_id, ts, user_id, event_type, value,
+        |  CAST(ts AS DATE) AS d
+        |FROM events
+        |WHERE event_id % 30 = 0
+        |  AND CAST(ts AS DATE) >= (
+        |    SELECT max(CAST(ts AS DATE)) - 9 FROM events
+        |    WHERE event_id % 30 = 0)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      upsertReadBack(s.read.parquet(stagedRetentionDir(s, dir)))
         .localCheckpoint(true)
     },
 

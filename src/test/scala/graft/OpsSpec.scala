@@ -1689,4 +1689,57 @@ class OpsSpec extends SparkSpec {
     assert(!Similarity.needsRebalance(trained._4),
       s"trained clustered-corpus spread must be <= ${Similarity.MaxBucketSpread}: $trained")
   }
+
+  private def builtTextIndex(): String = {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta alpha beta"),     // has alpha+beta, phrase "alpha beta" at pos 2
+      (3L, "alpha delta beta"),    // alpha AND beta but never adjacent
+      (4L, "gamma gamma gamma"),
+      (5L, "ALPHA Beta")           // normalization: matches phrase too
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix").toString
+    graft.ops.TextIndex.build(corpus, "doc_id", "text", dir, nFiles = 4)
+    dir
+  }
+
+  test("inverted index: AND search is membership, phrase search is adjacency") {
+    val dir = builtTextIndex()
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    // AND: every doc holding both tokens anywhere
+    assert(ids(graft.ops.TextIndex.searchAll(spark, dir, Seq("alpha", "beta")))
+      == Seq(1L, 2L, 3L, 5L))
+    // phrase: doc 3 has both tokens but never consecutive — excluded
+    assert(ids(graft.ops.TextIndex.searchPhrase(spark, dir, Seq("alpha", "beta")))
+      == Seq(1L, 2L, 5L))
+    // single-token phrase == single-token AND
+    assert(ids(graft.ops.TextIndex.searchPhrase(spark, dir, Seq("gamma")))
+      == Seq(1L, 4L))
+    // repeated token in the phrase: needs two CONSECUTIVE occurrences
+    assert(ids(graft.ops.TextIndex.searchPhrase(spark, dir, Seq("beta", "beta")))
+      == Nil)
+    assert(ids(graft.ops.TextIndex.searchPhrase(spark, dir, Seq("gamma", "gamma")))
+      == Seq(4L))
+    // unknown token: empty, not an error; empty probe refused
+    assert(ids(graft.ops.TextIndex.searchAll(spark, dir, Seq("zeta"))).isEmpty)
+    intercept[IllegalArgumentException](
+      graft.ops.TextIndex.searchAll(spark, dir, Nil))
+  }
+
+  test("inverted index files hold disjoint token ranges (probe prunes by min/max)") {
+    val dir = builtTextIndex()
+    // per-file token ranges must not overlap — the property that turns
+    // a probe's IN predicate into file/row-group pruning
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("token").as("lo"), max("token").as("hi"))
+      .select("lo", "hi").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
 }

@@ -310,6 +310,87 @@ class SinksSpec extends SparkSpec {
     assert(!fs.exists(p(".graft-upsert-txn")) && !fs.exists(p(".graft-upsert-stage")))
   }
 
+  test("retention drops only expired partitions and survives the repair passes") {
+    val dir = Files.createTempDirectory("graft_ret").toString + "/t"
+    purgeTable(dir) // dates 2023-11-01..03
+    def partFiles(date: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val kept02 = partFiles("2023-11-02")
+    val kept03 = partFiles("2023-11-03")
+    val dropped = Sinks.dropPartitions(spark, dir, "date",
+      v => v >= lit("2023-11-02"))
+    assert(dropped == Seq("date=2023-11-01"))
+    assert(!new java.io.File(s"$dir/date=2023-11-01").exists())
+    assert(partFiles("2023-11-02") == kept02 && partFiles("2023-11-03") == kept03,
+      "retained partitions must keep their exact files")
+    // the resurrection hazard: the upsert/compaction repairs must NOT
+    // restore the dropped partition from its retention trash
+    Sinks.repairPartitionedUpsert(spark, dir)
+    graft.ops.Compaction.repairPartitioned(spark, dir)
+    assert(!new java.io.File(s"$dir/date=2023-11-01").exists(),
+      "a repair pass resurrected a retention-dropped partition")
+    // idempotent: a second pass with the same window drops nothing
+    assert(Sinks.dropPartitions(spark, dir, "date",
+      v => v >= lit("2023-11-02")).isEmpty)
+    // keep-everything is a no-op; drop-everything is refused
+    assert(Sinks.dropPartitions(spark, dir, "date", _ => lit(true)).isEmpty)
+    val e = intercept[IllegalArgumentException](
+      Sinks.dropPartitions(spark, dir, "date", _ => lit(false)))
+    assert(e.getMessage.contains("EVERY partition"))
+    // date=2023-11-01 held u1 AND u2 — 2 of the 4 rows remain
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("retention crash windows: pre-marker untouched, post-marker rolls forward") {
+    val dir = Files.createTempDirectory("graft_retcrash").toString + "/t"
+    purgeTable(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    // crash BEFORE the marker rename: only the tmp exists — repair
+    // discards it, nothing was dropped
+    val tmp = fs.create(p(".graft-retention-txn.tmp"), true)
+    tmp.write("date=2023-11-01".getBytes("UTF-8")); tmp.close()
+    Sinks.repairRetention(spark, dir)
+    assert(!fs.exists(p(".graft-retention-txn.tmp")))
+    assert(spark.read.parquet(dir).count() == 4)
+    // crash AFTER the marker, mid-rename (one of two doomed dropped):
+    // repair rolls the drop forward for the remaining partition
+    val out = fs.create(p(".graft-retention-txn"), true)
+    out.write("date=2023-11-01\ndate=2023-11-02".getBytes("UTF-8")); out.close()
+    require(fs.rename(p("date=2023-11-01"), p(".date=2023-11-01.graft-retention-old")))
+    Sinks.repairRetention(spark, dir)
+    assert(!fs.exists(p("date=2023-11-01")) && !fs.exists(p("date=2023-11-02")),
+      "roll-forward must finish the committed drop")
+    assert(!fs.exists(p(".graft-retention-txn")))
+    assert(spark.read.parquet(dir).select("user").as[String].collect().toSeq
+      == Seq("u3"))
+    // trash retained for pinned readers until the next retention entry
+    assert(fs.exists(p(".date=2023-11-01.graft-retention-old")))
+    Sinks.repairRetention(spark, dir)
+    assert(!fs.exists(p(".date=2023-11-01.graft-retention-old")),
+      "the next retention pass must sweep completed-drop trash")
+  }
+
+  test("a manifest reader pinned before a retention drop resolves through its trash") {
+    val dir = Files.createTempDirectory("graft_retpin").toString + "/t"
+    purgeTable(dir)
+    graft.io.Manifest.commit(spark, dir)
+    val v = graft.io.Manifest.latestVersion(spark, dir).get
+    Sinks.dropPartitions(spark, dir, "date", v0 => v0 >= lit("2023-11-02"))
+    // the pre-drop snapshot still reads all 4 rows — the dropped
+    // partition's files resolve through the retention trash sibling
+    val pinned = graft.io.Manifest.readVersion(spark, dir, v)
+    assert(pinned.count() == 4,
+      "pinned pre-drop snapshot must resolve dropped files via trash")
+    // the post-drop latest sees only the retained window (date=01
+    // held 2 of the 4 rows)
+    assert(graft.io.Manifest.read(spark, dir).count() == 2)
+  }
+
   test("partitioned upsert restores a compact-stranded partition before merging") {
     val dir = Files.createTempDirectory("graft_compactstrand").toString + "/t"
     val base = Seq(
