@@ -84,6 +84,64 @@ object TextIndex {
       .select("doc_id").distinct()
   }
 
+  /** Append a new batch of documents' postings WITHOUT a rebuild — the
+    * daily-ingest path (the [[DedupIndex.append]] /
+    * [[AnnIndex.append]] incremental-state-beats-recompute contract
+    * for the search side; without it every day of new documents
+    * forces a full corpus re-tokenize + rewrite):
+    *
+    *  - the batch is tokenized with EXACTLY the build-time unit, so an
+    *    appended document searches identically to a rebuilt one;
+    *  - appended files are each internally token-sorted but overlap
+    *    the original range partitioning — probe pruning degrades from
+    *    file-disjoint to per-file min/max until the next [[build]] or
+    *    [[relayout]] (the established degrade-then-re-layout
+    *    contract);
+    *  - RETRY: a doc_id already present in the index is refused
+    *    unless the WHOLE batch is present (then the append is an
+    *    idempotent no-op retry) — a partial overlap is neither a
+    *    fresh batch nor a retry, and appending it would double-count
+    *    postings in every later search. The membership probe is a
+    *    column-pruned scan of doc_id semi-joined to the (bounded)
+    *    batch id set.
+    */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+             dir: String): Unit = {
+    val spark = batch.sparkSession
+    Layout.restoreIfCrashed(spark, dir)
+    val ids = batch.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val nBatch = ids.count()
+    val nPresent = spark.read.parquet(dir).select("doc_id").distinct()
+      .join(ids, "doc_id").count()
+    if (nPresent == nBatch && nBatch > 0) return // completed retry
+    require(nPresent == 0,
+      s"TextIndex.append: $nPresent of $nBatch batch doc_ids are already " +
+        "indexed — a mix of new and indexed docs is neither a fresh batch " +
+        "nor a retry; split the batch or rebuild the index")
+    batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextOps.tokens(TextOps.normalized(col(textCol)))))
+      .filter(length(col("col")) > 0)
+      .select(col("col").as("token"), col("doc_id"),
+        (col("pos") + 1).cast("long").as("pos"))
+      .sortWithinPartitions("token")
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Restore the range-disjoint token layout after a run of
+    * [[append]]s — the periodic maintenance the append contract
+    * defers to. Staged + swapped ([[Layout.rewriteInPlace]]); search
+    * results are unchanged by construction (same rows, better files).
+    */
+  def relayout(spark: SparkSession, dir: String, nFiles: Int = 32): Unit = {
+    Layout.restoreIfCrashed(spark, dir)
+    Layout.rewriteInPlace(spark, dir) { tmp =>
+      Layout.writeRangeSorted(spark.read.parquet(dir), tmp, nFiles,
+        keyCol = "token")
+    }
+  }
+
   /** One built index per (application, cache key) — the
     * [[AnnIndex.ensureBuilt]] memoization: registry rows pay the
     * tokenize+layout once and probe thereafter.
@@ -97,6 +155,25 @@ object TextIndex {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_text_index").toString
       build(corpus, idCol, textCol, dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+      dir
+    })
+
+  /** [[ensureBuilt]] for the build → daily-append → relayout
+    * lifecycle: the memoized state is an index BUILT on `base` with
+    * `batch` [[append]]ed and the layout restored — the registry's
+    * text_search_incremental row probes it.
+    */
+  def ensureBuiltAppended(spark: SparkSession, cacheKey: String,
+                          base: => DataFrame, batch: => DataFrame,
+                          idCol: String, textCol: String): String =
+    built.computeIfAbsent((spark.sparkContext.applicationId, cacheKey), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_text_index_app").toString
+      build(base, idCol, textCol, dir)
+      append(batch, idCol, textCol, dir)
+      relayout(spark, dir)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
       dir

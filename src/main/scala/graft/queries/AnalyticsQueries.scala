@@ -591,6 +591,48 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     },
 
+    /** ts_resample_ffill — time-series regularization
+      * (ops/Resample.resampleHourlyFfill): each sampled user's
+      * irregular events projected onto their hourly grid, gaps
+      * forward-filled with the last observation and MARKED (`filled`),
+      * so the gap report and the gap fill are one pass. Hourly close
+      * is a map-side-combined max_by winner per (user, hour) — the
+      * deterministic-winner discipline, and the granularity splits a
+      * hot user across its hours before the exchange; the grid is
+      * keys × hours (never observation-sized); the fill window's
+      * growing frame executes incrementally. The oracle re-derives
+      * the grid with generate_series and the fill with
+      * last_value IGNORE NULLS. */
+    Q("ts_resample_ffill",
+      """WITH obs AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_id % 7 = 0 AND user_id % 5 = 0),
+        |ranked AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM obs),
+        |hourly AS (SELECT user_id, h, value AS close FROM ranked WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS slot
+        |  FROM hourly GROUP BY user_id)
+        |SELECT g.user_id AS user_id, CAST(g.slot AS TIMESTAMP) AS slot,
+        |  last_value(h.close IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  h.close IS NULL AS filled
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.slot = h.h
+        |ORDER BY user_id, slot""".stripMargin) { (s, dir) =>
+      val obs = table(s, dir, "events")
+        .filter(col("event_id") % 7 === 0 && col("user_id") % 5 === 0)
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.Resample
+        .resampleHourlyFfill(obs, "user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "slot")
+    },
+
     /** agg_median_group — exact per-group median (interpolated), the
       * grouped form of the fill_median scalar. */
     Q("agg_median_group",

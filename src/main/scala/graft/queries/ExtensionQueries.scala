@@ -987,6 +987,30 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    /** text_search_incremental — the index's daily-ingest lifecycle:
+      * build on 80% of the corpus, APPEND the remaining docs' postings
+      * (no rebuild, no re-tokenize of the standing corpus; duplicate
+      * doc_ids refused, full-batch retry an idempotent no-op — pinned
+      * in OpsSpec), relayout to restore range-disjoint files, then the
+      * SAME conjunctive search as text_search_inverted — which is the
+      * shared oracle: an appended document must search identically to
+      * a rebuilt one, so the lifecycle row and the one-shot row state
+      * the same corpus-scan SQL (the ann_ivf / ann_ivf_appended
+      * discipline). */
+    Q("text_search_incremental",
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+        |  FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE list_contains(l, 'data') AND list_contains(l, 'table')
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idx = graft.ops.TextIndex.ensureBuiltAppended(s, dir + "#textidxapp",
+        table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+        table(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      graft.ops.TextIndex.searchAll(s, idx, Seq("data", "table"))
+        .orderBy("doc_id")
+    },
+
     /** PII redaction: emails → <EMAIL>, IPv4 → <IP>, long digit runs →
       * <NUM>, counted per class on the raw text. The corpus text
       * carries no PII, so each doc is deterministically augmented with

@@ -1727,6 +1727,61 @@ class OpsSpec extends SparkSpec {
       graft.ops.TextIndex.searchAll(spark, dir, Nil))
   }
 
+  test("resample+ffill: hourly grid, deterministic close, marked imputation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      // key "a": two obs in hour 00 (close = later ts), gap at 01-02,
+      // obs at 03 — grid 00..03, 01 and 02 carried from 00
+      ("a", ts("2024-01-01 00:10:00"), 1L, 10.0),
+      ("a", ts("2024-01-01 00:50:00"), 2L, 20.0),
+      ("a", ts("2024-01-01 03:05:00"), 3L, 30.0),
+      // key "b": tie on ts inside the hour — higher id wins
+      ("b", ts("2024-01-01 05:00:00"), 10L, 1.0),
+      ("b", ts("2024-01-01 05:00:00"), 11L, 2.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = graft.ops.Resample
+      .resampleHourlyFfill(obs, "k", "ts", "id", "v")
+      .orderBy("k", "slot")
+      .select($"k", $"slot".cast("string"), $"value", $"filled")
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("a", "2024-01-01 00:00:00", 20.0, false), // in-hour close: later ts
+      ("a", "2024-01-01 01:00:00", 20.0, true),  // carried + marked
+      ("a", "2024-01-01 02:00:00", 20.0, true),
+      ("a", "2024-01-01 03:00:00", 30.0, false),
+      ("b", "2024-01-01 05:00:00", 2.0, false)   // ts tie: higher id wins
+    ))
+  }
+
+  test("inverted index append: identical search semantics, duplicate batches refused") {
+    val base = Seq((1L, "alpha beta gamma"), (3L, "alpha delta beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((2L, "beta alpha beta"), (5L, "ALPHA Beta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix_app").toString
+    graft.ops.TextIndex.build(base, "doc_id", "text", dir, nFiles = 4)
+    graft.ops.TextIndex.append(batch, "doc_id", "text", dir)
+    def phrase(): Seq[Long] = graft.ops.TextIndex
+      .searchPhrase(spark, dir, Seq("alpha", "beta"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // appended docs search exactly as built ones (cf. the one-shot
+    // fixture: 3 has the tokens non-adjacent)
+    assert(phrase() == Seq(1L, 2L, 5L))
+    // full-batch retry: idempotent no-op (no double-counted postings)
+    graft.ops.TextIndex.append(batch, "doc_id", "text", dir)
+    assert(phrase() == Seq(1L, 2L, 5L))
+    assert(spark.read.parquet(dir).filter($"doc_id" === 2L).count() == 3,
+      "a retried append must not duplicate postings")
+    // partial overlap: neither fresh nor retry — refused
+    val mixed = Seq((5L, "ALPHA Beta"), (9L, "gamma")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.TextIndex.append(mixed, "doc_id", "text", dir))
+    assert(e.getMessage.contains("already"))
+    // relayout restores range-disjoint files without changing results
+    graft.ops.TextIndex.relayout(spark, dir, nFiles = 4)
+    assert(phrase() == Seq(1L, 2L, 5L))
+  }
+
   test("inverted index files hold disjoint token ranges (probe prunes by min/max)") {
     val dir = builtTextIndex()
     // per-file token ranges must not overlap — the property that turns
