@@ -521,6 +521,32 @@ class PlansSpec extends SparkSpec {
       "the validity interval must appear as a join residual")
   }
 
+  test("text_search_inverted: token IN-list pushed to the posting scan") {
+    val p = plan("text_search_inverted")
+    // the whole pruning story: the probe reads posting rows, the IN
+    // predicate reaches the parquet scan (file/row-group min-max
+    // pruning on the range-sorted token layout), and corpus text is
+    // never scanned at query time
+    assert(p.contains("PushedFilters: [In(token"),
+      "expected the probe token IN-list pushed to the posting scan")
+    assert(!p.contains("Scan parquet") || !p.toLowerCase.contains("text#"),
+      "the search plan must not read corpus text")
+  }
+
+  test("ts_resample_ffill: closes combine map-side; the grid join broadcasts") {
+    val p = plan("ts_resample_ffill")
+    // the hot-key collapse: a partial max_by before the exchange means
+    // a zipfian user ships mappers x hours candidate rows, never its
+    // observation set
+    assert(p.toLowerCase.contains("partial_max_by"),
+      "expected a map-side partial max_by for the hourly close")
+    // grid x hourly is keys-by-hours sized on both sides — broadcast,
+    // not a sort-merge of two shuffles
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the grid join must broadcast the hourly closes")
+  }
+
   test("compaction rewrite is narrow: Coalesce, not a shuffle Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_coal").toString
