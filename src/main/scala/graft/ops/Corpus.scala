@@ -23,6 +23,43 @@ object Corpus {
   def hashSample(df: DataFrame, idCol: String, pct: Column): DataFrame =
     df.filter(Parity.md5_60(col(idCol).cast("string")) % 100 < pct)
 
+  /** Contiguous 0..n−1 ids in a deterministic total order — the
+    * corpus-construction step that assigns training-example ids —
+    * WITHOUT the single-task global window: `row_number() OVER
+    * (ORDER BY …)` with no PARTITION BY collapses the whole dataset
+    * into ONE task (Spark plans an all-to-one exchange), which at
+    * 100 TB is the canonical driver-shaped straggler. Here `orderBy`
+    * gives a range-partitioned parallel sort and `zipWithIndex` adds
+    * one count job for per-partition offsets — every partition then
+    * numbers its rows independently. RDD use is deliberate:
+    * per-partition offset assignment is genuine imperative
+    * per-partition logic with no Column-expression equivalent.
+    *
+    * `orderCols` must be a UNIQUE total order or ids within a tie are
+    * partition-layout-dependent; `checkUnique` (default on) verifies
+    * with one aggregate — callers who own uniqueness upstream can
+    * pass false and skip the pass.
+    */
+  def stableIds(df: DataFrame, orderCols: Seq[String],
+                checkUnique: Boolean = true): DataFrame = {
+    require(orderCols.nonEmpty, "stableIds: at least one order column")
+    if (checkUnique) {
+      val dups = df.groupBy(orderCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dups == 0,
+        s"stableIds: ${orderCols.mkString("(", ",", ")")} is not a unique " +
+          "total order — ids within a tie would be partition-dependent")
+    }
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("stable_id",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Stratified variant: per-stratum percentages expressed as a Column
     * (e.g. a when-chain over a language column) — upsample rare
     * strata, downsample dominant ones, still fully deterministic.

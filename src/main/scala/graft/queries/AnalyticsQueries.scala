@@ -633,6 +633,28 @@ object AnalyticsQueries {
         .orderBy("user_id", "slot")
     },
 
+    /** derive_stable_id — contiguous 0..n−1 training-example ids in a
+      * deterministic total order (Corpus.stableIds): range-partitioned
+      * parallel sort + zipWithIndex per-partition offsets, NOT the
+      * single-task global row_number window (an all-to-one exchange at
+      * scale). The oracle states the window form — the two must agree
+      * exactly, which also pins determinism; OpsSpec additionally pins
+      * contiguity, partitioning invariance, and the duplicate-key
+      * refusal. */
+    Q("derive_stable_id",
+      """SELECT CAST(row_number() OVER (ORDER BY user_id, event_id) - 1
+        |    AS BIGINT) AS stable_id,
+        |  user_id, event_id
+        |FROM events WHERE event_id % 11 = 0
+        |ORDER BY stable_id""".stripMargin) { (s, dir) =>
+      val base = table(s, dir, "events")
+        .filter(col("event_id") % 11 === 0)
+        .select("user_id", "event_id")
+      graft.ops.Corpus.stableIds(base, Seq("user_id", "event_id"))
+        .select("stable_id", "user_id", "event_id")
+        .orderBy("stable_id")
+    },
+
     /** agg_median_group — exact per-group median (interpolated), the
       * grouped form of the fill_median scalar. */
     Q("agg_median_group",

@@ -1727,6 +1727,23 @@ class OpsSpec extends SparkSpec {
       graft.ops.TextIndex.searchAll(spark, dir, Nil))
   }
 
+  test("stableIds: contiguous, order-correct, partitioning-invariant, dup-refusing") {
+    val df = Seq(("b", 2), ("a", 1), ("c", 3), ("a", 2)).toDF("k", "n")
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[(Long, String, Int)] =
+      graft.ops.Corpus.stableIds(d, Seq("k", "n"))
+        .select($"stable_id", $"k", $"n")
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    val expected = Seq((0L, "a", 1), (1L, "a", 2), (2L, "b", 2), (3L, "c", 3))
+    assert(ids(df) == expected)
+    // partitioning invariance: the ids are a pure function of the order
+    assert(ids(df.repartition(7)) == expected)
+    // non-unique order key: refused, not silently partition-dependent
+    val dup = Seq(("a", 1), ("a", 1)).toDF("k", "n")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Corpus.stableIds(dup, Seq("k", "n")))
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("resample+ffill: hourly grid, deterministic close, marked imputation") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val obs = Seq(
