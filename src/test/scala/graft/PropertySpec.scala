@@ -648,6 +648,109 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("resampleHourlyFfill ≡ driver-side reference model on random irregular series") {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    seeds.foreach { s =>
+      val rows = sample(Gen.listOfN(120, Gen.zip(
+        Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(0, 72 * 60 - 1), // minute offset inside 3 days
+        Gen.chooseNum(0.0, 100.0))), s)
+        .zipWithIndex.map { case ((k, m, v), i) =>
+          (k, new java.sql.Timestamp(base + m * 60000L), i.toLong, v) }
+      val df = rows.toDF("k", "ts", "id", "v").repartition(5)
+      val got = graft.ops.Resample
+        .resampleHourlyFfill(df, "k", "ts", "id", "v")
+        .select($"k", $"slot".cast("long"), $"value", $"filled")
+        .as[(String, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+      // reference: per key, hourly close = max (ts, id) row; grid over
+      // [min hour, max hour]; ffill carries the last close forward
+      val ref = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val closes = rs.groupBy(r => r._2.getTime / 3600000L * 3600000L)
+          .map { case (h, g) => h -> g.maxBy(r => (r._2.getTime, r._3))._4 }
+        val hours = closes.keys.min to closes.keys.max by 3600000L
+        hours.foldLeft((Seq.empty[(String, Long, Double, Boolean)], 0.0)) {
+          case ((acc, prev), h) =>
+            val v = closes.getOrElse(h, prev)
+            (acc :+ ((k, h / 1000L, v, !closes.contains(h))), v)
+        }._1
+      }.sortBy(r => (r._1, r._2))
+      assert(got == ref, s"seed $s: resample diverged from the reference model")
+    }
+  }
+
+  test("inverted-index search ≡ corpus-scan membership/adjacency on random corpora") {
+    val vocab = Seq("a", "b", "c", "d")
+    seeds.take(3).foreach { s =>
+      val docs = sample(Gen.listOfN(30,
+        Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(12))), s)
+        .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val dir = java.nio.file.Files.createTempDirectory("graft_tix_prop").toString
+      graft.ops.TextIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
+      def got(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select("doc_id").as[Long].collect().sorted.toSeq
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      // AND over every 2-token probe
+      for (x <- vocab; y <- vocab) {
+        val expAnd = docs.collect {
+          case (id, _) if toks(id).contains(x) && toks(id).contains(y) => id
+        }.sorted
+        assert(got(graft.ops.TextIndex.searchAll(spark, dir, Seq(x, y))) == expAnd,
+          s"seed $s: AND($x,$y) diverged")
+        val expPh = docs.collect {
+          case (id, _) if toks(id).sliding(2).exists(_ == Seq(x, y)) => id
+        }.sorted
+        assert(got(graft.ops.TextIndex.searchPhrase(spark, dir, Seq(x, y))) == expPh,
+          s"seed $s: PHRASE($x $y) diverged")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("stableIds ≡ sorted rank for any unique corpus and any partitioning") {
+    seeds.foreach { s =>
+      val keys = sample(Gen.listOfN(150, Gen.zip(
+        Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 10000L))), s)
+        .distinct
+      val df = keys.toDF("a", "b").repartition(1 + (s % 7).toInt)
+      val got = graft.ops.Corpus.stableIds(df, Seq("a", "b"))
+        .select($"stable_id", $"a", $"b")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val ref = keys.sorted.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+      assert(got == ref, s"seed $s: ids diverged from sorted rank")
+    }
+  }
+
+  test("targeted purge ≡ anti join and retention ≡ value filter on random partitioned tables") {
+    seeds.take(3).foreach { s =>
+      val rows = sample(Gen.listOfN(80, Gen.zip(
+        Gen.chooseNum(0L, 20L),                 // user
+        Gen.oneOf("p1", "p2", "p3", "p4"),      // partition
+        Gen.chooseNum(0.0, 9.0))), s)
+        .zipWithIndex.map { case ((u, p, v), i) => (i.toLong, u, p, v) }
+      val doomedUsers = sample(Gen.listOfN(4, Gen.chooseNum(0L, 25L)), s + 1).distinct
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_purge_prop").toString + "/t"
+      rows.toDF("id", "u", "p", "v").write.partitionBy("p").parquet(dir)
+      graft.io.Sinks.deleteKeysPartitioned(spark,
+        doomedUsers.toDF("u"), dir, Seq("u"), "p")
+      def back(): Seq[(Long, Long, String)] = spark.read.parquet(dir)
+        .select($"id", $"u", $"p").as[(Long, Long, String)]
+        .collect().sortBy(_._1).toSeq
+      val afterPurge = rows.collect {
+        case (i, u, p, _) if !doomedUsers.contains(u) => (i, u, p)
+      }.sortBy(_._1)
+      assert(back() == afterPurge, s"seed $s: purge diverged from anti join")
+      // retention: drop partitions below a random cutoff
+      val cutoff = sample(Gen.oneOf("p2", "p3"), s + 2)
+      if (afterPurge.exists(_._3 >= cutoff)) {
+        graft.io.Sinks.dropPartitions(spark, dir, "p", v => v >= lit(cutoff))
+        val afterRet = afterPurge.filter(_._3 >= cutoff)
+        assert(back() == afterRet, s"seed $s: retention diverged from value filter")
+      }
+    }
+  }
+
   test("KSmallest partial merges commute and bound: any split/order of partials equals the direct sort-take") {
     import graft.functions.{HashedId, KSmallestAggregator}
     val agg = new KSmallestAggregator(5)
