@@ -112,8 +112,15 @@ object TextIndex {
     val ids = batch.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     val nBatch = ids.count()
-    val nPresent = spark.read.parquet(dir).select("doc_id").distinct()
-      .join(ids, "doc_id").count()
+    // membership probe shaped for an index-sized table: the postings
+    // scan reads ONE column and is filtered map-side by the
+    // (bounded-broadcast) batch id set BEFORE any exchange — the
+    // distinct that remains shuffles at most the batch's own ids, not
+    // the index (a global distinct over all postings would be an
+    // index-wide shuffle on every daily append)
+    val nPresent = spark.read.parquet(dir).select("doc_id")
+      .join(Dedup.boundedBroadcast(ids), Seq("doc_id"), "left_semi")
+      .distinct().count()
     if (nPresent == nBatch && nBatch > 0) return // completed retry
     require(nPresent == 0,
       s"TextIndex.append: $nPresent of $nBatch batch doc_ids are already " +
