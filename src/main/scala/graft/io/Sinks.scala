@@ -706,6 +706,15 @@ object Sinks {
     // joins degrade to AQE-planned shuffles instead of an OOM
     val doomedKeys = graft.ops.Dedup.boundedBroadcast(
       doomed.select(keys.map(col): _*).distinct())
+    // a NULL in any key column never matches an equi-join: the entry
+    // would silently delete NOTHING — for an erasure op, refuse rather
+    // than quietly under-delete (the caller's list is malformed)
+    require(doomedKeys
+        .filter(keys.map(c => col(c).isNull).reduce(_ || _))
+        .head(1).isEmpty,
+      "deleteKeysPartitioned: doomed key list contains NULLs, which " +
+        "match no rows — clean the list (an erasure request that " +
+        "silently deletes nothing is worse than failing)")
     // the probe pairs each touched partition VALUE (for the pruned
     // re-read) with its directory NAME taken from the scan's own file
     // paths — never re-encoded driver-side, so Hive escaping and
@@ -808,6 +817,20 @@ object Sinks {
       .withColumn("__v",
         when(col("__raw") === "__HIVE_DEFAULT_PARTITION__", lit(null))
           .otherwise(col("__raw")).cast(pType))
+    // a NULL partition value has no age: keep(NULL) is NULL under SQL
+    // semantics, and any default — drop or retain — silently decides
+    // data the predicate never saw. Refuse loudly, like the
+    // upsert/delete NULL-partition contracts, unless the caller's
+    // predicate explicitly decides NULL (non-null result for NULL in).
+    val nullPart = vals.filter(col("__v").isNull)
+    if (nullPart.head(1).nonEmpty) {
+      val decided = nullPart.select(keep(col("__v")).isNotNull.as("d"))
+        .head().getBoolean(0)
+      require(decided,
+        s"dropPartitions: $path has a NULL '$partitionCol' partition and " +
+          "the keep predicate does not decide NULL — extend it (e.g. " +
+          "coalesce(keep, lit(true))) or rewrite that partition first")
+    }
     val doomed = vals.filter(!coalesce(keep(col("__v")), lit(false)))
       .select("__name").as[String].collect().sorted.toSeq
     if (doomed.isEmpty) return Nil

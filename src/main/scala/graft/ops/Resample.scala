@@ -38,7 +38,11 @@ object Resample {
   def resampleHourlyFfill(obs: DataFrame, keyCol: String, tsCol: String,
                           idCol: String, valCol: String): DataFrame = {
     val k = col(keyCol)
-    val hourly = obs
+    // a null-valued observation is NO observation: without this filter
+    // max_by could pick a null close, which last(ignoreNulls) would
+    // then skip — the slot would carry the previous value while
+    // reading as observed (filled=false), a silent semantic fork
+    val hourly = obs.filter(col(valCol).isNotNull)
       .withColumn("__h", date_trunc("hour", col(tsCol)))
       .groupBy(k, col("__h"))
       .agg(expr(s"max_by($valCol, struct($tsCol, $idCol))").as("__close"))

@@ -1770,6 +1770,23 @@ class OpsSpec extends SparkSpec {
     ))
   }
 
+  test("resample treats null-valued observations as absent") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 1L, Some(10.0)),
+      ("a", ts("2024-01-01 01:20:00"), 2L, None), // null obs: a GAP
+      ("a", ts("2024-01-01 02:30:00"), 3L, Some(30.0))
+    ).toDF("k", "ts", "id", "v")
+    val out = graft.ops.Resample
+      .resampleHourlyFfill(obs, "k", "ts", "id", "v")
+      .select($"slot".cast("string"), $"value", $"filled")
+      .as[(String, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("2024-01-01 00:00:00", 10.0, false),
+      ("2024-01-01 01:00:00", 10.0, true), // null obs hour reads as imputed
+      ("2024-01-01 02:00:00", 30.0, false)))
+  }
+
   test("inverted index append: identical search semantics, duplicate batches refused") {
     val base = Seq((1L, "alpha beta gamma"), (3L, "alpha delta beta"))
       .toDF("doc_id", "text")

@@ -344,6 +344,23 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("retention refuses an undecided NULL partition; an explicit NULL decision proceeds") {
+    val dir = Files.createTempDirectory("graft_retnull").toString + "/t"
+    Seq((Some("u1"), 1.0, Some("2023-11-01")), (Some("u2"), 2.0, None))
+      .toDF("user", "value", "date")
+      .write.partitionBy("date").parquet(dir)
+    // keep(NULL) = NULL: neither dropped nor retained silently — refused
+    val e = intercept[IllegalArgumentException](
+      Sinks.dropPartitions(spark, dir, "date", v => v >= lit("2023-11-01")))
+    assert(e.getMessage.contains("NULL"))
+    assert(spark.read.parquet(dir).count() == 2, "refusal must not mutate")
+    // an explicit decision for NULL (retain it) proceeds
+    val dropped = Sinks.dropPartitions(spark, dir, "date",
+      v => coalesce(v >= lit("2023-12-01"), lit(true)))
+    assert(dropped == Seq("date=2023-11-01"))
+    assert(spark.read.parquet(dir).count() == 1, "the NULL partition survives")
+  }
+
   test("retention crash windows: pre-marker untouched, post-marker rolls forward") {
     val dir = Files.createTempDirectory("graft_retcrash").toString + "/t"
     purgeTable(dir)
