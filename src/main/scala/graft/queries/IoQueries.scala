@@ -276,6 +276,22 @@ object IoQueries {
       s.read.parquet(out).orderBy("o_orderkey")
     },
 
+    /** sink_orc — the second columnar format (Spark-native ORC):
+      * part → ORC → read-back. Same predicate-pushdown/column-pruning
+      * machinery as parquet (ORC footers carry min/max + bloom
+      * options), so a parquet-shaped table can serve ORC consumers
+      * without losing the scan story; the round trip proves lossless
+      * types across the format boundary. */
+    Q("sink_orc",
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val p = table(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      val out = tmp("sink_orc")
+      p.write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("p_partkey")
+    },
+
     /** sink_append_evolve — schema evolution on a standing parquet
       * table (Sinks.appendEvolved/readEvolved): a v1 batch writes two
       * columns, a WIDENED v2 batch appends a third; the merged read
