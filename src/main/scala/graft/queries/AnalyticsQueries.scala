@@ -360,6 +360,45 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     },
 
+    /** join_asof_nearest — nearest-in-time as-of join (AsOf
+      * .joinAsOfNearest, pandas merge_asof direction='nearest'): each
+      * sampled event gets the SAME user's purchase value closest in
+      * time, before OR after, exact ties taken backward. Two carries
+      * over one union (both directions), still one shuffle, never a
+      * left × history pair blowup; diffs compare in exact
+      * microseconds (a double-seconds compare can flip near-ties).
+      * The oracle re-derives nearest with a per-left-row
+      * row_number over |epoch_us Δ| with the backward tie-break;
+      * users with no purchases keep NULL. */
+    Q("join_asof_nearest",
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_id % 13 = 0),
+        |r AS (
+        |  SELECT user_id, ts AS rt, min(event_id) AS rid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |rv AS (
+        |  SELECT r.user_id, r.rt, e.value AS pval
+        |  FROM r JOIN events e ON e.event_id = r.rid)
+        |SELECT event_id, user_id, ts, pval FROM (
+        |  SELECT l.event_id, l.user_id, l.ts, rv.pval,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY
+        |      abs(epoch_us(l.ts) - epoch_us(rv.rt)),
+        |      CASE WHEN rv.rt <= l.ts THEN 0 ELSE 1 END) AS rn
+        |  FROM l LEFT JOIN rv USING (user_id))
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val l = ev.filter(col("event_id") % 13 === 0)
+        .select("event_id", "user_id", "ts")
+      // unique (user, ts) reference points with a deterministic value
+      // (the min event id's value) — the right-uniqueness precondition
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("rt"))
+        .agg(expr("min_by(value, event_id)").as("pval"))
+      graft.ops.AsOf
+        .joinAsOfNearest(l, r, Seq("user_id"), "ts", "rt", "pval")
+        .orderBy("event_id")
+    },
+
     /** join_temporal_dim — point-in-time-correct dimension join over a
       * versioned (SCD Type-2) dimension (ops/Scd.pointInTime): each
       * order gets the customer-attribute VERSION valid at its own

@@ -1770,6 +1770,37 @@ class OpsSpec extends SparkSpec {
     ))
   }
 
+  test("nearest as-of join: direction choice, backward ties, tolerance, no-match null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L), // back@9:59 fwd@10:02 → back
+      ("a", ts("2024-01-01 10:01:30"), 2L), // back 90s, fwd 30s → fwd
+      ("a", ts("2024-01-01 10:00:30"), 3L), // exact tie 30s/30s... back@9:59=91.., recompute below
+      ("b", ts("2024-01-01 00:00:00"), 4L), // only a later mark → fwd
+      ("c", ts("2024-01-01 00:00:00"), 5L)  // no marks → null
+    ).toDF("k", "lt", "id")
+    val right = Seq(
+      ("a", ts("2024-01-01 09:59:00"), 1.0),
+      ("a", ts("2024-01-01 10:02:00"), 2.0),
+      ("b", ts("2024-01-01 00:10:00"), 3.0)
+    ).toDF("k", "rt", "v")
+    def run(tol: Option[Long]) = graft.ops.AsOf
+      .joinAsOfNearest(left, right, Seq("k"), "lt", "rt", "v", tol)
+      .select($"id", $"v").as[(Long, Option[Double])]
+      .collect().toMap
+    val got = run(None)
+    assert(got(1L) == Some(1.0), "closer backward mark wins")
+    assert(got(2L) == Some(2.0), "closer forward mark wins")
+    // id 3 at 10:00:30: back 90 s, fwd 90 s — exact tie goes BACKWARD
+    assert(got(3L) == Some(1.0), "exact tie must take the backward mark")
+    assert(got(4L) == Some(3.0), "forward-only history still matches")
+    assert(got(5L).isEmpty, "keys with no marks stay null")
+    // 60-second tolerance: every |Δ| above it nulls out
+    val tight = run(Some(60L))
+    assert(tight(1L) == Some(1.0) && tight(2L) == Some(2.0))
+    assert(tight(3L).isEmpty, "tolerance must null a 90 s nearest match")
+  }
+
   test("resample treats null-valued observations as absent") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val obs = Seq(
