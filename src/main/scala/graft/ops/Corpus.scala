@@ -185,6 +185,49 @@ object Corpus {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Collocation mining: adjacent token pairs scored by LIFT —
+    * p(xy) / (p(x)·p(y)) computed as (c_xy·N) / (c_x·c_y) — the
+    * corpus-analysis statistic behind multi-word-expression detection
+    * and tokenizer-merge candidates. Lift instead of PMI by design:
+    * the log is the one step whose last bits differ across libm
+    * implementations, while a division of two EXACT integer products
+    * (each < 2^53, so exactly representable) is IEEE-identical in any
+    * engine — the statistic stays hash-comparable. Shape: one
+    * tokenize pass feeds both the bigram and unigram counts (both
+    * map-side combinable); unigram totals are vocabulary-sized, so
+    * the two scoring joins broadcast. Output: pairs with count ≥
+    * `minCount`, top `k` by (lift desc, x, y).
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(
+      TextOps.tokens(TextOps.normalized(col(textCol))).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c"))).head().getLong(0)
+    // size-1 docs first: sequence(0, -1) DESCENDS in Spark (it does
+    // not return empty), which would fabricate t[-1] pairs
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i + 1] AS y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bi
+      .join(broadcast(uni.withColumnRenamed("tok", "x")
+        .withColumnRenamed("c", "c_x")), Seq("x"))
+      .join(broadcast(uni.withColumnRenamed("tok", "y")
+        .withColumnRenamed("c", "c_y")), Seq("y"))
+      .select(col("x"), col("y"), col("c_xy"),
+        ((col("c_xy") * lit(total)).cast("double") /
+          (col("c_x") * col("c_y")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
   /** Token-length histogram: docs bucketed by `n_tok div width`. The
     * corpus-composition statistic every pretraining run wants
     * (sequence-length planning, truncation-rate estimates): one narrow

@@ -943,6 +943,35 @@ object ExtensionQueries {
       Corpus.vocabTopK(table(s, dir, "documents"), "text", 50)
     },
 
+    /** text_collocations — adjacent-pair collocation mining scored by
+      * LIFT (Corpus.collocations): p(xy)/(p(x)p(y)) as
+      * (c_xy·N)/(c_x·c_y), the multi-word-expression / tokenizer-merge
+      * statistic. Lift rather than PMI by design — a log's last bits
+      * differ across libm implementations, while a division of two
+      * exact integer products is IEEE-identical in both engines, so
+      * the statistic stays hash-comparable. One tokenize pass feeds
+      * bigram and unigram counts (map-side combinable); the scoring
+      * joins broadcast the vocabulary-sized unigram totals. */
+    Q("text_collocations",
+      """WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS l
+        |  FROM documents),
+        |uni AS (SELECT u.tok AS tok, count(*) AS c
+        |  FROM t, UNNEST(l) AS u(tok) WHERE u.tok <> '' GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM uni),
+        |bi AS (SELECT l[i] AS x, l[i+1] AS y, count(*) AS c_xy
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+        |  WHERE l[i] <> '' AND l[i+1] <> ''
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT bi.x, bi.y, bi.c_xy,
+        |  CAST(bi.c_xy * tot.n AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE) AS lift
+        |FROM bi CROSS JOIN tot
+        |JOIN uni ux ON ux.tok = bi.x
+        |JOIN uni uy ON uy.tok = bi.y
+        |ORDER BY lift DESC, bi.x, bi.y LIMIT 30""".stripMargin) { (s, dir) =>
+      graft.ops.Corpus.collocations(
+        table(s, dir, "documents"), "text", minCount = 5L, k = 30)
+    },
+
     /** text_search_inverted — conjunctive token search served from the
       * PERSISTED positional inverted index (ops/TextIndex: postings
       * range-sorted by token, so the probe's IN predicate prunes files
