@@ -751,6 +751,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("joinAsOfNearest ≡ per-row nearest-scan reference model incl. ties and tolerance") {
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    seeds.foreach { s =>
+      // coarse second grid on BOTH sides makes exact ties likely
+      val leftRows = sample(Gen.listOfN(60, Gen.zip(
+        Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 500))), s)
+        .zipWithIndex.map { case ((k, t), i) =>
+          (k, new java.sql.Timestamp(base + t * 1000L), i.toLong) }
+      val rightRows = sample(Gen.listOfN(25, Gen.zip(
+        Gen.oneOf("a", "b"), Gen.chooseNum(0, 500), Gen.chooseNum(0.0, 9.0))), s + 7)
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, rt)
+        .map { case (k, t, v) => (k, new java.sql.Timestamp(base + t * 1000L), v) }
+      val l = leftRows.toDF("k", "lt", "id").repartition(4)
+      val r = rightRows.toDF("k", "rt", "v")
+      for (tol <- Seq(None, Some(40L))) {
+        val got = graft.ops.AsOf
+          .joinAsOfNearest(l, r, Seq("k"), "lt", "rt", "v", tol)
+          .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+        leftRows.foreach { case (k, lt, id) =>
+          val cands = rightRows.filter(_._1 == k)
+            .map { case (_, rt, v) =>
+              (math.abs(rt.getTime - lt.getTime), rt.getTime > lt.getTime, v) }
+            .filter(c => tol.forall(t => c._1 <= t * 1000L))
+          val exp = if (cands.isEmpty) None
+            else Some(cands.minBy(c => (c._1, c._2))._3) // tie → backward
+          assert(got(id) == exp,
+            s"seed $s tol $tol: nearest diverged for id $id")
+        }
+      }
+    }
+  }
+
+  test("collocation lift ≡ driver-side exact counts on random corpora") {
+    val vocab = Seq("a", "b", "c")
+    seeds.foreach { s =>
+      val docs = sample(Gen.listOfN(40,
+        Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(8))), s)
+        .map(_.mkString(" "))
+      val got = graft.ops.Corpus
+        .collocations(docs.toDF("text"), "text", minCount = 2L, k = 100)
+        .select($"x", $"y", $"c_xy", $"lift")
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val toks = docs.map(_.split(" ").toSeq)
+      val uni = toks.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      val n = uni.values.sum
+      val bi = toks.flatMap(t => t.sliding(2).filter(_.size == 2))
+        .groupBy(identity).map { case (p, g) => (p.head, p(1)) -> g.size.toLong }
+        .filter(_._2 >= 2L)
+      assert(got.keySet == bi.keySet, s"seed $s: pair sets diverged")
+      bi.foreach { case (p, c) =>
+        val expLift = (c * n).toDouble / (uni(p._1) * uni(p._2)).toDouble
+        assert(got(p) == ((c, expLift)), s"seed $s: lift diverged for $p")
+      }
+    }
+  }
+
   test("KSmallest partial merges commute and bound: any split/order of partials equals the direct sort-take") {
     import graft.functions.{HashedId, KSmallestAggregator}
     val agg = new KSmallestAggregator(5)

@@ -408,6 +408,28 @@ class SinksSpec extends SparkSpec {
     assert(graft.io.Manifest.read(spark, dir).count() == 2)
   }
 
+  test("vacuum reclaims retention trash; the pre-drop pin then refuses by name") {
+    val dir = Files.createTempDirectory("graft_retvac").toString + "/t"
+    purgeTable(dir)
+    graft.io.Manifest.commit(spark, dir)
+    val v1 = graft.io.Manifest.latestVersion(spark, dir).get
+    Sinks.dropPartitions(spark, dir, "date", v => v >= lit("2023-11-02"))
+    // pre-sweep: the pin still resolves through the retention trash
+    assert(graft.io.Manifest.readVersion(spark, dir, v1).count() == 4)
+    graft.io.Manifest.vacuum(spark, dir, retainVersions = 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(
+      s"$dir/.date=2023-11-01.graft-retention-old")
+    assert(!fs.exists(trash), "vacuum must reclaim unreferenced retention trash")
+    // the dropped version now refuses loudly instead of part-reading
+    val e = intercept[IllegalStateException](
+      graft.io.Manifest.readVersion(spark, dir, v1).count())
+    assert(e.getMessage.contains("vacuumed"))
+    // the live table is untouched by the sweep
+    assert(graft.io.Manifest.read(spark, dir).count() == 2)
+  }
+
   test("partitioned upsert restores a compact-stranded partition before merging") {
     val dir = Files.createTempDirectory("graft_compactstrand").toString + "/t"
     val base = Seq(
