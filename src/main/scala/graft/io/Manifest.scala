@@ -306,7 +306,9 @@ object Manifest {
       // values are URL-decoded, the Hive null sentinel maps to NULL
       relDir.split('/').filter(_.nonEmpty).foldLeft(base) { (df, seg) =>
         val Array(k, raw) = seg.split("=", 2)
-        val v = java.net.URLDecoder.decode(raw, "UTF-8")
+        // %XX-only unescape: URLDecoder would corrupt a literal '+'
+        // in a partition value into a space (Hive never writes '+')
+        val v = HivePath.percentDecode(raw)
         val lit0 = if (v == "__HIVE_DEFAULT_PARTITION__") lit(null) else lit(v)
         df.withColumn(k, partType(k).map(lit0.cast).getOrElse(lit0))
       }

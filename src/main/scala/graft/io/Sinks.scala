@@ -732,7 +732,15 @@ object Sinks {
       s"deleteKeysPartitioned: doomed rows live in the NULL " +
         s"'$partitionCol' partition, which cannot be pruned-read " +
         "consistently — rewrite it explicitly instead")
-    val touchedNames = probe.map(_.getString(1)).distinct.sorted
+    // input_file_name() yields a URI string: the directory segment is
+    // percent-ENCODED on top of the writer's Hive escaping (space →
+    // %20, the '%' of a Hive %XX → %25). One percent-decode recovers
+    // the exact on-disk name; comparing the raw URI form against
+    // fs.listStatus names would miss every partition whose value
+    // needed escaping, staging a fully-purged partition under a bogus
+    // name and silently leaving its doomed rows alive.
+    val touchedNames =
+      probe.map(r => HivePath.percentDecode(r.getString(1))).distinct.sorted
     require(touchedNames.forall(_.nonEmpty),
       s"deleteKeysPartitioned: $path is not partitioned by " +
         s"'$partitionCol' directories — use a full rewrite instead")
@@ -812,7 +820,11 @@ object Sinks {
     import spark.implicits._
     val vals = parts.toSeq.map { n =>
       val raw = n.split("=", 2)(1)
-      (n, java.net.URLDecoder.decode(raw, "UTF-8"))
+      // Hive unescape (%XX only): URLDecoder would form-decode a
+      // literal '+' into a space — Hive never writes '+' for space, so
+      // the keep predicate would judge the wrong value and drop or
+      // retain the wrong partition
+      (n, HivePath.percentDecode(raw))
     }.toDF("__name", "__raw")
       .withColumn("__v",
         when(col("__raw") === "__HIVE_DEFAULT_PARTITION__", lit(null))

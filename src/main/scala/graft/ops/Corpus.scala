@@ -92,6 +92,20 @@ object Corpus {
                    seed: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed (Long, Long, Long) encoder below would fail a NULL id
+    // with an opaque "null value in non-nullable field" executor
+    // error, and an ANSI cast of a non-numeric string key throws a
+    // CAST_INVALID_INPUT from deep inside the aggregate; state the
+    // integral-key contract loudly up front instead — try_cast maps
+    // both violations to NULL and limit(1) stops the probe scan at
+    // the first one
+    val bad = df.select(col(keyCol).try_cast("long").as("__k"),
+        col(idCol).try_cast("long").as("__i"))
+      .filter(col("__k").isNull || col("__i").isNull).limit(1).count()
+    require(bad == 0,
+      s"samplePerKey: '$keyCol' and '$idCol' must be non-null and integral " +
+        "(castable to long) in every row — a NULL or non-numeric value " +
+        "has no hash rank; filter or re-key the input first")
     df.select(col(keyCol).cast("long").as("_1"),
         Layout.shuffleKey(seed, col(idCol)).as("_2"),
         col(idCol).cast("long").as("_3"))

@@ -49,6 +49,18 @@ object Scd {
     require(expected.forall(dim.columns.contains),
       s"dimension is missing ${expected.filterNot(dim.columns.contains).mkString(", ")}")
 
+    // a duplicated snapshot key would fan out in the full-outer join
+    // and insert SEVERAL open versions for it — silently breaking the
+    // at-most-one-open-version invariant pointInTime depends on (every
+    // fact row for that key then duplicates downstream). One aggregate
+    // on the (small) snapshot; refuse loudly like Corpus.stableIds.
+    val dupKeys = snapshot.groupBy(col(key))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"SCD2 merge: snapshot has duplicated '$key' values — a duplicate " +
+        "would insert multiple open versions per key; dedupe the snapshot " +
+        "with a deterministic winner first")
+
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
 

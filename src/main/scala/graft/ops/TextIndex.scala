@@ -55,6 +55,7 @@ object TextIndex {
   def searchAll(spark: SparkSession, dir: String,
                 tokens: Seq[String]): DataFrame = {
     require(tokens.nonEmpty, "searchAll: at least one probe token")
+    recoverAppend(spark, dir)
     val toks = tokens.map(_.toLowerCase.trim).distinct
     spark.read.parquet(dir)
       .filter(col("token").isInCollection(toks))
@@ -74,6 +75,7 @@ object TextIndex {
   def searchPhrase(spark: SparkSession, dir: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "searchPhrase: at least one token")
+    recoverAppend(spark, dir)
     val toks = phrase.map(_.toLowerCase.trim)
     val idx = spark.read.parquet(dir)
       .filter(col("token").isInCollection(toks.distinct))
@@ -104,11 +106,24 @@ object TextIndex {
     *    postings in every later search. The membership probe is a
     *    column-pruned scan of doc_id semi-joined to the (bounded)
     *    batch id set.
+    *  - CRASH SAFETY: the batch's postings are fully staged to a
+    *    hidden temp sibling, a txn marker naming the staged files is
+    *    committed (write-then-rename — the commit point), and only
+    *    then are the files renamed into the index one by one. A crash
+    *    before the marker discards the stage (index byte-identical, a
+    *    retry is a fresh batch); after it, [[recoverAppend]] — run by
+    *    every entry point, searches included — rolls the remaining
+    *    renames forward. The earlier design (`mode("append")` +
+    *    inferring a retry from doc_id presence) had a silent hole: a
+    *    crash that left PARTIAL task output visible, with every batch
+    *    doc holding at least one posting row, read as a completed
+    *    retry and the index stayed missing postings forever.
     */
   def append(batch: DataFrame, idCol: String, textCol: String,
              dir: String): Unit = {
     val spark = batch.sparkSession
     Layout.restoreIfCrashed(spark, dir)
+    recoverAppend(spark, dir)
     val ids = batch.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     val nBatch = ids.count()
@@ -126,6 +141,10 @@ object TextIndex {
       s"TextIndex.append: $nPresent of $nBatch batch doc_ids are already " +
         "indexed — a mix of new and indexed docs is neither a fresh batch " +
         "nor a retry; split the batch or rebuild the index")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = appendTmp(root)
+    fs.delete(tmp, true)
     batch
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextOps.tokens(TextOps.normalized(col(textCol)))))
@@ -133,7 +152,67 @@ object TextIndex {
       .select(col("col").as("token"), col("doc_id"),
         (col("pos") + 1).cast("long").as("pos"))
       .sortWithinPartitions("token")
-      .write.mode("append").parquet(dir)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // part-file names carry a per-job UUID, so staged names cannot
+    // collide with files already in the index
+    val staged = fs.listStatus(tmp)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+    // commit point: the marker names every staged data file
+    val txn = appendTxn(root)
+    val txnTmp = new org.apache.hadoop.fs.Path(txn.toString + ".tmp")
+    val out = fs.create(txnTmp, true)
+    try out.write(staged.mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(txnTmp, txn),
+      s"TextIndex.append: txn marker commit $txnTmp -> $txn failed")
+    staged.foreach { n =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, n),
+        new org.apache.hadoop.fs.Path(root, n)),
+        s"TextIndex.append: staged file $n failed to land in $dir")
+    }
+    require(fs.delete(txn, false), s"TextIndex.append: marker cleanup failed")
+    fs.delete(tmp, true)
+  }
+
+  private def appendTmp(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root.getParent,
+      s".${root.getName}.graft-append-tmp")
+  private def appendTxn(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root.getParent,
+      s".${root.getName}.graft-append-txn")
+
+  /** Recovery preamble for [[append]]'s staged-rename protocol — run
+    * by every entry point (append, relayout, both searches) so no
+    * reader ever sees a half-landed batch: a present marker means the
+    * append COMMITTED — every staged file it names still sitting in
+    * the temp sibling is renamed in (files already landed are left
+    * alone; rename is atomic, a name is in exactly one place) — and a
+    * stage without a marker is a pre-commit crash, discarded whole.
+    * Returns true if any state was repaired.
+    */
+  def recoverAppend(spark: SparkSession, dir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = appendTmp(root); val txn = appendTxn(root)
+    if (fs.exists(txn)) {
+      val in = fs.open(txn)
+      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toVector finally in.close()
+      names.foreach { n =>
+        val s = new org.apache.hadoop.fs.Path(tmp, n)
+        if (fs.exists(s))
+          require(fs.rename(s, new org.apache.hadoop.fs.Path(root, n)),
+            s"TextIndex.recoverAppend: roll-forward of $n failed")
+      }
+      require(fs.delete(txn, false),
+        "TextIndex.recoverAppend: marker cleanup failed")
+      fs.delete(tmp, true)
+      true
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true) // pre-commit crash: discard, index untouched
+      true
+    } else false
   }
 
   /** Restore the range-disjoint token layout after a run of
@@ -143,6 +222,10 @@ object TextIndex {
     */
   def relayout(spark: SparkSession, dir: String, nFiles: Int = 32): Unit = {
     Layout.restoreIfCrashed(spark, dir)
+    // land any committed-but-unfinished append BEFORE the rewrite: a
+    // marker left pointing at staged files across a relayout would
+    // re-land stale postings over the fresh layout later
+    recoverAppend(spark, dir)
     Layout.rewriteInPlace(spark, dir) { tmp =>
       Layout.writeRangeSorted(spark.read.parquet(dir), tmp, nFiles,
         keyCol = "token")

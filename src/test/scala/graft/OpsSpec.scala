@@ -1497,6 +1497,25 @@ class OpsSpec extends SparkSpec {
     assert(picks(df, "s1") != base)
   }
 
+  test("samplePerKey states its integral-key contract loudly") {
+    import graft.ops.Corpus
+    // a NULL id — or a non-numeric string key, which CASTs to null —
+    // used to surface as an opaque executor-side encoder error; the
+    // contract is now a plan-time refusal naming the columns
+    val nullId = Seq((Some(1L), Some(10L)), (Some(2L), None))
+      .toDF("k", "id")
+    val e1 = intercept[IllegalArgumentException](
+      Corpus.samplePerKey(nullId, "k", "id", "s", 2))
+    assert(e1.getMessage.contains("non-null and integral"))
+    val strKey = Seq(("web", 1L), ("books", 2L)).toDF("k", "id")
+    val e2 = intercept[IllegalArgumentException](
+      Corpus.samplePerKey(strKey, "k", "id", "s", 2))
+    assert(e2.getMessage.contains("non-null and integral"))
+    // numeric strings CAST cleanly and remain accepted
+    val numStr = Seq(("1", 1L), ("1", 2L), ("2", 3L)).toDF("k", "id")
+    assert(Corpus.samplePerKey(numStr, "k", "id", "s", 5).count() == 3)
+  }
+
   test("salted operators refuse non-positive bucket counts loudly") {
     import graft.ops.Skew
     val left = Seq(("a", 1L)).toDF("k", "v")
@@ -1725,6 +1744,65 @@ class OpsSpec extends SparkSpec {
     assert(ids(graft.ops.TextIndex.searchAll(spark, dir, Seq("zeta"))).isEmpty)
     intercept[IllegalArgumentException](
       graft.ops.TextIndex.searchAll(spark, dir, Nil))
+  }
+
+  test("text-index append crash windows: pre-marker rolls back, post-marker rolls forward") {
+    import graft.ops.TextIndex
+    val dir = builtTextIndex()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root.getParent,
+      s".${root.getName}.graft-append-tmp")
+    val txn = new org.apache.hadoop.fs.Path(root.getParent,
+      s".${root.getName}.graft-append-txn")
+    def search(t: String): Seq[Long] = TextIndex
+      .searchAll(spark, dir, Seq(t))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def stageBatch(): Seq[String] = {
+      // exactly what append stages for docs 6 and 7, split over TWO
+      // files so a partial post-marker landing is representable
+      Seq((6L, "omega beta"), (7L, "omega alpha")).toDF("doc_id", "text")
+        .select($"doc_id",
+          posexplode(graft.ops.TextOps.tokens(
+            graft.ops.TextOps.normalized($"text"))))
+        .select($"col".as("token"), $"doc_id",
+          ($"pos" + 1).cast("long").as("pos"))
+        .repartition(2, $"doc_id")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.listStatus(tmp)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.getName).sorted.toSeq
+    }
+    // window 1 — crash BEFORE the marker: the stage is discarded whole,
+    // the index is byte-identical, and a retry appends fresh
+    stageBatch()
+    assert(search("omega").isEmpty, "pre-marker stage must not be visible")
+    assert(!fs.exists(tmp), "search must discard a pre-marker stage")
+    // window 2 — crash AFTER the marker with PARTIAL landing: one file
+    // renamed in, one still staged. This is exactly the state the old
+    // doc_id-presence heuristic misread as a completed retry (every
+    // batch doc already had ≥1 posting row) — the marker protocol
+    // rolls the remaining file forward instead.
+    val staged = stageBatch()
+    assert(staged.size == 2, s"need 2 staged files, got $staged")
+    val out = fs.create(new org.apache.hadoop.fs.Path(txn.toString + ".tmp"), true)
+    out.write(staged.mkString("\n").getBytes("UTF-8")); out.close()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(txn.toString + ".tmp"), txn))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp, staged.head),
+      new org.apache.hadoop.fs.Path(root, staged.head)))
+    assert(search("omega") == Seq(6L, 7L),
+      "post-marker crash must roll forward to the COMPLETE batch")
+    assert(!fs.exists(txn) && !fs.exists(tmp))
+    // the landed batch now reads as a completed retry: idempotent no-op
+    TextIndex.append(Seq((6L, "omega beta"), (7L, "omega alpha"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(search("omega") == Seq(6L, 7L), "retry must not double-count")
+    // and a real append through the new protocol lands atomically
+    TextIndex.append(Seq((8L, "omega zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(search("omega") == Seq(6L, 7L, 8L))
+    assert(search("zeta") == Seq(8L))
+    assert(!fs.exists(txn) && !fs.exists(tmp), "append must clean up")
   }
 
   test("stableIds: contiguous, order-correct, partitioning-invariant, dup-refusing") {

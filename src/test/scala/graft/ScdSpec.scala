@@ -100,4 +100,19 @@ class ScdSpec extends SparkSpec {
     assert(out.select("fid", "city").as[(Long, String)].collect().toSeq
       == Seq((100L, "oslo")))
   }
+
+  test("merge2 refuses a snapshot with duplicated keys") {
+    val dim = dimOf(Seq((1L, "oslo", 1)), d1)
+    // a duplicated key would fan out in the full-outer join and insert
+    // TWO open versions — silently breaking the at-most-one-open
+    // invariant pointInTime relies on
+    val snap = Seq((1L, "oslo", 1), (1L, "bergen", 2)).toDF("k", "city", "tier")
+    val e = intercept[IllegalArgumentException](
+      Scd.merge2(dim, snap, "k", attrs, lit(d2)).collect())
+    assert(e.getMessage.contains("duplicated"))
+    // the clean snapshot still merges
+    val ok = Seq((1L, "bergen", 2)).toDF("k", "city", "tier")
+    assert(Scd.merge2(dim, ok, "k", attrs, lit(d2))
+      .filter(col("is_current")).count() == 1)
+  }
 }

@@ -453,4 +453,65 @@ class SinksSpec extends SparkSpec {
     assert(cities.toSeq == Seq("Cairo", "London", "Tokyo"),
       "the stranded partition's rows must survive an upsert into it")
   }
+
+  test("percentDecode: %XX only — '+' literal, UTF-8 runs, malformed kept") {
+    import graft.io.HivePath.percentDecode
+    assert(percentDecode("2023-11-01 10%3A00") == "2023-11-01 10:00")
+    assert(percentDecode("a+b") == "a+b") // the URLDecoder corruption case
+    assert(percentDecode("a%20b") == "a b")
+    assert(percentDecode("%253A") == "%3A") // one layer per decode
+    assert(percentDecode("100%25") == "100%")
+    assert(percentDecode("caf%C3%A9") == "café") // multi-byte UTF-8 run
+    assert(percentDecode("%zz%") == "%zz%") // malformed stays literal
+    assert(percentDecode("plain") == "plain")
+  }
+
+  test("purge handles partitions whose value needs Hive escaping (space, colon)") {
+    val dir = Files.createTempDirectory("graft_purgeesc").toString + "/t"
+    // ':' is Hive-escaped to %3A in the directory name; the space stays
+    // literal on disk but input_file_name() URI-encodes BOTH (%20 and
+    // %253A) — the exact double-encoding that used to make the probe's
+    // __pn match neither the on-disk nor the staged directory name
+    Seq(
+      ("u1", 1.0, "2023-11-01 10:00"),
+      ("u2", 2.0, "2023-11-01 10:00"),
+      ("u3", 3.0, "2023-11-02 11:30")  // u3 is its partition's ONLY row
+    ).toDF("user", "value", "hour")
+      .write.partitionBy("hour").parquet(dir)
+    assert(new java.io.File(s"$dir/hour=2023-11-01 10%3A00").exists(),
+      "precondition: the partition value must actually need escaping")
+    // partial purge of an escaped partition rewrites it correctly
+    Sinks.deleteKeysPartitioned(spark, Seq("u1").toDF("user"), dir,
+      Seq("user"), "hour")
+    val afterPartial = spark.read.parquet(dir)
+      .select("user", "hour").as[(String, String)].collect().toSet
+    assert(afterPartial == Set(("u2", "2023-11-01 10:00"),
+      ("u3", "2023-11-02 11:30")))
+    // FULL purge of an escaped partition: the 0-row staging path must
+    // address the real directory name, or the doomed row survives
+    Sinks.deleteKeysPartitioned(spark, Seq("u3").toDF("user"), dir,
+      Seq("user"), "hour")
+    val afterFull = spark.read.parquet(dir)
+      .select("user").as[String].collect().toSeq
+    assert(afterFull == Seq("u2"),
+      "doomed rows survived a full purge of a Hive-escaped partition")
+  }
+
+  test("retention keeps a literal '+' partition value straight") {
+    val dir = Files.createTempDirectory("graft_retplus").toString + "/t"
+    // '+' is NOT Hive-escaped (it is a plain character in both the
+    // directory name and the value); a form-decoder would read 'a+b'
+    // as 'a b' and the keep predicate would judge the wrong value
+    Seq(("u1", 1.0, "a+b"), ("u2", 2.0, "a b"), ("u3", 3.0, "c"))
+      .toDF("user", "value", "tag")
+      .write.partitionBy("tag").parquet(dir)
+    val dropped = Sinks.dropPartitions(spark, dir, "tag",
+      v => v =!= lit("a+b"))
+    assert(dropped == Seq("tag=a+b"),
+      s"only the literal 'a+b' partition must drop, got $dropped")
+    val left = spark.read.parquet(dir)
+      .select("tag").as[String].collect().sorted.toSeq
+    assert(left == Seq("a b", "c"),
+      "the 'a b' partition must survive a predicate that names 'a+b'")
+  }
 }
