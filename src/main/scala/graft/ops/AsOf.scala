@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   *
   * One shuffle on the key, a sort within key partitions, no quadratic
   * (left × right-history) pair blowup — the shape that survives a
-  * range-join at 100 TB. Parallelism is bounded by key cardinality;
-  * salt the key upstream if it is low and hot.
+  * range-join at 100 TB. [[joinAsOf]]'s parallelism is bounded by key
+  * cardinality; [[joinAsOfSalted]] is the skew-mitigated twin for
+  * low-cardinality hot keys — it splits each key's timeline into
+  * time-range buckets, runs the carry per (key, bucket), and stitches
+  * the bucket boundaries with a carry-in relation bounded by
+  * |keys| × buckets, so the result is byte-identical while the hot
+  * key's volume spreads over `buckets` tasks.
   */
 object AsOf {
 
@@ -46,6 +51,90 @@ object AsOf {
     l.unionByName(rAligned)
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
+      .select((lCols :+ valueCol).toIndexedSeq.map(col): _*)
+  }
+
+  /** Skew-mitigated [[joinAsOf]] — same contract, same result, but the
+    * per-key running carry is computed per (key, time-bucket) so one
+    * hot key's history no longer serializes onto a single task:
+    *
+    *   1. bucket boundaries are sampled from the union's own time
+    *      distribution (approxQuantile — driver-side, `buckets`-bounded;
+    *      boundaries affect only PHYSICAL spread, never the answer, so
+    *      their approximation error is irrelevant);
+    *   2. the within-bucket carry is [[joinAsOf]]'s window, partitioned
+    *      by (keys, bucket) — the hot key now spans `buckets` tasks;
+    *   3. a left row whose bucket holds no earlier right row takes the
+    *      CARRY-IN: the latest non-null right value from any earlier
+    *      bucket of its key — computed as one map-side-combined
+    *      aggregate (latest right value per key×bucket) windowed over
+    *      the bucket axis (≤ |keys| × buckets rows) and joined back
+    *      with a bounded broadcast.
+    *
+    * Equal times always land in one bucket (boundary comparison is
+    * strict), so the inclusive `rightTime <= leftTime` tie semantics
+    * are preserved exactly; with `buckets = 1` — or a constant time
+    * column — this degenerates to [[joinAsOf]] itself. Time columns
+    * must cast to timestamp (dates do). The one data-sized shuffle is
+    * the window exchange, same as the unsalted form.
+    */
+  def joinAsOfSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTime: String, rightTime: String,
+                     valueCol: String, buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val lCols = left.columns
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__src", lit(1))
+      .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__src", lit(0))
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.toIndexedSeq.map(col): _*)
+    val u = l.unionByName(rAligned)
+      .withColumn("__tus",
+        unix_micros(col("__t").cast("timestamp")).cast("double"))
+    // boundaries strictly between min and max; duplicates collapse so
+    // a heavily-tied distribution just yields fewer (still correct)
+    // buckets. Micros-as-double is exact to 2^53 — and boundary
+    // placement only moves work between tasks anyway.
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else u.stat.approxQuantile("__tus", probs, 0.001).distinct.sorted
+    // bucket = #boundaries strictly below t: equal times share a bucket,
+    // so an equal-time right row can never land AFTER its left row
+    val bCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__tus") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = u.withColumn("__b", bCol).drop("__tus")
+    val wIn = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__t").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = bucketed
+      .withColumn("__c", last(col(valueCol), ignoreNulls = true).over(wIn))
+    // latest NON-NULL right value per (key, bucket) — non-null so the
+    // cross-bucket carry skips null-valued right rows exactly the way
+    // last(ignoreNulls) does inside a bucket
+    val bucketLast = bucketed
+      .filter(col("__src") === 0 && col(valueCol).isNotNull)
+      .groupBy((keys :+ "__b").map(col): _*)
+      .agg(max_by(col(valueCol), col("__t")).as("__bl"))
+    // every (key, bucket) the union touches — buckets without right
+    // rows must still RELAY the carry from earlier buckets
+    val grid = bucketed.select((keys :+ "__b").map(col): _*).distinct()
+    val wAcross = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = grid.join(bucketLast, keys :+ "__b", "left")
+      .withColumn("__cin", last(col("__bl"), ignoreNulls = true).over(wAcross))
+      .select((keys :+ "__b").map(col) :+ col("__cin"): _*)
+    carried.filter(col("__src") === 1)
+      .join(Dedup.boundedBroadcast(carryIn), keys :+ "__b", "left")
+      .withColumn(valueCol, coalesce(col("__c"), col("__cin")))
       .select((lCols :+ valueCol).toIndexedSeq.map(col): _*)
   }
 

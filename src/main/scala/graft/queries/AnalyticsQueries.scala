@@ -360,6 +360,38 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     },
 
+    /** join_asof_salted — the skew-mitigated as-of twin
+      * (AsOf.joinAsOfSalted): join_asof's parallelism is bounded by
+      * key cardinality (here 5 priorities — the hot-key shape), so
+      * the salted form splits every key's timeline into time-range
+      * buckets, carries within (key, bucket), and stitches bucket
+      * boundaries with a |keys|×buckets carry-in relation. Result is
+      * byte-identical to the unsalted form — the oracle IS join_asof's
+      * oracle — while the window exchange spreads over buckets× more
+      * tasks. */
+    Q("join_asof_salted",
+      s"""WITH rates AS (SELECT o_orderpriority AS priority,
+         |    CAST(o_orderdate AS DATE) AS rd,
+         |    ${davgSql("o_totalprice", "rate")}
+         |  FROM orders GROUP BY 1, 2),
+         |o AS (SELECT o_orderkey, o_orderpriority AS priority,
+         |    CAST(o_orderdate AS DATE) AS od FROM orders)
+         |SELECT o.o_orderkey, o.priority, o.od, r.rate
+         |FROM o ASOF JOIN rates r
+         |  ON o.priority = r.priority AND o.od >= r.rd
+         |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority").as("priority"),
+        Enrich.deriveDate(col("o_orderdate")).as("od"))
+      val rates = table(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          Enrich.deriveDate(col("o_orderdate")).as("rd"))
+        .agg(davg(col("o_totalprice")).as("rate"))
+      graft.ops.AsOf.joinAsOfSalted(o, rates, Seq("priority"), "od", "rd",
+          "rate", buckets = 8)
+        .orderBy("o_orderkey")
+    },
+
     /** join_asof_nearest — nearest-in-time as-of join (AsOf
       * .joinAsOfNearest, pandas merge_asof direction='nearest'): each
       * sampled event gets the SAME user's purchase value closest in

@@ -22,4 +22,41 @@ class AsOfSpec extends SparkSpec {
     assert(out("e4") == Some(9.0))
     assert(out("e5") == None)        // before any rate → null
   }
+
+  test("salted as-of equals the unsalted form for every bucket count") {
+    // one HOT key (the shape the salted form exists for) plus a cold
+    // key, a key with no right rows, equal-time ties (inclusive <=),
+    // NULL right values (must not overwrite an earlier carry), and
+    // whole time stretches with no right rows (cross-bucket relay)
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 400).map { i =>
+      val k = if (i % 10 == 0) "cold" else if (i % 17 == 0) "bare" else "hot"
+      (k, rnd.nextInt(1000).toLong, i.toLong)
+    }.toDF("key", "t", "id")
+    val right = (1 to 60).map { j =>
+      val k = if (j % 6 == 0) "cold" else "hot"
+      // distinct times per key (right-uniqueness contract); sparse
+      // region above 800 so late buckets relay the carry-in
+      val t = if (j % 5 == 0) 800L + j * 3 else (j * 13 % 700).toLong
+      val v: Option[Double] = if (j % 7 == 0) None else Some(j.toDouble)
+      (k, t, v)
+    }.distinct.toDF("key", "rt", "v")
+      .dropDuplicates("key", "rt")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    val base = rows(AsOf.joinAsOf(left, right, Seq("key"), "t", "rt", "v"))
+    for (b <- Seq(1, 3, 16)) {
+      val salted = rows(AsOf.joinAsOfSalted(
+        left, right, Seq("key"), "t", "rt", "v", buckets = b))
+      assert(salted == base, s"buckets=$b diverged from joinAsOf")
+    }
+    // partitioning invariance: the carry must be a pure function of
+    // the values, never of where boundary sampling lands
+    val reparted = rows(AsOf.joinAsOfSalted(
+      left.repartition(13), right.repartition(7),
+      Seq("key"), "t", "rt", "v", buckets = 8))
+    assert(reparted == base)
+    intercept[IllegalArgumentException](
+      AsOf.joinAsOfSalted(left, right, Seq("key"), "t", "rt", "v", 0))
+  }
 }
