@@ -102,15 +102,20 @@ object Bench {
       * clean same-sf artifact — with ≥ 0.5 s absolute excess, so 3×
       * of a 50 ms row is not noise-flagged — is re-run at the END of
       * the bench, after the window has passed, and the min over all
-      * iterations is reported. The ratio fence is 2.5× (not 3×):
-      * replayed against the r11 incident, 3× misses two of the four
-      * window rows (dedup_incremental 7.19 vs 2.45 = 2.93×,
+      * iterations is reported. The ratio fence began at 2.5× (not
+      * 3×): replayed against the r11 incident, 3× misses two of the
+      * four window rows (dedup_incremental 7.19 vs 2.45 = 2.93×,
       * ann_lsh_quantized 1.55 vs 0.55 = 2.8×) while 2.5× catches all
       * four; the 0.5 s absolute-excess fence keeps jitter on small
-      * rows from triggering spurious re-runs.
+      * rows from triggering spurious re-runs. Tightened to 2× in r15
+      * (VERDICT r14 nit #1): the r14 count anchor carried ~8 s of
+      * load pollution in rows sitting at 2.2-2.3× — just under the
+      * old fence — and with a committed per-round artifact chain the
+      * baseline is now trustworthy enough that a 2× excursion with
+      * ≥ 0.5 s absolute excess is worth one end-of-run retry.
       */
     def slowVsBaseline(cur: Double, base: Double): Boolean =
-      cur >= 0 && base >= 0.05 && cur > 2.5 * base && cur - base > 0.5
+      cur >= 0 && base >= 0.05 && cur > 2.0 * base && cur - base > 0.5
     /** The fixed-floor families: streaming-engine rows (RocksDB state
       * + AvailableNow micro-batch startup — scales with state, not
       * corpus) and sink/write-protocol rows (JDBC round trips, staged
