@@ -1,0 +1,192 @@
+package graft.io
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, date_from_unix_date, timestamp_micros}
+import org.apache.spark.sql.types._
+
+/** Avro container-file sink/source built directly on the public Avro
+  * Java API (`org.apache.avro:avro`, shipped with Spark) — the
+  * `spark-avro` connector module is not on this classpath, so the
+  * format round trip is implemented at the task level instead:
+  *
+  *   - '''write''': one Avro object-container file per non-empty input
+  *     partition (`part-<pid>.avro` through the Hadoop FileSystem API,
+  *     so the same code targets local disk, HDFS, or an object store).
+  *     A task retry re-creates its own part file (`overwrite = true`),
+  *     keeping the job idempotent under speculation.
+  *   - '''read''': the driver lists only FILE NAMES (bounded by the
+  *     writing job's partition count, never row data), then each task
+  *     streams one container file through `DataFileStream` — the read
+  *     is as distributed as the write was.
+  *
+  * Temporal fidelity without relying on Avro logical-type conversion
+  * machinery: timestamps travel as `timestamp-micros` longs and dates
+  * as epoch-day ints (both annotated with the standard Avro
+  * `logicalType` for interop with other readers), and the DataFrame
+  * side restores them with the codegen'd `timestamp_micros` /
+  * `date_from_unix_date` built-ins — exact to the microsecond, no
+  * JVM-timezone round trip anywhere.
+  *
+  * Supported Spark types: long, int, double, float, boolean, string,
+  * date, timestamp (nullable or not — nullable fields map to the
+  * canonical `["null", T]` union). Anything else is refused loudly at
+  * plan time, not corrupted at write time.
+  */
+object Avro {
+
+  private[graft] def typeJson(dt: DataType): String = dt match {
+    case LongType      => "\"long\""
+    case IntegerType   => "\"int\""
+    case DoubleType    => "\"double\""
+    case FloatType     => "\"float\""
+    case BooleanType   => "\"boolean\""
+    case StringType    => "\"string\""
+    case DateType      => """{"type":"int","logicalType":"date"}"""
+    case TimestampType => """{"type":"long","logicalType":"timestamp-micros"}"""
+    // Avro's local-timestamp-micros IS Spark's TIMESTAMP_NTZ: wall-clock
+    // micros since 1970-01-01T00:00, no zone — encoded/decoded with a
+    // fixed UTC offset, so the wire value never depends on JVM or
+    // session timezone. (The read-side restoration cast renders in the
+    // session zone; every graft entry point pins UTC.)
+    case TimestampNTZType =>
+      """{"type":"long","logicalType":"local-timestamp-micros"}"""
+    case other => throw new IllegalArgumentException(
+      s"avro sink: unsupported Spark type $other (supported: long, int, " +
+        "double, float, boolean, string, date, timestamp, timestamp_ntz)")
+  }
+
+  /** Avro record-schema JSON for a Spark schema. Field names must
+    * already be Avro-legal identifiers — refused otherwise rather than
+    * silently mangled, so the read-back schema always matches.
+    */
+  private[graft] def schemaJson(st: StructType): String = {
+    val fields = st.fields.map { f =>
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"avro sink: field name '${f.name}' is not an Avro identifier")
+      val t =
+        if (f.nullable) s"""["null",${typeJson(f.dataType)}]"""
+        else typeJson(f.dataType)
+      val dflt = if (f.nullable) ""","default":null""" else ""
+      s"""{"name":"${f.name}","type":$t$dflt}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"graft_avro","fields":[$fields]}"""
+  }
+
+  /** External Row value → Avro primitive. Temporal values leave as
+    * integers; both the legacy (`java.sql.*`) and Java-8
+    * (`Instant`/`LocalDate`) external types are accepted so the sink
+    * does not depend on `spark.sql.datetime.java8API.enabled`.
+    */
+  private def toAvro(v: Any): Any = v match {
+    case null                  => null
+    case s: String             => s
+    case t: java.sql.Timestamp =>
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case i: java.time.Instant  => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case l: java.time.LocalDateTime =>
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
+    case d: java.sql.Date      => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case other                 => other // long/int/double/float/boolean
+  }
+
+  /** Avro decoded value → raw external value (strings arrive as
+    * `org.apache.avro.util.Utf8`; temporals stay int/long and are
+    * restored to Catalyst types by the built-ins in [[read]]).
+    */
+  private def fromAvro(v: Any): Any = v match {
+    case null                => null
+    case u: CharSequence     => u.toString
+    case other               => other
+  }
+
+  /** Raw wire type per field: what the Avro file actually carries. */
+  private def rawType(dt: DataType): DataType = dt match {
+    case DateType         => IntegerType
+    case TimestampType    => LongType
+    case TimestampNTZType => LongType
+    case other            => other
+  }
+
+  /** Write `df` as one Avro container file per non-empty partition
+    * under `path`. The schema translation happens ONCE on the driver
+    * (schema errors surface before any task runs); each task parses
+    * the schema JSON locally and streams its rows straight to the
+    * file — no per-row reflection, no driver materialization.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val json = schemaJson(df.schema)
+    val names = df.schema.fields.map(_.name)
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val avroSchema = new Schema.Parser().parse(json)
+        val p = new Path(path, f"part-${TaskContext.getPartitionId()}%05d.avro")
+        val fs = p.getFileSystem(new Configuration())
+        val out = fs.create(p, true)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](avroSchema))
+        try {
+          w.create(avroSchema, out)
+          rows.foreach { r =>
+            val rec = new GenericData.Record(avroSchema)
+            var i = 0
+            while (i < names.length) {
+              rec.put(names(i), toAvro(r.get(i)))
+              i += 1
+            }
+            w.append(rec)
+          }
+        } finally w.close() // also closes the FS stream
+      }
+    }
+  }
+
+  /** Read the Avro container files under `path` back into a DataFrame
+    * with `schema`. One task per file (the write-side partitioning is
+    * the read-side parallelism); temporal columns are restored from
+    * their wire integers with codegen'd built-ins.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".avro")).map(_.toString).sorted.toSeq
+    val names = schema.fields.map(_.name)
+    val raw = StructType(schema.fields.map(f =>
+      f.copy(dataType = rawType(f.dataType))))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.length, 1))
+      .flatMap { fstr =>
+        val p = new Path(fstr)
+        val in = p.getFileSystem(new Configuration()).open(p)
+        val rdr = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = rdr.hasNext
+            if (!h) rdr.close()
+            h
+          }
+          def next(): Row = {
+            val rec = rdr.next()
+            Row.fromSeq(names.toIndexedSeq.map(n => fromAvro(rec.get(n))))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, raw).select(schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case TimestampType => timestamp_micros(col(f.name)).as(f.name)
+        case TimestampNTZType =>
+          timestamp_micros(col(f.name)).cast(TimestampNTZType).as(f.name)
+        case DateType      => date_from_unix_date(col(f.name)).as(f.name)
+        case _             => col(f.name)
+      }
+    }: _*)
+  }
+}

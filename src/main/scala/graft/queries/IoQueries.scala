@@ -292,6 +292,27 @@ object IoQueries {
       s.read.orc(out).orderBy("p_partkey")
     },
 
+    /** sink_avro — the row-oriented interchange format, completing the
+      * format matrix next to CSV/JSON/Parquet/ORC/JDBC (no reference
+      * analog; the `spark-avro` connector is absent from this
+      * classpath, so graft.io.Avro drives the core Avro Java API at
+      * the task level — one container file per partition through the
+      * Hadoop FS API, timestamps as annotated `timestamp-micros`).
+      * orders slice → Avro → read-back; a dropped row, a mangled
+      * union, or a timezone round trip breaks the hash. */
+    Q("sink_avro",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+      val out = tmp("sink_avro")
+      graft.io.Avro.write(o, out)
+      graft.io.Avro.read(s, out, o.schema).orderBy("o_orderkey")
+    },
+
     /** sink_append_evolve — schema evolution on a standing parquet
       * table (Sinks.appendEvolved/readEvolved): a v1 batch writes two
       * columns, a WIDENED v2 batch appends a third; the merged read

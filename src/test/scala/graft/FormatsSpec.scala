@@ -161,4 +161,56 @@ class FormatsSpec extends SparkSpec {
     assert(back.count() == 3, "the stranded partition's rows must survive")
     assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("avro sink round-trips every supported type, nulls included") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType),
+      StructField("x", DoubleType),
+      StructField("f", FloatType),
+      StructField("b", BooleanType),
+      StructField("s", StringType),
+      StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("ntz", TimestampNTZType)))
+    val ts = java.sql.Timestamp.valueOf("2023-11-07 12:34:56.123456")
+    val ntz = java.time.LocalDateTime.parse("2023-11-07T12:34:56.123456")
+    val rows = Seq(
+      Row(1L, 7, 2.5, 1.5f, true, "alpha",
+        java.sql.Date.valueOf("2023-11-07"), ts, ntz),
+      Row(2L, null, null, null, null, null, null, null, null),
+      Row(3L, -1, -0.0, 0.0f, false, "", // empty string != null through the union
+        java.sql.Date.valueOf("1970-01-01"),
+        java.sql.Timestamp.valueOf("1970-01-01 00:00:00.000001"),
+        java.time.LocalDateTime.parse("1970-01-01T00:00:00.000001")))
+    // 4 partitions over 3 rows: at least one empty partition, so the
+    // writer's skip-empty path and the reader's file-per-task path
+    // both execute
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val dir = Files.createTempDirectory("graft_avro").toString
+    graft.io.Avro.write(df, dir)
+    val back = graft.io.Avro.read(spark, dir, schema)
+    assert(back.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      schema.fields.map(f => f.name -> f.dataType).toSeq)
+    val got = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 3)
+    assert(got(1L).getTimestamp(7) == ts, "microsecond fidelity")
+    assert(got(1L).getDate(6) == java.sql.Date.valueOf("2023-11-07"))
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(7))
+    assert(got(3L).getString(5) == "")
+    assert(got(3L).getTimestamp(7).getNanos == 1000, "1 micro survives")
+    assert(got(1L).getAs[java.time.LocalDateTime](8) == ntz,
+      "NTZ wall clock is exact")
+  }
+
+  test("avro sink refuses unsupported types and bad field names loudly") {
+    import org.apache.spark.sql.types._
+    val bin = StructType(Seq(StructField("payload", BinaryType)))
+    intercept[IllegalArgumentException](graft.io.Avro.schemaJson(bin))
+    val bad = StructType(Seq(StructField("has space", LongType)))
+    intercept[IllegalArgumentException](graft.io.Avro.schemaJson(bad))
+  }
 }
