@@ -149,8 +149,24 @@ object Scratch {
             .select("doc_id", "n_kept", "text_pruned").orderBy("doc_id").count())
       }
     }
+    // full:<name> — the Bench full-plan discipline (toRdd.count()):
+    // count() lets Catalyst prune output-only columns and with them
+    // whole aggregates; this mode executes the query's OWN physical
+    // plan, the number the sf1 full-mode series reports
+    val fulls = args.filter(_.startsWith("full:")).map(_.stripPrefix("full:"))
+    fulls.foreach { n =>
+      SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+    }
+    (1 to 3).foreach { it =>
+      fulls.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+        println(f"[scratch] full:$n iter$it ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
     val names = args.filterNot(a =>
-      a.startsWith("explain:") || a.startsWith("bpe:") || a == "bktprobe" ||
+      a.startsWith("explain:") || a.startsWith("bpe:") || a.startsWith("full:") ||
+      a == "bktprobe" ||
       a == "annprobe" || a == "annprobe_raw" || a == "ppprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>

@@ -16,10 +16,19 @@ import org.apache.spark.sql.types._
   * format round trip is implemented at the task level instead:
   *
   *   - '''write''': one Avro object-container file per non-empty input
-  *     partition (`part-<pid>.avro` through the Hadoop FileSystem API,
-  *     so the same code targets local disk, HDFS, or an object store).
-  *     A task retry re-creates its own part file (`overwrite = true`),
-  *     keeping the job idempotent under speculation.
+  *     partition (`part-<pid>-<jobId>.avro` through the Hadoop FileSystem API,
+  *     so the same code targets local disk, HDFS, or an object store;
+  *     tasks use the JOB's Hadoop configuration — shipped via a
+  *     serializable wrapper — so `spark.hadoop.*` object-store
+  *     credentials and custom `fs.<scheme>.impl` settings reach the
+  *     executors exactly as they reach the driver). Each task ATTEMPT
+  *     stages to an attempt-unique temp name and renames into place on
+  *     success: two speculative attempts of one partition never hold
+  *     the same file open (interleaved writes to a shared container
+  *     file would corrupt it), the rename is the commit point, and a
+  *     loser whose rename finds the winner's file already landed
+  *     treats that as success — idempotent under both sequential retry
+  *     and concurrent speculation.
   *   - '''read''': the driver lists only FILE NAMES (bounded by the
   *     writing job's partition count, never row data), then each task
   *     streams one container file through `DataFileStream` — the read
@@ -39,6 +48,26 @@ import org.apache.spark.sql.types._
   * plan time, not corrupted at write time.
   */
 object Avro {
+
+  /** Hadoop `Configuration` is not `Serializable`; this wrapper ships
+    * the DRIVER's configuration (session conf + `spark.hadoop.*`) to
+    * tasks via Hadoop's own wire format, so executor-side FileSystem
+    * lookups resolve credentials and scheme impls identically to the
+    * driver — a bare `new Configuration()` in a task would silently
+    * drop everything configured through Spark.
+    */
+  private[graft] class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   private[graft] def typeJson(dt: DataType): String = dt match {
     case LongType      => "\"long\""
@@ -64,8 +93,16 @@ object Avro {
   /** Avro record-schema JSON for a Spark schema. Field names must
     * already be Avro-legal identifiers — refused otherwise rather than
     * silently mangled, so the read-back schema always matches.
+    * `aliases` maps a (reader-side) field name to the name it carried
+    * in older writer schemas — standard Avro rename resolution — and
+    * nullable fields carry `"default": null`, so a reader schema field
+    * absent from a file's writer schema resolves to null instead of
+    * failing (standard added-column evolution).
     */
-  private[graft] def schemaJson(st: StructType): String = {
+  private[graft] def schemaJson(st: StructType,
+                                aliases: Map[String, String] = Map.empty): String = {
+    aliases.keys.foreach(a => require(st.fieldNames.contains(a),
+      s"avro: alias key '$a' is not a field of the schema"))
     val fields = st.fields.map { f =>
       require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"avro sink: field name '${f.name}' is not an Avro identifier")
@@ -73,7 +110,12 @@ object Avro {
         if (f.nullable) s"""["null",${typeJson(f.dataType)}]"""
         else typeJson(f.dataType)
       val dflt = if (f.nullable) ""","default":null""" else ""
-      s"""{"name":"${f.name}","type":$t$dflt}"""
+      val al = aliases.get(f.name).map { old =>
+        require(old.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"avro: alias '$old' is not an Avro identifier")
+        s""","aliases":["$old"]"""
+      }.getOrElse("")
+      s"""{"name":"${f.name}","type":$t$dflt$al}"""
     }.mkString(",")
     s"""{"type":"record","name":"graft_avro","fields":[$fields]}"""
   }
@@ -123,26 +165,49 @@ object Avro {
   def write(df: DataFrame, path: String): Unit = {
     val json = schemaJson(df.schema)
     val names = df.schema.fields.map(_.name)
+    val confSer = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    // job-unique part-name component (Spark's own part-file
+    // convention): a task RETRY within this job re-creates the same
+    // final name (idempotent), while a SECOND write() call into the
+    // same directory appends a new file generation instead of
+    // silently overwriting the first — the read side lists *.avro
+    // and resolves each file's writer schema independently
+    val jobId = java.util.UUID.randomUUID().toString
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext) {
         val avroSchema = new Schema.Parser().parse(json)
-        val p = new Path(path, f"part-${TaskContext.getPartitionId()}%05d.avro")
-        val fs = p.getFileSystem(new Configuration())
-        val out = fs.create(p, true)
+        val tc = TaskContext.get()
+        val dest = new Path(path, f"part-${tc.partitionId()}%05d-$jobId.avro")
+        // attempt-unique stage name: concurrent speculative attempts
+        // never share a file handle; the terminal rename is the commit
+        val stage = new Path(path,
+          f".part-${tc.partitionId()}%05d-$jobId-attempt-${tc.taskAttemptId()}.avro.tmp")
+        val fs = dest.getFileSystem(confSer.value)
+        val out = fs.create(stage, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](avroSchema))
         try {
-          w.create(avroSchema, out)
-          rows.foreach { r =>
-            val rec = new GenericData.Record(avroSchema)
-            var i = 0
-            while (i < names.length) {
-              rec.put(names(i), toAvro(r.get(i)))
-              i += 1
+          try {
+            w.create(avroSchema, out)
+            rows.foreach { r =>
+              val rec = new GenericData.Record(avroSchema)
+              var i = 0
+              while (i < names.length) {
+                rec.put(names(i), toAvro(r.get(i)))
+                i += 1
+              }
+              w.append(rec)
             }
-            w.append(rec)
+          } finally w.close() // also closes the FS stream
+          // commit: rename wins or another attempt already landed the
+          // same partition's (identical) output — both are success
+          if (!fs.rename(stage, dest)) {
+            require(fs.exists(dest),
+              s"avro sink: commit rename $stage -> $dest failed")
+            fs.delete(stage, false)
           }
-        } finally w.close() // also closes the FS stream
+        } finally fs.delete(stage, false) // no-op when committed
       }
     }
   }
@@ -151,8 +216,17 @@ object Avro {
     * with `schema`. One task per file (the write-side partitioning is
     * the read-side parallelism); temporal columns are restored from
     * their wire integers with codegen'd built-ins.
+    *
+    * `schema` is the READER schema in the Avro-resolution sense, so
+    * standard schema evolution applies per file: a field the file's
+    * writer schema lacks resolves to its default (null for nullable
+    * fields — added-column evolution), and a field listed in
+    * `aliases` (new name → the name older files wrote) resolves
+    * through the rename. Files written with the current schema and
+    * files written before the evolution read back through ONE call.
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def read(spark: SparkSession, path: String, schema: StructType,
+           aliases: Map[String, String] = Map.empty): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(root).map(_.getPath)
@@ -160,13 +234,19 @@ object Avro {
     val names = schema.fields.map(_.name)
     val raw = StructType(schema.fields.map(f =>
       f.copy(dataType = rawType(f.dataType))))
+    val readerJson = schemaJson(schema, aliases)
+    val confSer = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.length, 1))
       .flatMap { fstr =>
         val p = new Path(fstr)
-        val in = p.getFileSystem(new Configuration()).open(p)
+        val in = p.getFileSystem(confSer.value).open(p)
+        val readerSchema = new Schema.Parser().parse(readerJson)
+        // expected = reader schema; the file header supplies the
+        // writer schema — Avro resolution handles default/alias fields
         val rdr = new DataFileStream[GenericRecord](
-          in, new GenericDatumReader[GenericRecord]())
+          in, new GenericDatumReader[GenericRecord](null, readerSchema))
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = rdr.hasNext

@@ -30,21 +30,32 @@ private[graft] object HivePath {
     else if (c >= 'A' && c <= 'F') c - 'A' + 10
     else -1
 
+  private def isEscape(s: String, i: Int): Boolean =
+    s.charAt(i) == '%' && i + 2 < s.length &&
+      hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0
+
   def percentDecode(s: String): String = {
     if (s.indexOf('%') < 0) return s
     val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+      if (isEscape(s, i)) {
         out.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2)))
         i += 3
       } else {
         // non-%XX characters round-trip through UTF-8 bytes so mixed
-        // literal/encoded strings reassemble correctly
-        out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        i += 1
+        // literal/encoded strings reassemble correctly. The whole RUN
+        // of consecutive literal chars is encoded in one getBytes call
+        // — char-at-a-time encoding would split surrogate PAIRS
+        // (non-BMP characters, e.g. an emoji in a partition value:
+        // Hive escapes only ASCII, non-ASCII stays literal in the
+        // directory name) into lone surrogates, each of which encodes
+        // to '?' and corrupts the value.
+        var j = i + 1
+        while (j < s.length && !isEscape(s, j)) j += 1
+        out.write(s.substring(i, j)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i = j
       }
     }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)

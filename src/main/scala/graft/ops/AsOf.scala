@@ -118,11 +118,21 @@ object AsOf {
       .withColumn("__c", last(col(valueCol), ignoreNulls = true).over(wIn))
     // latest NON-NULL right value per (key, bucket) — non-null so the
     // cross-bucket carry skips null-valued right rows exactly the way
-    // last(ignoreNulls) does inside a bucket
+    // last(ignoreNulls) does inside a bucket. The ordering key is
+    // (isNotNull, __t), NOT bare __t: a right row with a NULL time
+    // sorts FIRST in the unsalted window (asc = nulls first) and its
+    // value carries to every later row — a bare max_by(__t) would
+    // IGNORE that row (null ordering keys are skipped), so its value
+    // would never relay across bucket boundaries and left rows in
+    // later buckets would diverge from joinAsOf. The struct makes it
+    // the MINIMUM instead: it wins max_by only when it is the bucket's
+    // only right row, exactly matching last(ignoreNulls) under
+    // nulls-first order.
     val bucketLast = bucketed
       .filter(col("__src") === 0 && col(valueCol).isNotNull)
       .groupBy((keys :+ "__b").map(col): _*)
-      .agg(max_by(col(valueCol), col("__t")).as("__bl"))
+      .agg(max_by(col(valueCol),
+        struct(col("__t").isNotNull.as("nn"), col("__t").as("t"))).as("__bl"))
     // every (key, bucket) the union touches — buckets without right
     // rows must still RELAY the carry from earlier buckets
     val grid = bucketed.select((keys :+ "__b").map(col): _*).distinct()

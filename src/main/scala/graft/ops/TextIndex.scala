@@ -55,7 +55,7 @@ object TextIndex {
   def searchAll(spark: SparkSession, dir: String,
                 tokens: Seq[String]): DataFrame = {
     require(tokens.nonEmpty, "searchAll: at least one probe token")
-    recoverAppend(spark, dir)
+    rollForwardCommitted(spark, dir)
     val toks = tokens.map(_.toLowerCase.trim).distinct
     spark.read.parquet(dir)
       .filter(col("token").isInCollection(toks))
@@ -75,7 +75,7 @@ object TextIndex {
   def searchPhrase(spark: SparkSession, dir: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "searchPhrase: at least one token")
-    recoverAppend(spark, dir)
+    rollForwardCommitted(spark, dir)
     val toks = phrase.map(_.toLowerCase.trim)
     val idx = spark.read.parquet(dir)
       .filter(col("token").isInCollection(toks.distinct))
@@ -111,9 +111,11 @@ object TextIndex {
     *    committed (write-then-rename — the commit point), and only
     *    then are the files renamed into the index one by one. A crash
     *    before the marker discards the stage (index byte-identical, a
-    *    retry is a fresh batch); after it, [[recoverAppend]] — run by
-    *    every entry point, searches included — rolls the remaining
-    *    renames forward. The earlier design (`mode("append")` +
+    *    retry is a fresh batch — the discard is WRITER-only,
+    *    [[recoverAppend]]); after it, every entry point — searches
+    *    included, via the reader-safe [[rollForwardCommitted]] —
+    *    rolls the remaining renames forward. The earlier design
+    *    (`mode("append")` +
     *    inferring a retry from doc_id presence) had a silent hole: a
     *    crash that left PARTIAL task output visible, with every batch
     *    doc holding at least one posting row, read as a completed
@@ -167,11 +169,15 @@ object TextIndex {
     require(fs.rename(txnTmp, txn),
       s"TextIndex.append: txn marker commit $txnTmp -> $txn failed")
     staged.foreach { n =>
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, n),
-        new org.apache.hadoop.fs.Path(root, n)),
-        s"TextIndex.append: staged file $n failed to land in $dir")
+      val d = new org.apache.hadoop.fs.Path(root, n)
+      // tolerant of a READER having rolled this committed marker
+      // forward concurrently ([[rollForwardCommitted]]): a rename
+      // that fails because the file already landed is success
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp, n), d))
+        require(fs.exists(d),
+          s"TextIndex.append: staged file $n failed to land in $dir")
     }
-    require(fs.delete(txn, false), s"TextIndex.append: marker cleanup failed")
+    fs.delete(txn, false) // best-effort: a racing reader may have won
     fs.delete(tmp, true)
   }
 
@@ -182,31 +188,58 @@ object TextIndex {
     new org.apache.hadoop.fs.Path(root.getParent,
       s".${root.getName}.graft-append-txn")
 
-  /** Recovery preamble for [[append]]'s staged-rename protocol — run
-    * by every entry point (append, relayout, both searches) so no
-    * reader ever sees a half-landed batch: a present marker means the
-    * append COMMITTED — every staged file it names still sitting in
-    * the temp sibling is renamed in (files already landed are left
-    * alone; rename is atomic, a name is in exactly one place) — and a
-    * stage without a marker is a pre-commit crash, discarded whole.
-    * Returns true if any state was repaired.
+  /** Reader-side recovery: roll a COMMITTED append forward — every
+    * staged file the marker names still sitting in the temp sibling is
+    * renamed in (files already landed are left alone; rename is
+    * atomic, a name is in exactly one place). This is all a READER is
+    * allowed to do. A markerless stage is left untouched: it is
+    * invisible to reads anyway, and — the hole this split closes — a
+    * reader cannot distinguish a crashed pre-commit stage from a LIVE
+    * append that has not reached its commit point yet, so a reader
+    * deleting it could yank the stage out from under the writer (or,
+    * on a non-atomic store, race the writer's own listStatus into
+    * committing a partial file list). Markerless-stage cleanup is
+    * reserved for the write entry points ([[recoverAppend]]), which
+    * hold the single-writer role.
+    *
+    * Tolerant of racing the writer's (or another reader's) own
+    * roll-forward of the same commit: a rename that fails because the
+    * file already landed is success, and the marker delete is
+    * best-effort. Returns true if any state was repaired.
+    */
+  def rollForwardCommitted(spark: SparkSession, dir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = appendTmp(root); val txn = appendTxn(root)
+    if (!fs.exists(txn)) return false
+    val in = fs.open(txn)
+    val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toVector finally in.close()
+    names.foreach { n =>
+      val s = new org.apache.hadoop.fs.Path(tmp, n)
+      val d = new org.apache.hadoop.fs.Path(root, n)
+      if (fs.exists(s) && !fs.rename(s, d))
+        require(fs.exists(d),
+          s"TextIndex.rollForwardCommitted: roll-forward of $n failed")
+    }
+    fs.delete(txn, false) // best-effort: a racing recoverer may have won
+    true
+  }
+
+  /** WRITER-side recovery preamble for [[append]]'s staged-rename
+    * protocol — run by the entry points that hold the single-writer
+    * role (append, relayout): first land any committed-but-unfinished
+    * append ([[rollForwardCommitted]]), then discard a stage without
+    * a marker — under the single-writer contract a markerless stage
+    * here can only be a pre-commit crash (no other append can be
+    * live), so deleting it leaves the index byte-identical and a
+    * retry is a fresh batch. Returns true if any state was repaired.
     */
   def recoverAppend(spark: SparkSession, dir: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = appendTmp(root); val txn = appendTxn(root)
-    if (fs.exists(txn)) {
-      val in = fs.open(txn)
-      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toVector finally in.close()
-      names.foreach { n =>
-        val s = new org.apache.hadoop.fs.Path(tmp, n)
-        if (fs.exists(s))
-          require(fs.rename(s, new org.apache.hadoop.fs.Path(root, n)),
-            s"TextIndex.recoverAppend: roll-forward of $n failed")
-      }
-      require(fs.delete(txn, false),
-        "TextIndex.recoverAppend: marker cleanup failed")
+    val tmp = appendTmp(root)
+    if (rollForwardCommitted(spark, dir)) {
       fs.delete(tmp, true)
       true
     } else if (fs.exists(tmp)) {

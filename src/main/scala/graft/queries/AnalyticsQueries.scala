@@ -880,14 +880,33 @@ object AnalyticsQueries {
     },
 
     /** agg_approx — sketch aggregates (HLL distinct count, quantile
-      * sketch). No DuckDB oracle: sketch implementations differ by
-      * design; the driver records a rows-present check and AggSpec
-      * asserts error bounds against exact values. */
-    Q.noOracle("agg_approx") { (s, dir) =>
+      * sketch) under an EXECUTABLE error-bound contract. The sketch
+      * values themselves are engine-specific (HLL register layouts and
+      * KLL compaction differ by implementation), so the row does not
+      * emit them raw; it emits the EXACT per-group values alongside
+      * booleans asserting the sketches landed inside their configured
+      * bounds — |HLL − exact| ≤ 5·rsd·exact (rsd 0.01, so a 5σ fence
+      * a healthy HLL cannot trip) and approx-median within the exact
+      * [p45, p55] rank window (percentile_approx at accuracy 1000
+      * guarantees ±0.1% rank error — 50× inside the fence). The
+      * DuckDB oracle states the exact values and literal TRUEs, so a
+      * silent sketch-accuracy regression breaks the hash: this is a
+      * hard gate, not a rows-only check. */
+    Q("agg_approx",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok, TRUE AS median_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       table(s, dir, "events").groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+          approx_count_distinct(col("user_id"), 0.01).as("__hll"),
+          countDistinct(col("user_id")).as("exact_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("__amed"),
+          percentile(col("value"), lit(0.45)).as("__p45"),
+          percentile(col("value"), lit(0.55)).as("__p55"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__hll") - col("exact_users")).cast("double") <=
+            lit(5 * 0.01) * col("exact_users").cast("double")).as("hll_ok"),
+          col("__amed").between(col("__p45"), col("__p55")).as("median_ok"))
         .orderBy("event_type")
     },
 

@@ -313,6 +313,51 @@ object IoQueries {
       graft.io.Avro.read(s, out, o.schema).orderBy("o_orderkey")
     },
 
+    /** sink_avro_evolve — Avro schema-resolution evolution plus the
+      * logical-type edges, at the depth sink_append_evolve already has
+      * for Parquet: a v1 file carries a PRE-1970 timestamp (negative
+      * `timestamp-micros` — exact micro arithmetic on both engines, no
+      * calendar interval), a pre-1970 date (negative epoch-day int), a
+      * null-bearing `["null","string"]` union, and a double named
+      * `val_d`; the read-back uses the EVOLVED v2 reader schema —
+      * `val_d` RENAMED to `price_d` (Avro alias resolution) and an
+      * added nullable `added_flag` resolving to its null default. A
+      * sign-mangled pre-epoch value, a dropped union null, or a
+      * failed alias/default resolution breaks the hash. */
+    Q("sink_avro_evolve",
+      """SELECT o_orderkey,
+        |  make_timestamp(epoch_us(o_orderdate) - 1893456000000000) AS old_ts,
+        |  CAST(o_orderdate AS DATE) - 20000 AS old_day,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE 'n' || CAST(o_custkey AS VARCHAR) END AS note,
+        |  o_totalprice AS price_d,
+        |  CAST(NULL AS INTEGER) AS added_flag
+        |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val v1 = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(
+          col("o_orderkey"),
+          timestamp_micros(unix_micros(col("o_orderdate").cast("timestamp"))
+            - lit(1893456000000000L)).as("old_ts"),
+          date_add(col("o_orderdate").cast("date"), -20000).as("old_day"),
+          when(col("o_orderkey") % 3 === 0, lit(null))
+            .otherwise(concat(lit("n"), col("o_custkey").cast("string")))
+            .as("note"),
+          col("o_totalprice").as("val_d"))
+      val out = tmp("sink_avro_evolve")
+      graft.io.Avro.write(v1, out)
+      val v2 = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("old_ts", TimestampType),
+        StructField("old_day", DateType),
+        StructField("note", StringType),
+        StructField("price_d", DoubleType),
+        StructField("added_flag", IntegerType)))
+      graft.io.Avro.read(s, out, v2, aliases = Map("price_d" -> "val_d"))
+        .orderBy("o_orderkey")
+    },
+
     /** sink_append_evolve — schema evolution on a standing parquet
       * table (Sinks.appendEvolved/readEvolved): a v1 batch writes two
       * columns, a WIDENED v2 batch appends a third; the merged read

@@ -59,4 +59,28 @@ class AsOfSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AsOf.joinAsOfSalted(left, right, Seq("key"), "t", "rt", "v", 0))
   }
+
+  test("salted as-of carries a NULL-time right row across bucket boundaries") {
+    // a right row with rt = NULL sorts FIRST in the unsalted window
+    // (asc = nulls first): its value is the baseline every left row
+    // inherits until a timed right row overtakes it. The salted form
+    // must RELAY that value into later buckets — the ADVICE r15 bug
+    // was max_by(v, __t) silently dropping the null-time row from the
+    // cross-bucket carry, nulling every left row outside bucket 0.
+    val left = (1 to 200).map(i => ("hot", i.toLong * 5, i.toLong))
+      .toDF("key", "t", "id")
+    val right = Seq(
+      ("hot", None, 99.0),         // null time: carries from the start
+      ("hot", Some(600L), 42.0)    // overtakes at t >= 600
+    ).toDF("key", "rt", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    val base = rows(AsOf.joinAsOf(left, right, Seq("key"), "t", "rt", "v"))
+    assert(base(1L) == Some(99.0) && base(200L) == Some(42.0))
+    for (b <- Seq(2, 8, 16)) {
+      val salted = rows(AsOf.joinAsOfSalted(
+        left, right, Seq("key"), "t", "rt", "v", buckets = b))
+      assert(salted == base, s"buckets=$b diverged on a null-time right row")
+    }
+  }
 }

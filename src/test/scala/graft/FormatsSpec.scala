@@ -212,5 +212,61 @@ class FormatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.io.Avro.schemaJson(bin))
     val bad = StructType(Seq(StructField("has space", LongType)))
     intercept[IllegalArgumentException](graft.io.Avro.schemaJson(bad))
+    // alias keys must name reader-schema fields, and alias values must
+    // be Avro identifiers — refused at schema build, not at read time
+    val ok = StructType(Seq(StructField("a", LongType)))
+    intercept[IllegalArgumentException](
+      graft.io.Avro.schemaJson(ok, Map("nope" -> "a")))
+    intercept[IllegalArgumentException](
+      graft.io.Avro.schemaJson(ok, Map("a" -> "bad name")))
+  }
+
+  test("avro evolution: alias rename + added-with-default across file generations") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val v1Schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("val_d", DoubleType),
+      StructField("old_ts", TimestampType),
+      StructField("old_day", DateType),
+      StructField("note", StringType)))
+    val preEpoch = java.sql.Timestamp.valueOf("1932-02-29 23:59:59.000001")
+    val v1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 2.5, preEpoch, java.sql.Date.valueOf("1933-01-02"), "n1"),
+        Row(2L, null, null, null, null)), 2), v1Schema)
+    val dir = Files.createTempDirectory("graft_avro_evolve").toString
+    graft.io.Avro.write(v1, dir)
+    // v2: val_d renamed to price_d, added nullable flag — old files
+    // resolve the rename through the alias and the addition through
+    // the null default; a NEW file written with v2 reads back through
+    // the SAME call (mixed generations in one directory)
+    val v2Schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price_d", DoubleType),
+      StructField("old_ts", TimestampType),
+      StructField("old_day", DateType),
+      StructField("note", StringType),
+      StructField("flag", IntegerType)))
+    val v2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(3L, 9.0, null, null, "new", 7)), 1), v2Schema)
+    graft.io.Avro.write(v2, dir)
+    val back = graft.io.Avro.read(spark, dir, v2Schema,
+      aliases = Map("price_d" -> "val_d"))
+    val got = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 3)
+    assert(got(1L).getDouble(1) == 2.5, "alias rename resolved")
+    assert(got(1L).getTimestamp(2) == preEpoch, "pre-1970 micros exact")
+    assert(got(1L).getDate(3) == java.sql.Date.valueOf("1933-01-02"))
+    assert(got(1L).isNullAt(5), "added field defaults to null on v1 files")
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(4), "null union survives")
+    assert(got(3L).getDouble(1) == 9.0 && got(3L).getInt(5) == 7,
+      "v2-written file reads through the same evolved call")
+    // no stage leftovers: every attempt's temp file was committed or
+    // cleaned — the speculation-safe protocol never leaves .tmp files
+    val leftovers = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".tmp"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 }

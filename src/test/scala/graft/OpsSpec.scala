@@ -1773,11 +1773,18 @@ class OpsSpec extends SparkSpec {
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
         .map(_.getPath.getName).sorted.toSeq
     }
-    // window 1 — crash BEFORE the marker: the stage is discarded whole,
-    // the index is byte-identical, and a retry appends fresh
+    // window 1 — crash BEFORE the marker: a READER must leave the
+    // stage alone — it is invisible to reads anyway, and a live
+    // append's pre-commit stage is indistinguishable from a crashed
+    // one, so a read path deleting it could yank the stage out from
+    // under an in-flight writer (ADVICE r15). Markerless-stage
+    // cleanup belongs to the WRITER preamble, which holds the
+    // single-writer role.
     stageBatch()
     assert(search("omega").isEmpty, "pre-marker stage must not be visible")
-    assert(!fs.exists(tmp), "search must discard a pre-marker stage")
+    assert(fs.exists(tmp), "a reader must NOT delete a markerless stage")
+    assert(graft.ops.TextIndex.recoverAppend(spark, dir))
+    assert(!fs.exists(tmp), "the writer preamble discards a pre-marker stage")
     // window 2 — crash AFTER the marker with PARTIAL landing: one file
     // renamed in, one still staged. This is exactly the state the old
     // doc_id-presence heuristic misread as a completed retry (every
@@ -1792,7 +1799,18 @@ class OpsSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(root, staged.head)))
     assert(search("omega") == Seq(6L, 7L),
       "post-marker crash must roll forward to the COMPLETE batch")
-    assert(!fs.exists(txn) && !fs.exists(tmp))
+    assert(!fs.exists(txn))
+    // the reader renames out every marker-named data file but leaves
+    // the stage DIRECTORY (only _SUCCESS/.crc leftovers remain): a
+    // recursive tmp delete from a reader could race a NEW append's
+    // live stage. The next writer preamble sweeps it.
+    if (fs.exists(tmp)) {
+      val dataLeft = fs.listStatus(tmp).filter(s => s.isFile &&
+        staged.contains(s.getPath.getName))
+      assert(dataLeft.isEmpty, "no marker-named data file may stay staged")
+    }
+    assert(graft.ops.TextIndex.recoverAppend(spark, dir) || !fs.exists(tmp))
+    assert(!fs.exists(tmp), "writer preamble sweeps the drained stage")
     // the landed batch now reads as a completed retry: idempotent no-op
     TextIndex.append(Seq((6L, "omega beta"), (7L, "omega alpha"))
       .toDF("doc_id", "text"), "doc_id", "text", dir)

@@ -8,19 +8,19 @@ class RegistrySpec extends SparkSpec {
   test("registry names are unique and oracle coverage is complete") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size)
-    // sketches are the only intentionally oracle-less queries
+    // every registered query carries an oracle — agg_approx's sketch
+    // values are engine-specific, so ITS oracle gates the error-bound
+    // booleans the row emits instead of the raw sketch values
     val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(oracleLess == Set("agg_approx"), oracleLess)
+    assert(oracleLess.isEmpty, oracleLess)
   }
 
-  test("approx aggregates stay within their error bounds") {
-    val approx = SparkEntry.queries("agg_approx")(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val exact = SparkEntry.queries("agg_ingest_stats")(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, users) =>
-      val est = approx(k)._1.toDouble
-      assert(math.abs(est - users) / users < 0.1, s"$k: $est vs $users")
+  test("approx aggregates report in-bound sketches per group") {
+    val rows = SparkEntry.queries("agg_approx")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: HLL out of bound")
+      assert(r.getBoolean(3), s"${r.getString(0)}: approx median out of bound")
     }
   }
 

@@ -464,6 +464,14 @@ class SinksSpec extends SparkSpec {
     assert(percentDecode("caf%C3%A9") == "café") // multi-byte UTF-8 run
     assert(percentDecode("%zz%") == "%zz%") // malformed stays literal
     assert(percentDecode("plain") == "plain")
+    // non-BMP literals (Hive escapes only ASCII, so an emoji in a
+    // partition value stays literal in the directory name): the
+    // surrogate PAIR must round-trip — char-at-a-time UTF-8 encoding
+    // would mangle each lone surrogate to '?' (ADVICE r15)
+    assert(percentDecode("a%3D😀b") == "a=😀b")
+    assert(percentDecode("😀%20😁") ==
+      "😀 😁")
+    assert(percentDecode("x😀") == "x😀")
   }
 
   test("purge handles partitions whose value needs Hive escaping (space, colon)") {
