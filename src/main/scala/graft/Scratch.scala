@@ -149,6 +149,79 @@ object Scratch {
             .select("doc_id", "n_kept", "text_pruned").orderBy("doc_id").count())
       }
     }
+    // sf1 full-mode tail decomposition (VERDICT r15 #1): splits the
+    // two 20 s full-mode rows into their stage costs so the slope is
+    // attributable — materialization (terminal sort of wide rows) vs
+    // operator (JSON parse count / prune branch costs). Each variant
+    // is executed with the Bench full-plan discipline (toRdd.count),
+    // warmup + min of 2.
+    args.filter(_ == "tailprobe").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.DataFrame
+      import graft.functions.Parity
+      def time(label: String)(mk: => DataFrame): Unit = {
+        mk.queryExecution.toRdd.count() // warm
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scratch] tailprobe $label ${times.min}%.3f s")
+      }
+      // --- src_json_parse ------------------------------------------
+      val events = graft.io.Sources.table(spark, dir, "events")
+      val js = concat(
+        lit("""{"main":{"temp":"""), col("value").cast("string"),
+        lit(""","humidity":"""),
+        (Parity.floorLong(col("value")) % 101).cast("string"),
+        lit("""},"name":"u"""), col("user_id").cast("string"), lit("\"}"))
+      val schema = StructType(Seq(
+        StructField("main", StructType(Seq(
+          StructField("temp", DoubleType), StructField("humidity", IntegerType)))),
+        StructField("name", StringType)))
+      val parsed = from_json(js, schema)
+      def jsonProj: DataFrame = events.select(
+        col("event_id"),
+        parsed.getField("main").getField("temp").as("temp"),
+        parsed.getField("main").getField("humidity").as("humidity"),
+        parsed.getField("name").as("name"))
+      time("json.scan_concat")(events.select(col("event_id"), js.as("js")))
+      time("json.proj_noorder")(jsonProj)
+      time("json.full_with_sort")(jsonProj.orderBy("event_id"))
+      // single-pass: a generator (inline) is a projection-collapse
+      // barrier, so from_json evaluates ONCE per row regardless of
+      // how many fields are consumed downstream
+      def jsonSinglePass: DataFrame = events
+        .select(col("event_id"), inline(array(struct(parsed.as("p")))))
+        .select(col("event_id"),
+          col("p.main.temp").as("temp"),
+          col("p.main.humidity").as("humidity"),
+          col("p.name").as("name"))
+      time("json.singlepass_noorder")(jsonSinglePass)
+      time("json.singlepass_with_sort")(jsonSinglePass.orderBy("event_id"))
+      // pruning-off control: with json expression optimization
+      // disabled the three getFields share ONE unpruned from_json,
+      // which codegen subexpression-elimination then merges
+      spark.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+      time("json.proj_noorder_noprune")(jsonProj)
+      spark.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "true")
+      // --- text_substring_prune ------------------------------------
+      import graft.ops.{Dedup, TextOps}
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+      time("prune.tokenize_only")(docs.select(col("doc_id"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("__toks")))
+      time("prune.noorder")(
+        Dedup.substringPrune(docs, "doc_id", "text", windowLen = 8))
+      time("prune.full_with_sort")(
+        Dedup.substringPrune(docs, "doc_id", "text", windowLen = 8)
+          .orderBy("doc_id"))
+      time("prune.drop_text_with_sort")(
+        Dedup.substringPrune(docs, "doc_id", "text", windowLen = 8)
+          .drop("text_pruned").orderBy("doc_id"))
+      time("prune.stats_only")(
+        Dedup.substringDupStats(docs, "doc_id", "text", windowLen = 8))
+    }
     // full:<name> — the Bench full-plan discipline (toRdd.count()):
     // count() lets Catalyst prune output-only columns and with them
     // whole aggregates; this mode executes the query's OWN physical

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   *   - `join`: events ⋈ per-type dim with broadcast DISABLED (the
   *     regime salting exists for: a dim too big to broadcast — at
   *     probe scale the dim would broadcast, which is itself the
-  *     note: broadcasting IS the first defense), run three ways —
-  *     plain sort-merge with AQE skew handling OFF, the same with
-  *     AQE skew-join ON at probe-scale thresholds, and
-  *     [[graft.ops.Skew.saltedJoin]];
+  *     note: broadcasting IS the first defense), run six ways —
+  *     plain sort-merge with AQE skew handling OFF; AQE skew-join ON
+  *     at probe-scale thresholds over the PURE join; the same conf
+  *     with a same-key aggregate downstream (the pitfall: the agg
+  *     reuses the join's partitioning, so OptimizeSkewedJoin declines
+  *     the split rather than add a shuffle); the downstream-agg form
+  *     with `forceOptimizeSkewedJoin`; [[graft.ops.Skew.saltedJoin]];
+  *     and [[graft.ops.Skew.saltedJoinSkewed]] (hot-only replication);
   *   - `asof`: [[graft.ops.AsOf.joinAsOf]] vs [[graft.ops.AsOf.joinAsOfSalted]]
   *     on the hot event_type key (5 keys bound the unsalted
   *     parallelism; one holds 85% of the timeline).
@@ -88,6 +92,8 @@ object SkewPairs {
       kv.foreach { case (k, v) => spark.conf.set(k, v) }
 
     val events = graft.io.Sources.table(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(cpus.toInt) // full-width scan parallelism regardless of file layout
       .localCheckpoint() // isolate the probe from scan cost
 
     // ---- pair 1: hot-key aggregation --------------------------------
@@ -102,10 +108,18 @@ object SkewPairs {
 
     // ---- pair 2: hot-key join (broadcast disabled — the dim-too-big
     // regime; AQE advisory sizes lowered so probe-scale bytes are
-    // visible to the skew splitter) ----------------------------------
+    // visible to the skew splitter). The measured plan is the PURE
+    // join (project, no same-key agg downstream): a groupBy on the
+    // join key reuses the join's partitioning, and OptimizeSkewedJoin
+    // declines to split rather than insert an extra shuffle — that
+    // pitfall is kept as its own case below. ------------------------
     val dim = events.groupBy("event_type")
       .agg(count(lit(1)).as("type_n")).localCheckpoint()
-    def fact(d: DataFrame): DataFrame =
+    def joined(d: DataFrame): DataFrame =
+      events.join(d, Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          col("type_n"), col("value"))
+    def aggAfter(d: DataFrame): DataFrame =
       events.join(d, Seq("event_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), max(col("type_n")).as("type_n"),
@@ -115,22 +129,41 @@ object SkewPairs {
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     setConf(noBcast: _*)
     setConf("spark.sql.adaptive.skewJoin.enabled" -> "false")
-    measure("join_smj_skewjoin_off")(fact(dim))
+    measure("join_smj_skewjoin_off")(joined(dim))
     // probe-scale thresholds: the hot partition is ~MBs here, not the
     // production 256 MB default — factor/threshold/advisory scaled so
     // AQE sees the same relative skew a 100 TB shuffle would show
     setConf(
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256k")
-    measure("join_smj_aqe_skewjoin")(fact(dim))
-    measure("join_salted") {
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+    measure("join_smj_aqe_skewjoin")(joined(dim))
+    // the pitfall case: identical conf, but a same-key aggregate
+    // consumes the join — AQE refuses the split (it would add a
+    // shuffle), so the hot key is back on one reducer unless forced
+    measure("join_smj_aqe_downstream_agg")(aggAfter(dim))
+    setConf("spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    measure("join_smj_aqe_forced_downstream_agg")(aggAfter(dim))
+    setConf("spark.sql.adaptive.forceOptimizeSkewedJoin" -> "false")
+    measure("join_salted")(
+      graft.ops.Skew.saltedJoin(events, dim, Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          col("type_n"), col("value")))
+    // the downstream-agg shape AGAIN, salted: the salted join's
+    // output is partitioned by (key, salt), so the same-key agg
+    // partial-aggregates per salt slice and merges 5 rows — the split
+    // AQE refused comes for free from the rewrite
+    measure("join_salted_downstream_agg")(
       graft.ops.Skew.saltedJoin(events, dim, Seq("event_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), max(col("type_n")).as("type_n"),
-          graft.functions.Parity.dsum(col("value")).as("sum_value"))
-    }
+          graft.functions.Parity.dsum(col("value")).as("sum_value")))
+    measure("join_salted_skewaware")(
+      graft.ops.Skew.saltedJoinSkewed(events, dim, Seq("event_type"),
+          hotThreshold = 1000000L)
+        .select(col("event_id"), col("event_type"),
+          col("type_n"), col("value")))
     // restore defaults for the as-of pair (its window exchange is the
     // object of measurement, not join strategy)
     setConf(

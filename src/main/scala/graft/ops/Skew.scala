@@ -16,6 +16,28 @@ import org.apache.spark.sql.types.DecimalType
   * The salt is spark_partition_id() — free, and purely physical: it
   * never appears in the result, so determinism is preserved because
   * the merged aggregates are order-independent.
+  *
+  * WHEN TO REACH FOR WHICH LEVER — measured on a 20M-row zipfian
+  * corpus, 85% of rows on one key (artifacts/skew_pairs_r16.json;
+  * SCALING.md round 16):
+  *   1. Broadcast first: a dim that fits the broadcast threshold
+  *      makes every shuffle-join skew question moot.
+  *   2. Algebraic aggregation (count/sum/avg): do NOTHING — partial
+  *      aggregation collapses the hot key map-side (busiest reducer
+  *      read 64 records for 17M hot rows). [[saltedCountSum]] is for
+  *      payloads with weak partials, not plain count/sum.
+  *   3. Pure shuffle join: prefer AQE skew-join (zero code; 17.2M →
+  *      538k max task read, 2.7× wall). [[saltedJoin]] matches it.
+  *   4. Join FEEDING a same-key aggregate: AQE silently declines the
+  *      split (it would break the partitioning the agg reuses) and
+  *      the fused hot reducer gets 2× worse — either set
+  *      spark.sql.adaptive.forceOptimizeSkewedJoin or use
+  *      [[saltedJoin]], whose (key, salt) output partitioning gives
+  *      the agg its partial split for free (both ~10× vs declined).
+  *   5. Window-shaped skew (as-of joins, per-key ordered ops): AQE
+  *      does not apply to window exchanges — time-bucketed salting
+  *      ([[graft.ops.AsOf.joinAsOfSalted]]) is the only lever
+  *      (measured 8.1×).
   */
 object Skew {
 

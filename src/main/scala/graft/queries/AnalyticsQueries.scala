@@ -826,6 +826,36 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    /** join_salted_skewaware — the hot-only variant of join_salted
+      * (graft.ops.Skew.saltedJoinSkewed): keys whose fact-side count
+      * exceeds the threshold get salted and their dim rows replicated;
+      * cold keys join the single salt-0 copy, so the replication
+      * overhead is |hot ∩ dim| × buckets instead of |dim| × buckets —
+      * what makes salting affordable when the dim itself is large.
+      * Exact (same oracle as the plain join); the threshold (2000) is
+      * chosen to SPLIT the sf0.01 gate corpus — three of its five
+      * uniform keys sit just above, two just below — so both the
+      * replicated-hot and single-copy-cold join paths are oracle-
+      * checked in one row. Wall/peak-task evidence vs plain salting
+      * and AQE is the SkewPairs artifact (SCALING.md round 16). */
+    Q("join_salted_skewaware",
+      s"""WITH dim AS (SELECT event_type, COUNT(*) AS type_n
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, COUNT(*) AS n, MAX(d.type_n) AS type_n,
+         |  ${dsumSql("e.value", "sum_value")}
+         |FROM events e JOIN dim d USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val events = table(s, dir, "events")
+      val dim = events.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"))
+      graft.ops.Skew.saltedJoinSkewed(events, dim, Seq("event_type"),
+          hotThreshold = 2000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("type_n")).as("type_n"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     /** join_bloom_pruned — Bloom-filter runtime pruning
       * (graft.ops.RuntimeFilter): the dim's key set is compressed to a
       * 1024-bit filter with one map-side-combined agg pass, broadcast
