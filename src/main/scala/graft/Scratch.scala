@@ -239,7 +239,7 @@ object Scratch {
     }
     val names = args.filterNot(a =>
       a.startsWith("explain:") || a.startsWith("bpe:") || a.startsWith("full:") ||
-      a == "bktprobe" ||
+      a == "bktprobe" || a == "tailprobe" ||
       a == "annprobe" || a == "annprobe_raw" || a == "ppprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>

@@ -485,53 +485,68 @@ object Dedup {
     * contract as [[dedupLines]]).
     *
     * Scale: duplicated-window starts explode to covered token
-    * positions (fan-out `windowLen`, on duplicated spans only), the
-    * coverage join is an equi-join on (doc_id, position) — narrow
-    * int keys — and the rebuild is the [[dedupLines]] discipline: one
-    * groupBy(doc) with order restored by array_sort on the unique
-    * position, no window over the document, no self-join on text.
-    * Duplicated-window detection follows [[substringDupStats]]'s
-    * skew discipline: the token relation is materialized once, the
-    * occurrence count is a map-side-combined aggregate, and the
-    * duplicated set comes back through an AQE-skew-splittable semi
-    * join on the 8-byte fingerprint — no count-over-hash window.
+    * positions (fan-out `windowLen`, on duplicated spans only) and
+    * collapse straight to ONE covered-position set per document
+    * (collect_set — dedup and aggregation in a single map-side-
+    * combined shuffle). The rebuild then joins that 1-row-per-doc
+    * set back to the tokenized base on doc_id and filters the token
+    * ARRAY in place (transform with positional lambda) — no
+    * token-level explode, no |corpus-tokens|-row equi-join, and no
+    * collect_list re-assembly shuffle. Measured at sf1 (Scratch
+    * tailprobe r16): the token-level rebuild was 18.8 s against
+    * 6.9 s for the two-branch stats core; this shape removes the
+    * difference. The covered set per doc is bounded by the doc's
+    * own token count (positions are ints), so the aggregate rows
+    * stay document-sized — same bound as the token arrays the base
+    * relation already carries. Duplicated-window detection follows
+    * [[substringDupStats]]'s skew discipline: the token relation is
+    * materialized once, the occurrence count is a map-side-combined
+    * aggregate, and the duplicated set comes back through an
+    * AQE-skew-splittable semi join on the 8-byte fingerprint — no
+    * count-over-hash window.
     */
   def substringPrune(docs: DataFrame, idCol: String, textCol: String,
                      windowLen: Int = 8): DataFrame = {
     require(windowLen > 1, s"windowLen must exceed 1: $windowLen")
-    // base (the token relation) is the ONE materialization here: it
-    // feeds three branches (occurrence aggregate, covered-position
-    // probe, final rebuild), and — unlike re-tokenizing a raw scan —
-    // the input is often a DERIVED relation (pipeline_pretrain prunes
-    // post-filter post-dedup docs), whose lineage would otherwise be
-    // re-executed once per branch. Measured: rel-checkpoint variants
-    // were 2.5x slower on the raw table (narrow rows, but an extra
-    // corpus-sized write), while no checkpoint at all re-ran the
-    // pipeline's dedup window per branch.
+    // base (the token arrays) is materialized because the input is
+    // often a DERIVED relation (pipeline_pretrain prunes post-filter
+    // post-dedup docs) whose lineage would otherwise re-execute per
+    // branch; with the array-based rebuild it feeds the window
+    // relation and the final rebuild join.
     val base = docs.select(col(idCol).as("doc_id"),
         TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+      // null text tokenizes to a null array: the exploding branches
+      // drop such docs implicitly, the array-rebuild join would not —
+      // filter once here so both paths agree (and match the oracle's
+      // UNNEST semantics)
+      .filter(col("__toks").isNotNull)
       .localCheckpoint()
     val rel = base
       .select(col("doc_id"),
         posexplode(ngramsOfTokens(col("__toks"), windowLen)).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), Parity.md5_60(col("w")).as("wh"))
+      // rel feeds two branches (occurrence aggregate + covered-position
+      // semi-join); un-materialized, the window-text construction and
+      // md5 over every window run once PER BRANCH. Rows are
+      // (long, int, long) — the checkpoint is cheap relative to one
+      // re-derivation (sf1 full-plan: 16.4 s -> 8.5 s, r16; with the
+      // array rebuild above, 20.4 s -> 8.5 s total for the row)
+      .localCheckpoint()
     val dup = rel.groupBy("wh").agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2).select("wh")
-    val covered = rel.join(dup, Seq("wh"), "left_semi")
+    val coveredSet = rel.join(dup, Seq("wh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + windowLen - 1)).as("tp"))
-      .distinct()
-      .withColumn("__cov", lit(true))
-    base.select(col("doc_id"), posexplode(col("__toks")).as(Seq("tp", "tok")))
-      .join(covered, Seq("doc_id", "tp"), "left")
-      .withColumn("keep", col("__cov").isNull)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        concat_ws(" ", transform(
-          filter(array_sort(collect_list(struct(col("tp"), col("keep"), col("tok")))),
-            s => s.getField("keep")),
-          s => s.getField("tok"))).as("text_pruned"))
+      .agg(collect_set(col("tp")).as("__cov"))
+    base.join(coveredSet, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        filter(col("__toks"), (_, i) => !array_contains(
+          coalesce(col("__cov"), array().cast("array<int>")), i)).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("text_pruned"))
   }
 
   /** MinHash family: h_i(g) = (a_i · (md5_60(g) mod P) + b_i) mod P.
