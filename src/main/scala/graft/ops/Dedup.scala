@@ -378,6 +378,82 @@ object Dedup {
     b2.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** MinHash-LSH banded candidates BETWEEN two corpora (batch vs
+    * standing) — the scale-robust candidate generator for
+    * [[incrementalBanded]]. [[jaccardPairsBetween]]'s gram equi-join
+    * generates Σ df_left(g)·df_right(g) candidates = O(n²/|gram
+    * space|): linear only while the corpus keeps growing its gram
+    * diversity (Heaps' law holds on real text), quadratic once gram
+    * space saturates — the r16 docs ladder measured 8.5× cost for 3×
+    * data on the fixed-vocab synthetic corpus, where avg gram df
+    * grows with n but stays under the maxDf cap. Band candidates
+    * collide on EQUAL signature slices — i.e. on actual similarity —
+    * so candidate volume tracks the number of true near-dup pairs
+    * regardless of the df distribution. Returns (left_id, right_id,
+    * est_jaccard ≥ threshold) distinct pairs; the estimate is the
+    * matching-component fraction of the full k-component signatures
+    * (same contract as [[minhashLshPairs]]).
+    */
+  def minhashPairsBetween(left: DataFrame, right: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 32, bandSize: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    require(k % bandSize == 0, s"bandSize $bandSize must divide k $k")
+    val nBands = k / bandSize
+    // each side's gram/min-hash pipeline is evaluated once: the full
+    // signature rides the band explode as one array column (same
+    // shape as minhashLshPairs, which documents the alternative's
+    // re-execution trap)
+    def bandsOf(df: DataFrame, side: String): DataFrame = {
+      val sigs = minhashSignatures(df, idCol, textCol, n, k)
+      val sigArr = array((0 until k).map(i => col(s"s$i")): _*)
+      val bandCols = (0 until nBands).map { bIdx =>
+        val parts = (bIdx * bandSize until (bIdx + 1) * bandSize)
+          .map(i => col(s"s$i").cast("string"))
+        concat_ws(",", parts: _*).as(s"b$bIdx")
+      }
+      sigs.select(col("doc_id") +: sigArr.as("sig") +: bandCols: _*)
+        .select(col("doc_id").as(side), col("sig").as(s"__sig_$side"),
+          posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
+            .as(Seq("band_idx", "band_key")))
+    }
+    val matches = (1 to k).map(i =>
+      when(element_at(col("__sig_left_id"), i) ===
+        element_at(col("__sig_right_id"), i), 1).otherwise(0)).reduce(_ + _)
+    bandsOf(left, "left_id")
+      .join(bandsOf(right, "right_id"), Seq("band_idx", "band_key"))
+      .select(col("left_id"), col("right_id"),
+        (matches.cast("double") / k.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Incremental corpus dedup with BANDED near-dup candidates — the
+    * scale-safe twin of [[incremental]] (same in-batch exact winners
+    * and corpus-fingerprint anti join; near-dup membership by MinHash
+    * estimate ≥ threshold via [[minhashPairsBetween]] instead of
+    * exact capped-gram Jaccard). Use this form when the standing
+    * corpus is boilerplate-heavy or its gram diversity has stopped
+    * growing — the regimes where the exact twin's candidate join
+    * goes quadratic.
+    */
+  def incrementalBanded(batch: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 32, bandSize: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
+    val b1 = exact(batch, idCol, textCol)
+    val corpusFps = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    val b2 = b1.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
+    // hits from the RAW batch (identical result; keeps the exact-dedup
+    // window out of the signature pipeline's subplan — see incremental)
+    val hits = minhashPairsBetween(batch, corpus, idCol, textCol, n, k,
+        bandSize, threshold)
+      .select(col("left_id").as(idCol)).distinct()
+    b2.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Line-level (sub-document) dedup — the OTHER dedup granularity a
     * web corpus runs (C4/Gopher-style): a line occurring in ≥ k
     * DISTINCT documents is boilerplate (headers, footers, cookie

@@ -2150,6 +2150,48 @@ object ExtensionQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
 
+    /** dedup_incremental_banded — the SCALE-SAFE twin of
+      * dedup_incremental (graft.ops.Dedup.incrementalBanded): same
+      * exact-winner and fingerprint stages, but batch-vs-corpus
+      * near-dup candidates come from a MinHash band equi-join instead
+      * of shared raw grams. The exact twin's gram candidates are
+      * O(n²/|gram space|) — the r16 docs ladder measured its cost
+      * growing 8.5× for 3× data once the synthetic corpus' fixed
+      * vocabulary saturated gram space (avg df grows with n under the
+      * maxDf cap); band candidates collide on signature equality, so
+      * their volume tracks true near-dup pairs. Membership is by
+      * MinHash estimate ≥ 0.5 (own contract, like dedup_minhash),
+      * hence its own oracle below. */
+    Q("dedup_incremental_banded",
+      s"""WITH $gramsCte,
+         |$minhashSigSql,
+         |$minhashBandsSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |hits AS (SELECT DISTINCT bid FROM cand
+         |  JOIN sig sa ON sa.doc_id = bid JOIN sig sb ON sb.doc_id = cid
+         |  WHERE $minhashEstSql >= 0.5),
+         |b1 AS (SELECT doc_id, n_chars, text FROM (
+         |    SELECT doc_id, n_chars, text, row_number() OVER (
+         |      PARTITION BY ${md5_60Sql("lower(trim(text))")} ORDER BY doc_id) AS rn
+         |    FROM documents WHERE doc_id % 5 = 0) WHERE rn = 1),
+         |b2 AS (SELECT doc_id, n_chars FROM b1
+         |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
+         |    SELECT ${md5_60Sql("lower(trim(text))")}
+         |    FROM documents WHERE doc_id % 5 <> 0))
+         |SELECT doc_id, n_chars FROM b2
+         |WHERE doc_id NOT IN (SELECT bid FROM hits)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      Dedup.incrementalBanded(batch, corpus, "doc_id", "text",
+          n = 3, k = K, bandSize = 4, threshold = 0.5)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
     /** dedup_incremental_indexed — the same daily-ingest dedup run
       * against the PERSISTED corpus index (DedupIndex: fingerprint set
       * + range-laid-out gram table, built once per session and reused

@@ -702,6 +702,33 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall { case (l, _) => l >= 10L })
   }
 
+  test("banded incremental dedup: exact/fingerprint stages identical, banded near-dups drop") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words about spark and shuffles here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),  // exact corpus dup
+      (11L, "the quick brown fox jumps over the lazy dog yesterday"), // near-dup of corpus 1
+      (12L, "an entirely novel document with fresh unseen content"),
+      (13L, "an entirely novel document with fresh unseen content"), // in-batch dup of 12
+      (14L, "short unrelated text")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalBanded(batch, corpus, "doc_id", "text",
+        n = 3, k = 32, bandSize = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 14L))
+    // the between-pairs relation: directional, estimate in [0,1], and
+    // a batch doc identical to a corpus doc estimates exactly 1.0
+    val pairs = Dedup.minhashPairsBetween(batch, corpus, "doc_id", "text",
+        n = 3, k = 32, bandSize = 4, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet.contains((10L, 1L)) && pairs((10L, 1L)) == 1.0)
+    assert(pairs.keySet.contains((11L, 1L)))
+    assert(pairs.keys.forall { case (l, _) => l >= 10L })
+    assert(pairs.values.forall(e => e >= 0.5 && e <= 1.0))
+  }
+
   test("tfidf: rare term outranks common term; stopword-like terms sink") {
     val docs = Seq(
       (1L, "alpha beta beta"),
