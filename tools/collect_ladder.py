@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Collect per-key ladder runs into one artifact per rung.
+
+The chained 25-key Bench run at sf3 was unbounded — one quadratic row
+(dedup_multi_signal) ran >70 min through warmup+iterations+retries —
+so the ladder runs ONE key per Bench JVM under a wall cap (`timeout`):
+a blowup is bounded AND named instead of eating the series. This tool
+merges /tmp/ladder/<rung>_<key>.json (each a single-query Bench
+artifact, min-of-2 methodology preserved) plus <...>.json.timeout
+markers into artifacts/bench_docs_<rung>_perkey_r{N}.json.
+
+Usage: python3 tools/collect_ladder.py <rung> <round> [ladderDir]
+"""
+import glob
+import json
+import os
+import sys
+
+RUNG = sys.argv[1]
+RND = sys.argv[2]
+DIR = sys.argv[3] if len(sys.argv) > 3 else "/tmp/ladder"
+
+queries, timeouts, contaminated = {}, {}, []
+for p in sorted(glob.glob(f"{DIR}/{RUNG}_*.json")):
+    d = json.load(open(p))
+    for k, v in d["queries"].items():
+        queries[k] = v
+        if d.get("contaminated"):
+            contaminated.append(k)
+for p in sorted(glob.glob(f"{DIR}/{RUNG}_*.json.timeout")):
+    d = json.load(open(p))
+    timeouts[d["key"]] = d["timeout_sec"]
+
+out = {
+    "probe": "docs-ladder per-key",
+    "rung": RUNG,
+    "round": int(RND),
+    "method": ("one key per Bench JVM (warmup + min of 2 steady-state "
+               "iterations), wall-capped; a capped key is reported in "
+               "'timeouts' with its cap, not a time"),
+    "n_queries": len(queries),
+    "total_sec": round(sum(queries.values()), 1),
+    "queries": queries,
+    "timeouts": timeouts,
+    "contaminated_keys": contaminated,
+}
+path = f"artifacts/bench_docs_{RUNG}_perkey_r{RND}.json"
+json.dump(out, open(path, "w"), indent=1)
+print(f"{path}: {len(queries)} timed, {len(timeouts)} capped, "
+      f"{len(contaminated)} contaminated")
