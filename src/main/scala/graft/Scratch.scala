@@ -24,6 +24,22 @@ object Scratch {
       println(s"=== $n ===")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
+    // incremental-dedup auto-edge decision probe: prints the predicted
+    // batch-vs-corpus candidate volume and where useBandedEdge lands at
+    // this sf dir (adjudicates the static-oracle choice for
+    // dedup_incremental and the indexed/bloom rows)
+    args.filter(_ == "incauto").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val nBatch = batch.count()
+      val cand = graft.ops.Dedup.predictedGramJoinCandidatesBetween(
+        batch, corpus, "doc_id", "text", 3)
+      println(f"[scratch] incauto dir=$dir nBatch=$nBatch predicted=$cand " +
+        f"perDoc=${cand.toDouble / math.max(nBatch, 1)}%.1f " +
+        s"banded=${graft.ops.Dedup.useBandedEdge(nBatch, cand)}")
+    }
     // BPE trainer cost-curve probe (SCALING.md): bpe:<iter|fast>:<k>
     // times one full training run at k rounds over the sf documents
     args.filter(_.startsWith("bpe:")).foreach { a =>
@@ -203,9 +219,15 @@ object Scratch {
       // pruning-off control: with json expression optimization
       // disabled the three getFields share ONE unpruned from_json,
       // which codegen subexpression-elimination then merges
-      spark.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
-      time("json.proj_noorder_noprune")(jsonProj)
-      spark.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "true")
+      val jsonOptKey = "spark.sql.optimizer.enableJsonExpressionOptimization"
+      val jsonOptPrior = spark.conf.getOption(jsonOptKey)
+      try {
+        spark.conf.set(jsonOptKey, "false")
+        time("json.proj_noorder_noprune")(jsonProj)
+      } finally jsonOptPrior match {
+        case Some(v) => spark.conf.set(jsonOptKey, v)
+        case None    => spark.conf.unset(jsonOptKey)
+      }
       // --- text_substring_prune ------------------------------------
       import graft.ops.{Dedup, TextOps}
       val docs = graft.io.Sources.table(spark, dir, "documents")
@@ -239,7 +261,7 @@ object Scratch {
     }
     val names = args.filterNot(a =>
       a.startsWith("explain:") || a.startsWith("bpe:") || a.startsWith("full:") ||
-      a == "bktprobe" || a == "tailprobe" ||
+      a == "bktprobe" || a == "tailprobe" || a == "incauto" ||
       a == "annprobe" || a == "annprobe_raw" || a == "ppprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>

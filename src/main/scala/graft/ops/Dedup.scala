@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Parity
 
@@ -245,13 +246,65 @@ object Dedup {
     bg.join(bg.groupBy("bench_id").agg(count(lit(1)).as("nb")), "bench_id")
   }
 
+  /** (corpus_id, bench_id, containment ≥ threshold) pairs, candidates
+    * bounded per bench item by its RAREST grams — losslessly.
+    *
+    * The naive candidate stage (corpus grams ⋈ ALL bench grams) grows
+    * with Σ_g df_corpus(g) over every bench gram: on a boilerplate-
+    * heavy corpus the bench's common grams match a constant fraction
+    * of ALL corpus docs, so candidate volume is super-linear in corpus
+    * size (the r16 docs ladder measured 5.0× cost for 3× data). The
+    * probe set here is the k RAREST (corpus-df-ranked) grams of each
+    * bench item with k = ⌊(1−t)·n_b⌋ + 2 — and that bound is EXACT,
+    * not approximate: a corpus doc at containment ≥ t misses at most
+    * (1−t)·n_b ≤ k − 2 of the bench item's grams, so it contains ≥ 2
+    * of ANY k-subset (the +2 absorbs the double rounding in the
+    * engines' ni/nb ≥ t comparison; a probe gram the corpus lacks
+    * entirely — df 0, ranked first — is missed by every corpus doc
+    * and only tightens the count). Every qualifying pair therefore
+    * collides on ≥ 1 probe gram; verification then computes the FULL
+    * intersection over the candidate corpus docs only, so the output
+    * is identical to the all-grams join while per-bench-item candidate
+    * volume is bounded by the df mass of its rarest grams — the grams
+    * boilerplate growth does NOT inflate. Three linear corpus-gram
+    * scans (df of bench grams, probe join, candidate-restricted
+    * verify), each pruned by a broadcast bench-sized relation; no
+    * corpus-df-shaped join anywhere.
+    */
   def containmentPairs(corpus: DataFrame, bench: DataFrame,
                        idCol: String, textCol: String,
                        n: Int, threshold: Double): DataFrame = {
     val cg = gramTable(corpus, idCol, textCol, n)
       .select(col("doc_id").as("corpus_id"),
         Parity.md5_60(col("gram")).as("gram"))
-    cg.join(benchGrams(bench, idCol, textCol, n), "gram")
+    // (bench_id, gram, nb) — standing, checkpointed inside benchGrams
+    val bg = benchGrams(bench, idCol, textCol, n)
+    // corpus df restricted to bench grams: map-side-combined count
+    // behind a broadcast semi join — the scan never carries a gram
+    // absent from the bench
+    val dfByGram = cg
+      .join(broadcast(bg.select("gram").distinct()), Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
+    val probes = bg
+      .join(dfByGram, Seq("gram"), "left")
+      .na.fill(0L, Seq("__df"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("bench_id"))
+          .orderBy(col("__df"), col("gram"))))
+      .filter(col("__rk") <=
+        floor(col("nb").cast("double") * lit(1.0 - threshold)) + lit(2))
+      .select("bench_id", "gram")
+      .localCheckpoint()
+    val candPairs = cg.join(broadcast(probes), "gram")
+      .select("corpus_id", "bench_id").distinct()
+      .localCheckpoint()
+    // verify over candidate corpus docs only: their grams vs the FULL
+    // bench gram relation — the threshold filter re-derives exactly
+    // the old all-pairs result (non-candidates provably can't qualify)
+    val candGrams = cg.join(
+      boundedBroadcast(candPairs.select("corpus_id").distinct()),
+      Seq("corpus_id"), "left_semi")
+    candGrams.join(broadcast(bg), "gram")
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("n_inter"), max(col("nb")).as("nb"))
       .withColumn("containment",
@@ -399,7 +452,6 @@ object Dedup {
                           n: Int = 3, k: Int = 32, bandSize: Int = 4,
                           threshold: Double = 0.5): DataFrame = {
     require(k % bandSize == 0, s"bandSize $bandSize must divide k $k")
-    val nBands = k / bandSize
     // each side's gram/min-hash pipeline is evaluated once: the full
     // signature rides the band explode as one array column (same
     // shape as minhashLshPairs, which documents the alternative's
@@ -407,21 +459,48 @@ object Dedup {
     def bandsOf(df: DataFrame, side: String): DataFrame = {
       val sigs = minhashSignatures(df, idCol, textCol, n, k)
       val sigArr = array((0 until k).map(i => col(s"s$i")): _*)
-      val bandCols = (0 until nBands).map { bIdx =>
-        val parts = (bIdx * bandSize until (bIdx + 1) * bandSize)
-          .map(i => col(s"s$i").cast("string"))
-        concat_ws(",", parts: _*).as(s"b$bIdx")
-      }
-      sigs.select(col("doc_id") +: sigArr.as("sig") +: bandCols: _*)
-        .select(col("doc_id").as(side), col("sig").as(s"__sig_$side"),
-          posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
-            .as(Seq("band_idx", "band_key")))
+      bandsOfSigs(sigs.select(col("doc_id"), sigArr.as("sig")),
+        side, k, bandSize)
     }
+    bandedPairsFromBands(bandsOf(left, "left_id"), bandsOf(right, "right_id"),
+      k, threshold)
+  }
+
+  /** Band relation over an ARRAY-typed signature column (doc_id, sig):
+    * returns (<idOut>, __sig_<idOut>, band_idx, band_key), band keys in
+    * the exact comma-joined decimal format [[minhashPairsBetween]]
+    * builds from live text — factored out so a PERSISTED signature
+    * table (DedupIndex `sigs/`) probes with byte-identical keys and
+    * the two construction paths can never drift.
+    */
+  def bandsOfSigs(sigs: DataFrame, idOut: String,
+                  k: Int, bandSize: Int): DataFrame = {
+    require(k % bandSize == 0, s"bandSize $bandSize must divide k $k")
+    val nBands = k / bandSize
+    val bandCols = (0 until nBands).map { bIdx =>
+      val parts = (bIdx * bandSize until (bIdx + 1) * bandSize)
+        .map(i => element_at(col("sig"), i + 1).cast("string"))
+      concat_ws(",", parts: _*).as(s"b$bIdx")
+    }
+    sigs.select(col("doc_id") +: col("sig") +: bandCols: _*)
+      .select(col("doc_id").as(idOut), col("sig").as(s"__sig_$idOut"),
+        posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
+          .as(Seq("band_idx", "band_key")))
+  }
+
+  /** The [[minhashPairsBetween]] estimate-and-filter stage over two
+    * prebuilt band relations (from [[bandsOfSigs]]): distinct
+    * (left_id, right_id, est_jaccard ≥ threshold) pairs. Factored so
+    * the index-probe path (DedupIndex) and the live-text path share
+    * one definition of the candidate join and the k-component
+    * estimate.
+    */
+  def bandedPairsFromBands(leftBands: DataFrame, rightBands: DataFrame,
+                           k: Int, threshold: Double): DataFrame = {
     val matches = (1 to k).map(i =>
       when(element_at(col("__sig_left_id"), i) ===
         element_at(col("__sig_right_id"), i), 1).otherwise(0)).reduce(_ + _)
-    bandsOf(left, "left_id")
-      .join(bandsOf(right, "right_id"), Seq("band_idx", "band_key"))
+    leftBands.join(rightBands, Seq("band_idx", "band_key"))
       .select(col("left_id"), col("right_id"),
         (matches.cast("double") / k.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -825,6 +904,61 @@ object Dedup {
       bandedJaccardPairs(docs, idCol, textCol, n, k, bandSize, threshold, maxDf)
     else
       ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDf)
+  }
+
+  /** Predicted candidate volume Σ_g df_left(g)·df_right(g) of the
+    * two-sided gram equi-join ([[jaccardPairsBetween]]'s candidate
+    * stage) after the right-side df cap — the asymmetric twin of
+    * [[predictedGramJoinCandidates]], deciding whether the exact
+    * batch-vs-corpus relation is affordable. Two linear gram
+    * aggregates joined on the (batch-bounded) shared gram set; never
+    * builds the join it predicts.
+    */
+  def predictedGramJoinCandidatesBetween(left: DataFrame, right: DataFrame,
+                                         idCol: String, textCol: String,
+                                         n: Int,
+                                         maxDf: Int = DefaultMaxDf): Long = {
+    val ldf = gramTable(left, idCol, textCol, n)
+      .select(Parity.md5_60(col("gram")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("dfl"))
+    val rdf = gramTable(right, idCol, textCol, n)
+      .select(Parity.md5_60(col("gram")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("dfr"))
+      .filter(col("dfr") <= maxDf)
+    val s = ldf.join(rdf, "gram")
+      .agg(sum(col("dfl") * col("dfr")).as("s2")).head()
+    if (s.isNullAt(0)) 0L else s.getLong(0)
+  }
+
+  /** Incremental corpus dedup with the near-dup candidate stage
+    * AUTO-SELECTED from corpus statistics — the same decision
+    * discipline as [[jaccardPairsAuto]] applied to the daily-ingest
+    * shape: [[incremental]]'s exact gram equi-join (recall-lossless)
+    * while its predicted batch-vs-corpus candidate volume stays O(n)
+    * per batch doc ([[useBandedEdge]] on the batch count), flipping to
+    * [[incrementalBanded]]'s MinHash band candidates once the corpus'
+    * gram space saturates (the regime where the exact join's
+    * Σ df_b·df_c volume goes quadratic — the r16 docs ladder measured
+    * 7.2× cost for 3× data on the fixed-vocab corpus; banded stayed
+    * linear). Membership semantics follow the selected edge (exact
+    * Jaccard ≥ threshold vs MinHash estimate ≥ threshold — the same
+    * contract split as jaccardPairsAuto's two branches). Decision
+    * cost: one batch count + two linear gram aggregates.
+    */
+  def incrementalAuto(batch: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.5,
+                      k: Int = 32, bandSize: Int = 4,
+                      maxDf: Int = DefaultMaxDf,
+                      budgetPerDoc: Long = DefaultCandBudgetPerDoc): DataFrame = {
+    val nBatch = batch.count()
+    val cand = predictedGramJoinCandidatesBetween(batch, corpus, idCol,
+      textCol, n, maxDf)
+    if (useBandedEdge(nBatch, cand, budgetPerDoc))
+      incrementalBanded(batch, corpus, idCol, textCol, n, k, bandSize,
+        threshold)
+    else
+      incremental(batch, corpus, idCol, textCol, n, threshold, maxDf)
   }
 
   /** Near-dup dedup END TO END: given near-dup pair edges (from any of

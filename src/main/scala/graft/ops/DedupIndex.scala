@@ -26,6 +26,17 @@ import graft.functions.Parity
   *     ([[Layout.writeRangeSorted]]): files hold disjoint gram ranges,
   *     so a batch-side join prunes whole files and row groups by
   *     min/max stats;
+  *   - `sigs/` — (doc_id, sig: array<bigint>[SigK]) MinHash
+  *     signatures of every corpus doc (~256 B/doc): the corpus side
+  *     of the BANDED candidate stage. The exact gram equi-join's
+  *     candidate volume is Σ_g df_b·df_c — linear only while the
+  *     corpus keeps growing gram diversity; once gram space saturates
+  *     (boilerplate-heavy web corpora — the r16 docs ladder measured
+  *     4.4× cost for 3× data through this index) band candidates,
+  *     which collide on signature equality rather than shared grams,
+  *     are the shape that stays linear per day. `dedupBatch` selects
+  *     the stage per batch with [[Dedup.useBandedEdge]] priced off
+  *     the index's df statistics;
   *   - `hot/` — (gram: bigint) the capped-out grams, tiny by
   *     construction (at most |corpus grams| / maxDf rows): the batch
   *     side anti-joins it so both sides compute Jaccard over the same
@@ -94,6 +105,14 @@ object DedupIndex {
       Layout.rewriteInPlace(spark, s"$path/bloom", commitManifest = false)(writeTo)
   }
 
+  /** MinHash signature width / band slice persisted in `sigs/` —
+    * matches the registry's K=32, bandSize=4 banding so the index
+    * probe is byte-identical to [[Dedup.incrementalBanded]] on the
+    * same state. A k change is an index FORMAT change (rebuild).
+    */
+  val SigK: Int = 32
+  val SigBandSize: Int = 4
+
   /** Materialize the corpus's dedup state under `path` (overwrite). */
   def build(corpus: DataFrame, idCol: String, textCol: String, n: Int,
             path: String, nFiles: Int = 32,
@@ -101,6 +120,12 @@ object DedupIndex {
     corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
       .write.mode("overwrite").parquet(s"$path/fps")
     rebuildBloom(corpus.sparkSession, path)
+    // sigs/ — (doc_id, sig: array<bigint> of SigK MinHash components):
+    // the banded candidate stage's corpus side. ~256 bytes/doc,
+    // independent of document length — the relation that lets a
+    // gram-saturated standing corpus keep LINEAR daily candidates
+    // (band equi-join on signature slices) with corpus text untouched
+    writeSigs(corpus, idCol, textCol, n, s"$path/sigs", overwrite = true)
     val raw = rawGrams(corpus, idCol, textCol, n)
     raw.groupBy("gram").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("gram")
@@ -125,6 +150,7 @@ object DedupIndex {
     val spark0 = survivors.sparkSession
     Layout.restoreIfCrashed(spark0, s"$path/grams")
     Layout.restoreIfCrashed(spark0, s"$path/fps")
+    Layout.restoreIfCrashed(spark0, s"$path/sigs")
     // materialize the survivors ONCE: their lineage is typically the
     // whole batch-dedup pipeline (which itself reads this index), so
     // running it lazily under each of the two writes would both double
@@ -144,9 +170,18 @@ object DedupIndex {
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .sortWithinPartitions("gram")
       .write.mode("append").parquet(s"$path/grams")
+    writeSigs(s, idCol, textCol, n, s"$path/sigs", overwrite = false)
     // fps/ grew — refresh the derived membership filter from it (the
     // sidecar's nbits re-sizes as the fingerprint set grows)
     rebuildBloom(spark, path)
+  }
+
+  private def writeSigs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, dst: String, overwrite: Boolean): Unit = {
+    val sigs = Dedup.minhashSignatures(docs, idCol, textCol, n, SigK)
+      .select(col("doc_id"),
+        array((0 until SigK).map(i => col(s"s$i")): _*).as("sig"))
+    sigs.write.mode(if (overwrite) "overwrite" else "append").parquet(dst)
   }
 
   /** Restore the gram table's range layout after a run of [[append]]s
@@ -164,6 +199,9 @@ object DedupIndex {
     }
     Layout.rewriteInPlace(spark, s"$path/fps") { tmp =>
       Compaction.compact(spark, s"$path/fps", tmp, fpTargetBytes)
+    }
+    Layout.rewriteInPlace(spark, s"$path/sigs") { tmp =>
+      Compaction.compact(spark, s"$path/sigs", tmp, fpTargetBytes)
     }
   }
 
@@ -188,12 +226,16 @@ object DedupIndex {
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
                  idCol: String, textCol: String, n: Int,
-                 threshold: Double, useBloom: Boolean = false): DataFrame = {
+                 threshold: Double, useBloom: Boolean = false,
+                 candidates: String = "auto"): DataFrame = {
+    require(Set("auto", "gram", "banded")(candidates),
+      s"candidates must be auto|gram|banded, got $candidates")
     // self-heal a crashed relayout before reading (a stranded dir
     // would fail the read loudly; restoring is strictly better)
     Layout.restoreIfCrashed(spark, s"$indexPath/grams")
     Layout.restoreIfCrashed(spark, s"$indexPath/fps")
     Layout.restoreIfCrashed(spark, s"$indexPath/bloom")
+    Layout.restoreIfCrashed(spark, s"$indexPath/sigs")
     val corpusFps = spark.read.parquet(s"$indexPath/fps")
       .select(col("fp").as("__fp")).distinct()
     val corpusGrams = spark.read.parquet(s"$indexPath/grams")
@@ -243,26 +285,69 @@ object DedupIndex {
       } else {
         b1.join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
       }
-    // batch grams from the RAW batch (not b2) — same subplan-isolation
-    // reasoning as Dedup.incremental: the anti join below can only
-    // remove rows already gone from b2, and keeping the exact-dedup
-    // window out of the gram pipeline avoids re-executing it there.
-    // Hot corpus grams (df > maxDf at build) are dropped BEFORE the
-    // size window so the batch's n_grams match the index's capped sets
-    val bg = rawGrams(batch, idCol, textCol, n)
-      .join(spark.read.parquet(s"$indexPath/hot"), Seq("gram"), "left_anti")
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id").as("left_id"), col("gram"),
-        col("n_grams").as("nl"))
-    val hits = bg.join(corpusGrams, "gram")
-      .groupBy("left_id", "right_id")
-      .agg(count(lit(1)).as("n_inter"),
-        max(col("nl")).as("nl"), max(col("nr")).as("nr"))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("nl") + col("nr") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("left_id").as(idCol)).distinct()
+    // Candidate-stage selection — the same [[Dedup.useBandedEdge]]
+    // decision rule as incrementalAuto, but priced off the INDEX: the
+    // predicted exact-join volume Σ_g df_b(g)·df_c(g) is one pass over
+    // the (range-pruned) index gram table behind a broadcast of the
+    // batch's per-gram counts; corpus text is never touched either
+    // way. The exact path keeps recall-lossless Jaccard while the
+    // prediction stays O(|batch|); the banded path probes the
+    // persisted sigs/ relation — candidates collide on signature
+    // equality, so a gram-saturated standing corpus (the r16 docs
+    // ladder's 4.4×-for-3× regime) stays linear per day.
+    val useBanded = candidates match {
+      case "banded" => true
+      case "gram"   => false
+      case _ =>
+        val bdf = rawGrams(batch, idCol, textCol, n)
+          .groupBy("gram").agg(count(lit(1)).as("dfl"))
+        val predicted = spark.read.parquet(s"$indexPath/grams")
+          .join(Dedup.boundedBroadcast(bdf), "gram")
+          .agg(sum(col("dfl")).as("s2")).head()
+        val cand = if (predicted.isNullAt(0)) 0L else predicted.getLong(0)
+        Dedup.useBandedEdge(batch.count(), cand)
+    }
+    val hits =
+      if (useBanded) {
+        // banded candidates + MinHash-estimate membership: the corpus
+        // side is the persisted sigs/ table (SigK-component signatures,
+        // ~256 B/doc); batch signatures are computed live from today's
+        // batch. Byte-identical to Dedup.incrementalBanded on the
+        // indexed state — both sides band through Dedup.bandsOfSigs
+        val corpusBands = Dedup.bandsOfSigs(
+          spark.read.parquet(s"$indexPath/sigs"), "right_id",
+          SigK, SigBandSize)
+        val batchSigs = Dedup
+          .minhashSignatures(batch, idCol, textCol, n, SigK)
+          .select(col("doc_id"),
+            array((0 until SigK).map(i => col(s"s$i")): _*).as("sig"))
+        val batchBands = Dedup.bandsOfSigs(batchSigs, "left_id",
+          SigK, SigBandSize)
+        Dedup.bandedPairsFromBands(batchBands, corpusBands, SigK, threshold)
+          .select(col("left_id").as(idCol)).distinct()
+      } else {
+        // batch grams from the RAW batch (not b2) — same subplan-
+        // isolation reasoning as Dedup.incremental: the anti join below
+        // can only remove rows already gone from b2, and keeping the
+        // exact-dedup window out of the gram pipeline avoids
+        // re-executing it there. Hot corpus grams (df > maxDf at build)
+        // are dropped BEFORE the size window so the batch's n_grams
+        // match the index's capped sets
+        val bg = rawGrams(batch, idCol, textCol, n)
+          .join(spark.read.parquet(s"$indexPath/hot"), Seq("gram"), "left_anti")
+          .withColumn("n_grams",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+          .select(col("doc_id").as("left_id"), col("gram"),
+            col("n_grams").as("nl"))
+        bg.join(corpusGrams, "gram")
+          .groupBy("left_id", "right_id")
+          .agg(count(lit(1)).as("n_inter"),
+            max(col("nl")).as("nl"), max(col("nr")).as("nr"))
+          .withColumn("jaccard", col("n_inter").cast("double") /
+            (col("nl") + col("nr") - col("n_inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("left_id").as(idCol)).distinct()
+      }
     b2.join(hits, Seq(idCol), "left_anti")
   }
 

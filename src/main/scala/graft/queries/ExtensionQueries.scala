@@ -167,7 +167,7 @@ object ExtensionQueries {
   // ---- generated MinHash SQL (coefficients shared with Dedup) ----
   private val K = 32
   private val coeffs = Dedup.hashCoeffs(K)
-  private val minhashSigSql: String = {
+  private[queries] val minhashSigSql: String = {
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % ${Dedup.P}) AS s$i"
     }.mkString(",\n    ")
@@ -176,14 +176,14 @@ object ExtensionQueries {
        |    $mins
        |  FROM gh GROUP BY doc_id)""".stripMargin
   }
-  private val minhashBandsSql: String = {
+  private[queries] val minhashBandsSql: String = {
     val bands = (0 until K / 4).map { bIdx =>
       val key = (bIdx * 4 until bIdx * 4 + 4).map(i => s"s$i").mkString("::VARCHAR || ',' || ")
       s"SELECT doc_id, $bIdx AS band_idx, $key AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"bands AS (\n  $bands)"
   }
-  private val minhashEstSql: String =
+  private[queries] val minhashEstSql: String =
     "CAST(" + (0 until K).map(i =>
       s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ") +
       s" AS DOUBLE) / $K"
@@ -314,6 +314,40 @@ object ExtensionQueries {
       |  SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u),
       |comp AS (SELECT u AS node, least(u, min(v)) AS component
       |  FROM reach GROUP BY u)""".stripMargin
+
+  /** The banded daily-ingest dedup oracle (batch = doc_id % 5 == 0,
+    * corpus = the rest): in-batch exact winners, fingerprint anti
+    * join vs corpus text, batch-vs-corpus near-dup candidates from
+    * the MinHash band equi-join with membership by MinHash estimate
+    * ≥ 0.5. Shared by dedup_incremental (whose auto rule lands on
+    * BANDED at every graded scale — the fixed-vocab gate corpora
+    * saturate gram space immediately, same adjudication as
+    * dedup_cluster's static oracle), dedup_incremental_banded (the
+    * explicit form), and the indexed/bloom rows (byte-identical
+    * through the persisted sigs/ relation).
+    */
+  private lazy val incrementalBandedSql: String =
+    s"""WITH $gramsCte,
+       |$minhashSigSql,
+       |$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+       |hits AS (SELECT DISTINCT bid FROM cand
+       |  JOIN sig sa ON sa.doc_id = bid JOIN sig sb ON sb.doc_id = cid
+       |  WHERE $minhashEstSql >= 0.5),
+       |b1 AS (SELECT doc_id, n_chars, text FROM (
+       |    SELECT doc_id, n_chars, text, row_number() OVER (
+       |      PARTITION BY ${md5_60Sql("lower(trim(text))")} ORDER BY doc_id) AS rn
+       |    FROM documents WHERE doc_id % 5 = 0) WHERE rn = 1),
+       |b2 AS (SELECT doc_id, n_chars FROM b1
+       |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
+       |    SELECT ${md5_60Sql("lower(trim(text))")}
+       |    FROM documents WHERE doc_id % 5 <> 0))
+       |SELECT doc_id, n_chars FROM b2
+       |WHERE doc_id NOT IN (SELECT bid FROM hits)
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for the ann_ivf_pq family — trained model +
     * multi-probe bucketing + PQ encode + ADC scoring, parameterized
@@ -638,23 +672,33 @@ object ExtensionQueries {
     (l0 +: steps).mkString(",\n")
   }
 
-  private def multiSignalSql(nBands: Int): String =
+  private def multiSignalSql(nBands: Int,
+                             bandedLexical: Boolean = false): String = {
+    // the lexical edge's CTE block, ending with jac(da, db): the
+    // MinHash-banded + exact-verify relation (what the auto rule
+    // selects on the gate corpora — mirrors dedup_cluster's oracle)
+    // or the exact gram equi-join (the recall-lossless small-corpus
+    // branch the _recall_tune twin keeps)
+    val lexicalCtes =
+      if (bandedLexical) bandedJacCtes
+      else
+        s"""sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+           |  FROM cgrams a JOIN cgrams b USING (g)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           |jac AS (SELECT da, db
+           |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+           |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE)""".stripMargin
     s"""WITH $cappedGramsCte,
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-       |  FROM cgrams a JOIN cgrams b USING (g)
-       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-       |jac AS (SELECT da, db
-       |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6::DOUBLE),
+       |$lexicalCtes,
        |$embCte,
        |bits AS (SELECT vec_id, v, nrm,
        |    $lshBitsSql
        |  FROM n),
-       |bands AS (
+       |lbands AS (
        |  ${lshBandsSqlFor(nBands)}),
        |candc AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-       |  FROM bands a JOIN bands b
+       |  FROM lbands a JOIN lbands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |  WHERE a.vec_id < b.vec_id),
        |cose AS (SELECT ia AS da, ib AS db
@@ -666,6 +710,7 @@ object ExtensionQueries {
        |${unrolledComponentsCtes(16)}
        |SELECT u AS node, lab AS component
        |FROM l16 ORDER BY node""".stripMargin
+  }
 
   /** The corpus_mix recipe: target language composition, shared with
     * the generated oracle CASE so both engines derive identical rates.
@@ -1086,8 +1131,14 @@ object ExtensionQueries {
       * — asymmetric, so a short eval question verbatim inside a long
       * page is caught even though its Jaccard is ~0). Benchmark here =
       * the doc_id % 97 == 0 subset standing in for an external eval
-      * set; candidates come from the gram-hash equi-join, removal is
-      * an ids-only anti join. */
+      * set. Candidates are bounded per bench item by its k RAREST
+      * (corpus-df-ranked) grams with k = ⌊(1−t)·n_b⌋+2 — LOSSLESSLY
+      * (a doc at containment ≥ t misses ≤ k−2 bench grams, so it
+      * must contain one of any k-subset; proof and the r16 5.0×-for-3×
+      * measurement that motivated it at [[Dedup.containmentPairs]]) —
+      * so the oracle states the plain all-grams relation while the
+      * engine never builds the corpus-df-shaped join. Removal is an
+      * ids-only anti join. */
     Q("dedup_decontaminate",
       s"""WITH RECURSIVE $gramsCte,
          |bsz AS (SELECT doc_id AS bid, COUNT(*) AS nb FROM grams
@@ -1883,20 +1934,28 @@ object ExtensionQueries {
       * Jaccard ≥ 0.6) OR semantic (sign-LSH banded candidates
       * re-ranked by exact cosine ≥ 0.4). Components over the merged
       * edge set catch paraphrase clusters that either signal alone
-      * splits — the production shape of corpus dedup. The semantic
-      * edge is sub-quadratic BY CONSTRUCTION twice over: candidates
-      * come from equi-joins on (band, key), never an all-pairs
-      * cartesian, AND the band-key width is derived from the corpus
-      * count ([[Similarity.autoBandBits]]: bits = max(8, ⌈log₂ n⌉ − 7)
-      * — SCALING.md §3's sizing rule as code), so bucket population
-      * stays bounded as the corpus grows instead of a fixed tune
-      * turning quadratic past ~10⁴ vectors. At the gate scales
-      * (500–20k vectors) the rule lands on the 8-bit floor ×
-      * NBANDS_AUTO bands = 16 planes — exactly the hyperplane set the
-      * static oracle mirrors; the derived width first exceeds 8 bits
-      * past 2^15 vectors. */
-    Q("dedup_multi_signal", multiSignalSql(NBANDS_AUTO)) { (s, dir) =>
-      val lexical = trigramPairs(s, dir)
+      * splits — the production shape of corpus dedup. BOTH edges are
+      * scale-governed: the semantic edge's band-key width is derived
+      * from the corpus count ([[Similarity.autoBandBits]]: bits =
+      * max(8, ⌈log₂ n⌉ − 7) — SCALING.md §3's sizing rule as code),
+      * so bucket population stays bounded as the corpus grows; the
+      * lexical edge is the cluster family's AUTO-SELECTED relation
+      * ([[lexicalEdgeAuto]] / [[Dedup.jaccardPairsAuto]] — exact gram
+      * join while predicted candidates stay O(n), MinHash-banded
+      * exact-verify once gram space saturates). The r16 docs ladder
+      * measured exactly why the lexical edge cannot stay on the raw
+      * gram join: this key TIMED OUT (≥480 s, ≥92× for 3× data) at
+      * the 3× docs rung while the sibling keys on the auto edge
+      * stayed ≤2.8× — the fixed-vocab corpus saturates gram space and
+      * the exact relation goes ~n²/V. At the gate scales the auto
+      * rule lands on BANDED (28–253 predicted candidates/doc vs the
+      * 8/doc budget), which the static oracle mirrors; the sign-LSH
+      * rule lands on the 8-bit floor × NBANDS_AUTO bands = 16 planes.
+      * The recall-lossless exact lexical edge lives on in the
+      * explicitly-suffixed _recall_tune twin. */
+    Q("dedup_multi_signal",
+      multiSignalSql(NBANDS_AUTO, bandedLexical = true)) { (s, dir) =>
+      val lexical = lexicalEdgeAuto(s, dir)
       val semantic = Similarity.lshPairsAuto(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           nBands = NBANDS_AUTO, threshold = 0.4)
@@ -1907,14 +1966,17 @@ object ExtensionQueries {
     },
 
     /** dedup_multi_signal_recall_tune — the SAME composed dedup with
-      * the semantic edge banded for small-corpus RECALL instead of
-      * scale: 4 bands × 4-bit keys find more cos ≥ 0.4 paraphrase
-      * pairs (a candidate only has to agree on 4 consecutive bits),
-      * at 16 buckets per band — candidates ~n²/512, measured 20.6×
-      * wall at 10× data (SCALING.md §3). Explicitly suffixed so the
-      * obvious key (dedup_multi_signal) carries the scale-safe
-      * auto-banded default and reaching for this one is a deliberate
-      * small-corpus choice. */
+      * BOTH edges tuned for small-corpus RECALL instead of scale: the
+      * semantic edge at 4 bands × 4-bit keys finds more cos ≥ 0.4
+      * paraphrase pairs (a candidate only has to agree on 4
+      * consecutive bits) at 16 buckets per band — candidates ~n²/512,
+      * measured 20.6× wall at 10× data (SCALING.md §3) — and the
+      * lexical edge keeps the recall-lossless EXACT gram-join
+      * relation (no banding miss; ~n²/V on vocabulary-saturated
+      * corpora — the relation that timed dedup_multi_signal out at 3×
+      * docs before r17 moved the default to the auto edge). Explicitly
+      * suffixed so the obvious key carries the scale-safe defaults
+      * and reaching for this one is a deliberate small-corpus choice. */
     Q("dedup_multi_signal_recall_tune", multiSignalSql(NBANDS_MS)) { (s, dir) =>
       val lexical = trigramPairs(s, dir)
       val semantic = Similarity.lshPairs(
@@ -2114,11 +2176,41 @@ object ExtensionQueries {
 
     /** dedup_incremental — daily-ingest dedup against a standing
       * corpus (batch = doc_id % 5 == 0, corpus = the rest): in-batch
-      * exact winners, fingerprint anti join vs corpus text, two-sided
-      * Jaccard ≥ 0.5 near-dup anti join. The corpus never self-joins —
-      * per-day cost scales with the batch, which is what makes daily
-      * dedup of a 100-TB corpus affordable at all. */
-    Q("dedup_incremental",
+      * exact winners, fingerprint anti join vs corpus text, near-dup
+      * anti join with the candidate stage AUTO-SELECTED from corpus
+      * statistics ([[Dedup.incrementalAuto]] — exact two-sided gram
+      * Jaccard while predicted Σ df_b·df_c candidates stay O(|batch|),
+      * MinHash-banded once gram space saturates, the same decision
+      * rule as the cluster family's [[lexicalEdgeAuto]]). The r16
+      * docs ladder measured why the raw gram join cannot be the
+      * default: 7.2× cost for 3× data on the fixed-vocab corpus. On
+      * the gate corpora the rule lands on BANDED at every graded
+      * scale, which the shared static oracle mirrors; the
+      * recall-lossless exact relation keeps the explicit _exact
+      * suffix below. The corpus never self-joins either way — per-day
+      * cost scales with the batch, which is what makes daily dedup of
+      * a 100-TB corpus affordable at all. */
+    Q("dedup_incremental", incrementalBandedSql) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      Dedup.incrementalAuto(batch, corpus, "doc_id", "text",
+          n = 3, threshold = 0.5, k = K, bandSize = 4)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
+    /** dedup_incremental_exact — the recall-lossless baseline:
+      * batch-vs-corpus candidates from the exact capped-gram
+      * equi-join, membership by exact Jaccard ≥ 0.5. Explicitly
+      * suffixed (the repo convention: the obvious key carries the
+      * scale-safe default) because this relation is O(Σ df_b·df_c) —
+      * linear only while the corpus keeps growing gram diversity,
+      * 7.2× for 3× data on the r16 docs ladder once the fixed-vocab
+      * corpus saturated gram space. Reaching for it is a deliberate
+      * choice for corpora whose vocabulary grows with the data
+      * (Heaps' law holds), where it costs the same as banded and
+      * misses nothing. */
+    Q("dedup_incremental_exact",
       s"""WITH $gramsCte,
          |bg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 = 0),
          |cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
@@ -2160,30 +2252,12 @@ object ExtensionQueries {
       * vocabulary saturated gram space (avg df grows with n under the
       * maxDf cap); band candidates collide on signature equality, so
       * their volume tracks true near-dup pairs. Membership is by
-      * MinHash estimate ≥ 0.5 (own contract, like dedup_minhash),
-      * hence its own oracle below. */
-    Q("dedup_incremental_banded",
-      s"""WITH $gramsCte,
-         |$minhashSigSql,
-         |$minhashBandsSql,
-         |cand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-         |hits AS (SELECT DISTINCT bid FROM cand
-         |  JOIN sig sa ON sa.doc_id = bid JOIN sig sb ON sb.doc_id = cid
-         |  WHERE $minhashEstSql >= 0.5),
-         |b1 AS (SELECT doc_id, n_chars, text FROM (
-         |    SELECT doc_id, n_chars, text, row_number() OVER (
-         |      PARTITION BY ${md5_60Sql("lower(trim(text))")} ORDER BY doc_id) AS rn
-         |    FROM documents WHERE doc_id % 5 = 0) WHERE rn = 1),
-         |b2 AS (SELECT doc_id, n_chars FROM b1
-         |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
-         |    SELECT ${md5_60Sql("lower(trim(text))")}
-         |    FROM documents WHERE doc_id % 5 <> 0))
-         |SELECT doc_id, n_chars FROM b2
-         |WHERE doc_id NOT IN (SELECT bid FROM hits)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      * MinHash estimate ≥ 0.5 (own contract, like dedup_minhash) —
+      * the shared incrementalBandedSql oracle, which the default key's
+      * auto rule also lands on at every graded scale. Kept as the
+      * explicit pinned-construction form next to the auto default,
+      * mirroring dedup_cluster_banded vs dedup_cluster. */
+    Q("dedup_incremental_banded", incrementalBandedSql) { (s, dir) =>
       val docs = table(s, dir, "documents")
       val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
@@ -2193,40 +2267,22 @@ object ExtensionQueries {
     },
 
     /** dedup_incremental_indexed — the same daily-ingest dedup run
-      * against the PERSISTED corpus index (DedupIndex: fingerprint set
-      * + range-laid-out gram table, built once per session and reused
-      * across invocations): byte-identical output — same oracle — but
-      * the per-batch plan scans only the batch and the 8-byte-hash
-      * index tables; corpus TEXT is never re-read or re-tokenized.
-      * This is what converts dedup_incremental's per-day full-corpus
-      * rescan into an index probe, the shape that survives a 100-TB
-      * standing corpus (plan pinned in PlansSpec: no corpus relation
-      * in the physical plan). */
-    Q("dedup_incremental_indexed",
-      s"""WITH $gramsCte,
-         |bg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 = 0),
-         |cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
-         |b1 AS (SELECT doc_id, n_chars, text FROM (
-         |    SELECT doc_id, n_chars, text, row_number() OVER (
-         |      PARTITION BY ${md5_60Sql("lower(trim(text))")} ORDER BY doc_id) AS rn
-         |    FROM documents WHERE doc_id % 5 = 0) WHERE rn = 1),
-         |b2 AS (SELECT doc_id, n_chars FROM b1
-         |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
-         |    SELECT ${md5_60Sql("lower(trim(text))")}
-         |    FROM documents WHERE doc_id % 5 <> 0)),
-         |hot AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > ${Dedup.DefaultMaxDf}),
-         |bgc AS (SELECT doc_id, g FROM bg WHERE g NOT IN (SELECT g FROM hot)),
-         |cgc AS (SELECT doc_id, g FROM cg WHERE g NOT IN (SELECT g FROM hot)),
-         |szb AS (SELECT doc_id, COUNT(*) AS n FROM bgc GROUP BY 1),
-         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cgc GROUP BY 1),
-         |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
-         |  FROM bgc b JOIN cgc c USING (g) GROUP BY 1, 2),
-         |hits AS (SELECT DISTINCT bid FROM inter
-         |  JOIN szb ON szb.doc_id = bid JOIN szc ON szc.doc_id = cid
-         |  WHERE CAST(ni AS DOUBLE) / CAST(szb.n + szc.n - ni AS DOUBLE) >= 0.5::DOUBLE)
-         |SELECT doc_id, n_chars FROM b2
-         |WHERE doc_id NOT IN (SELECT bid FROM hits)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      * against the PERSISTED corpus index (DedupIndex: fingerprint
+      * set, range-laid-out gram table, MinHash signature table, built
+      * once per session and reused across invocations): byte-identical
+      * output to dedup_incremental — same oracle — but the per-batch
+      * plan scans only the batch and the fixed-width index tables;
+      * corpus TEXT is never re-read or re-tokenized. The candidate
+      * stage auto-selects per batch with the SAME [[Dedup
+      * .useBandedEdge]] rule, priced off the index's df statistics
+      * (one pass over the range-pruned gram table behind a broadcast
+      * of the batch's per-gram counts); on the gate corpora it lands
+      * on BANDED — probing the persisted `sigs/` relation — which the
+      * shared oracle mirrors. This is what converts dedup_incremental's
+      * per-day full-corpus rescan into an index probe, the shape that
+      * survives a 100-TB standing corpus (plan pinned in PlansSpec:
+      * no corpus relation in the physical plan). */
+    Q("dedup_incremental_indexed", incrementalBandedSql) { (s, dir) =>
       val docs = table(s, dir, "documents")
       val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
       val idx = graft.ops.DedupIndex.ensureBuilt(s, dir,
@@ -2248,31 +2304,7 @@ object ExtensionQueries {
       * byte-identical to dedup_incremental_indexed. The 16 MB cap and
       * graceful-degradation contract are at DedupIndex.bloomSizeBits;
       * the measured gate-scale overhead vs crossover is in SCALING.md. */
-    Q("dedup_incremental_bloom",
-      s"""WITH $gramsCte,
-         |bg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 = 0),
-         |cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
-         |b1 AS (SELECT doc_id, n_chars, text FROM (
-         |    SELECT doc_id, n_chars, text, row_number() OVER (
-         |      PARTITION BY ${md5_60Sql("lower(trim(text))")} ORDER BY doc_id) AS rn
-         |    FROM documents WHERE doc_id % 5 = 0) WHERE rn = 1),
-         |b2 AS (SELECT doc_id, n_chars FROM b1
-         |  WHERE ${md5_60Sql("lower(trim(text))")} NOT IN (
-         |    SELECT ${md5_60Sql("lower(trim(text))")}
-         |    FROM documents WHERE doc_id % 5 <> 0)),
-         |hot AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > ${Dedup.DefaultMaxDf}),
-         |bgc AS (SELECT doc_id, g FROM bg WHERE g NOT IN (SELECT g FROM hot)),
-         |cgc AS (SELECT doc_id, g FROM cg WHERE g NOT IN (SELECT g FROM hot)),
-         |szb AS (SELECT doc_id, COUNT(*) AS n FROM bgc GROUP BY 1),
-         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cgc GROUP BY 1),
-         |inter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
-         |  FROM bgc b JOIN cgc c USING (g) GROUP BY 1, 2),
-         |hits AS (SELECT DISTINCT bid FROM inter
-         |  JOIN szb ON szb.doc_id = bid JOIN szc ON szc.doc_id = cid
-         |  WHERE CAST(ni AS DOUBLE) / CAST(szb.n + szc.n - ni AS DOUBLE) >= 0.5::DOUBLE)
-         |SELECT doc_id, n_chars FROM b2
-         |WHERE doc_id NOT IN (SELECT bid FROM hits)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Q("dedup_incremental_bloom", incrementalBandedSql) { (s, dir) =>
       val docs = table(s, dir, "documents")
       val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
       val idx = graft.ops.DedupIndex.ensureBuilt(s, dir,

@@ -184,8 +184,13 @@ object StreamingQueries {
       * (airflow_dag/weather_etl_dag.py:57) composed with the
       * incremental-index shape that makes daily dedup of a standing
       * corpus affordable (corpus text is never rescanned; the
-      * streaming plan touches only the batch and the 8-byte-hash
-      * index tables).
+      * streaming plan touches only the batch and the fixed-width
+      * index tables). The per-micro-batch candidate stage
+      * auto-selects with [[graft.ops.Dedup.useBandedEdge]] priced off
+      * the index — on the gate corpora it lands on BANDED (the
+      * persisted sigs/ probe; 48–407 predicted candidates/doc vs the
+      * 8/doc budget at every graded sf), which this oracle's two-step
+      * MinHash form mirrors.
       *
       * Determinism: the batch (doc_id % 5 = 0) is split into two
       * files (doc_id % 10 = 0 then % 10 = 5) with pinned modification
@@ -203,10 +208,8 @@ object StreamingQueries {
          |grams AS (SELECT DISTINCT doc_id, g FROM tok,
          |  UNNEST(list_transform(range(1, greatest(len(t)-2,0)+1),
          |                        i -> array_to_string(t[i:i+2], ' '))) AS u(g)),
-         |cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
-         |hot AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > ${graft.ops.Dedup.DefaultMaxDf}),
-         |cgc AS (SELECT doc_id, g FROM cg WHERE g NOT IN (SELECT g FROM hot)),
-         |szc AS (SELECT doc_id, COUNT(*) AS n FROM cgc GROUP BY 1),
+         |${ExtensionQueries.minhashSigSql},
+         |${ExtensionQueries.minhashBandsSql},
          |cfp AS (SELECT DISTINCT ${fp("lower(trim(text))")} AS f
          |  FROM documents WHERE doc_id % 5 <> 0),
          |bA1 AS (SELECT doc_id, n_chars, text FROM (
@@ -215,36 +218,32 @@ object StreamingQueries {
          |    FROM documents WHERE doc_id % 10 = 0) WHERE rn = 1),
          |bA2 AS (SELECT doc_id, n_chars FROM bA1
          |  WHERE ${fp("lower(trim(text))")} NOT IN (SELECT f FROM cfp)),
-         |bgA AS (SELECT doc_id, g FROM grams
-         |  WHERE doc_id % 10 = 0 AND g NOT IN (SELECT g FROM hot)),
-         |szA AS (SELECT doc_id, COUNT(*) AS n FROM bgA GROUP BY 1),
-         |interA AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
-         |  FROM bgA b JOIN cgc c USING (g) GROUP BY 1, 2),
-         |hitsA AS (SELECT DISTINCT bid FROM interA
-         |  JOIN szA ON szA.doc_id = bid JOIN szc ON szc.doc_id = cid
-         |  WHERE CAST(ni AS DOUBLE) / CAST(szA.n + szc.n - ni AS DOUBLE) >= 0.5::DOUBLE),
+         |candA AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 5 <> 0),
+         |hitsA AS (SELECT DISTINCT bid FROM candA
+         |  JOIN sig sa ON sa.doc_id = bid JOIN sig sb ON sb.doc_id = cid
+         |  WHERE ${ExtensionQueries.minhashEstSql} >= 0.5),
          |sA AS (SELECT doc_id, n_chars FROM bA2
          |  WHERE doc_id NOT IN (SELECT bid FROM hitsA)),
          |fp1 AS (SELECT f FROM cfp UNION
          |  SELECT DISTINCT ${fp("lower(trim(text))")} FROM documents
          |  WHERE doc_id IN (SELECT doc_id FROM sA)),
-         |cg2 AS (SELECT doc_id, g FROM cgc UNION ALL
-         |  SELECT doc_id, g FROM bgA WHERE doc_id IN (SELECT doc_id FROM sA)),
-         |sz2 AS (SELECT doc_id, COUNT(*) AS n FROM cg2 GROUP BY 1),
          |bB1 AS (SELECT doc_id, n_chars, text FROM (
          |    SELECT doc_id, n_chars, text, row_number() OVER (
          |      PARTITION BY ${fp("lower(trim(text))")} ORDER BY doc_id) AS rn
          |    FROM documents WHERE doc_id % 10 = 5) WHERE rn = 1),
          |bB2 AS (SELECT doc_id, n_chars FROM bB1
          |  WHERE ${fp("lower(trim(text))")} NOT IN (SELECT f FROM fp1)),
-         |bgB AS (SELECT doc_id, g FROM grams
-         |  WHERE doc_id % 10 = 5 AND g NOT IN (SELECT g FROM hot)),
-         |szB AS (SELECT doc_id, COUNT(*) AS n FROM bgB GROUP BY 1),
-         |interB AS (SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS ni
-         |  FROM bgB b JOIN cg2 c USING (g) GROUP BY 1, 2),
-         |hitsB AS (SELECT DISTINCT bid FROM interB
-         |  JOIN szB ON szB.doc_id = bid JOIN sz2 ON sz2.doc_id = cid
-         |  WHERE CAST(ni AS DOUBLE) / CAST(szB.n + sz2.n - ni AS DOUBLE) >= 0.5::DOUBLE),
+         |candB AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 5 AND (b.doc_id % 5 <> 0
+         |    OR b.doc_id IN (SELECT doc_id FROM sA))),
+         |hitsB AS (SELECT DISTINCT bid FROM candB
+         |  JOIN sig sa ON sa.doc_id = bid JOIN sig sb ON sb.doc_id = cid
+         |  WHERE ${ExtensionQueries.minhashEstSql} >= 0.5),
          |sB AS (SELECT doc_id, n_chars FROM bB2
          |  WHERE doc_id NOT IN (SELECT bid FROM hitsB))
          |SELECT doc_id, n_chars FROM

@@ -542,6 +542,35 @@ class OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L))
   }
 
+  test("rarest-gram containment probe is lossless vs the all-grams join on a boilerplate corpus") {
+    import graft.functions.Parity
+    // boilerplate-heavy corpus: every doc shares the same 12-token
+    // header (the regime where probing on COMMON grams would explode),
+    // distinct bodies, two planted verbatim leaks (containment 1.0)
+    // and one paraphrase under the threshold
+    val header = "terms of service apply to all content on this site always"
+    val corpus = ((1 to 40).map(i =>
+      (i.toLong, s"$header unique body $i piece number ${i * 7} tail")) ++ Seq(
+      (101L, s"$header the quick brown fox jumps over the lazy dog today"),
+      (102L, "prefix words the quick brown fox jumps over the lazy dog"),
+      (103L, "the quick brown fox leaps over the lazy dog entirely"))).toDF("doc_id", "text")
+    val bench = Seq((500L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // brute-force reference: the unbounded all-grams join
+    def grams(df: org.apache.spark.sql.DataFrame, out: String) =
+      Dedup.gramTable(df, "doc_id", "text", 3)
+        .select(col("doc_id").as(out), Parity.md5_60(col("gram")).as("g"))
+    val cg = grams(corpus, "cid"); val bg = grams(bench, "bid")
+    val nb = bg.count().toDouble
+    val ref = cg.join(bg, "g").groupBy("cid", "bid").count()
+      .filter(col("count").cast("double") / nb >= 0.8)
+      .select("cid").as[Long].collect().sorted.toSeq
+    val got = Dedup.containmentPairs(corpus, bench, "doc_id", "text", 3, 0.8)
+      .select("corpus_id").as[Long].collect().sorted.toSeq
+    assert(got == ref, s"probe-bounded containment diverged: $got vs $ref")
+    assert(got.contains(101L) && got.contains(102L) && !got.contains(103L))
+  }
+
   test("domain blocklist filter drops docs with blocked hosts only") {
     import graft.ops.Corpus
     val d = Seq(
@@ -1407,9 +1436,67 @@ class OpsSpec extends SparkSpec {
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").as[Long].collect().sorted.toSeq
     val direct = Dedup.incremental(batch, corpus, "doc_id", "text", 3, 0.5)
-    val indexed = DedupIndex.dedupBatch(spark, batch, dir, "doc_id", "text", 3, 0.5)
+    val indexed = DedupIndex.dedupBatch(spark, batch, dir, "doc_id", "text",
+      3, 0.5, candidates = "gram")
     assert(ids(direct) == Seq(3L, 5L))
     assert(ids(indexed) == ids(direct))
+    // banded candidate stage probes the persisted sigs/ relation and is
+    // byte-identical to the live banded form on the same state
+    val directBanded = Dedup.incrementalBanded(batch, corpus, "doc_id",
+      "text", n = 3, k = 32, bandSize = 4, threshold = 0.5)
+    val indexedBanded = DedupIndex.dedupBatch(spark, batch, dir, "doc_id",
+      "text", 3, 0.5, candidates = "banded")
+    assert(ids(indexedBanded) == ids(directBanded))
+    // auto on this sparse-vocabulary corpus prices the exact join as
+    // affordable (predicted candidates ≪ 8/doc) and selects it
+    val auto = DedupIndex.dedupBatch(spark, batch, dir, "doc_id", "text",
+      3, 0.5)
+    assert(ids(auto) == ids(direct))
+  }
+
+  test("auto candidate stage flips to banded on a gram-saturated corpus, matching incrementalAuto") {
+    import graft.ops.{Dedup, DedupIndex}
+    // fixed 6-word vocabulary: every doc shares grams with most others,
+    // so predicted candidates blow past the 8/doc budget — the regime
+    // the r16 docs ladder measured going quadratic on the exact join
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def doc(i: Int): String =
+      (0 until 8).map(j => words((i * 7 + j * 5) % 6)).mkString(" ") + s" uid$i"
+    val corpus = (100 until 160).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text")
+    val batch = (0 until 20).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text")
+    val predicted = Dedup.predictedGramJoinCandidatesBetween(
+      batch, corpus, "doc_id", "text", 3)
+    assert(Dedup.useBandedEdge(20L, predicted),
+      s"saturated corpus must price banded (predicted=$predicted)")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val banded = Dedup.incrementalBanded(batch, corpus, "doc_id", "text",
+      n = 3, k = 32, bandSize = 4, threshold = 0.5)
+    assert(ids(Dedup.incrementalAuto(batch, corpus, "doc_id", "text"))
+      == ids(banded), "incrementalAuto must route to the banded twin")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_auto").toString
+    DedupIndex.build(corpus, "doc_id", "text", 3, dir, nFiles = 2)
+    assert(ids(DedupIndex.dedupBatch(spark, batch, dir, "doc_id", "text",
+        3, 0.5))
+      == ids(banded), "index auto must route to the banded probe")
+  }
+
+  test("predictedGramJoinCandidatesBetween is the capped df dot product") {
+    import graft.ops.Dedup
+    // left: two docs sharing the gram "a b c" (df_l = 2); right: three
+    // docs with it (df_r = 3) → 6, plus "x y z" 1×1 → 7 total
+    val left = Seq((1L, "a b c q w"), (2L, "a b c r t"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val right = Seq((10L, "a b c"), (11L, "a b c k"), (12L, "m a b c"),
+        (13L, "x y z"))
+      .toDF("doc_id", "text")
+    assert(Dedup.predictedGramJoinCandidatesBetween(
+      left, right, "doc_id", "text", 3) == 2L * 3L + 1L)
+    // the right-side df cap removes a boilerplate gram entirely
+    assert(Dedup.predictedGramJoinCandidatesBetween(
+      left, right, "doc_id", "text", 3, maxDf = 2) == 1L)
   }
 
   test("index append keeps the next day's dedup equal to a full recompute") {
@@ -1452,6 +1539,13 @@ class OpsSpec extends SparkSpec {
     }
     assert(ids(DedupIndex.dedupBatch(spark, batch2, dir, "doc_id", "text", 3, 0.5))
       == Seq(21L), "relayout must not change dedup answers")
+    // append wrote the day-1 survivors' SIGNATURES too: the banded
+    // probe against the grown index equals the live banded form
+    // against the grown corpus (pins sigs/ append + relayout survival)
+    assert(ids(DedupIndex.dedupBatch(spark, batch2, dir, "doc_id", "text",
+        3, 0.5, candidates = "banded"))
+      == ids(Dedup.incrementalBanded(batch2, grown, "doc_id", "text",
+        n = 3, k = 32, bandSize = 4, threshold = 0.5)))
   }
 
   test("bloom sidecar: probed dedup byte-identical, no false negatives, refreshed by append") {
