@@ -47,6 +47,13 @@ import org.apache.spark.sql.SparkSession
   *     time in the last clean same-sf artifact; >2.5× outliers (with
   *     ≥ 0.5 s excess) re-run at the END of the bench, after the
   *     window has passed, minima reported, names in `"rebaselined"`.
+  *   - since r17 a contaminated verdict REFUSES the artifact: the JSON
+  *     line still prints (diagnosis for whoever captured stdout), but
+  *     the out file goes to `<out>.contaminated` instead of `<out>`
+  *     and the process exits 3 — a polluted run can neither seed the
+  *     next run's per-query baseline nor be committed as a round
+  *     anchor by a script that forgot to check the field (the r16
+  *     headline shipped contaminated exactly that way).
   */
 object Bench {
   private val Iters = 2
@@ -382,6 +389,25 @@ object Bench {
         s""""inflated":$inflated,"fixed_floor_seconds":$fixedFloor,""" +
         s""""queries":$qs,"errors":$errors,"sf":"$sfDir",$env}"""
     println(json)
+    if (contaminated) {
+      // A contaminated headline must FAIL LOUDLY, not quietly become
+      // the round's anchor (the r16 lesson: the driver committed a
+      // contaminated 105 s headline because the run's only complaint
+      // was a JSON field). The stdout line above still carries the
+      // full diagnosis for whoever captured it, but the artifact file
+      // — the thing the next run baselines against and rounds commit
+      // as bench_r{N}_local.json — is refused: it lands in a
+      // .contaminated sidecar instead, and the process exits nonzero
+      // so a scripted caller cannot miss it.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath + ".contaminated"), json + "\n")
+      System.err.println(s"[bench] REFUSING to write $outPath: run is " +
+        s"contaminated (load $loadStart -> $loadEnd, inflated=$inflated) " +
+        s"after the single sleep-and-recheck; diagnosis saved to " +
+        s"$outPath.contaminated — re-run on an idle box")
+      spark.stop()
+      sys.exit(3)
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
   }

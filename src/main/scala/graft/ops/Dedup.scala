@@ -644,16 +644,20 @@ object Dedup {
     * collapse straight to ONE covered-position set per document
     * (collect_set — dedup and aggregation in a single map-side-
     * combined shuffle). The rebuild then joins that 1-row-per-doc
-    * set back to the tokenized base on doc_id and filters the token
-    * ARRAY in place (transform with positional lambda) — no
-    * token-level explode, no |corpus-tokens|-row equi-join, and no
-    * collect_list re-assembly shuffle. Measured at sf1 (Scratch
-    * tailprobe r16): the token-level rebuild was 18.8 s against
-    * 6.9 s for the two-branch stats core; this shape removes the
-    * difference. The covered set per doc is bounded by the doc's
-    * own token count (positions are ints), so the aggregate rows
-    * stay document-sized — same bound as the token arrays the base
-    * relation already carries. Duplicated-window detection follows
+    * set back to the tokenized base on doc_id and rebuilds the token
+    * ARRAY in one linear merge: array_except(index range, covered)
+    * hashes the covered set once per doc, then one element_at per
+    * surviving position — no token-level explode, no
+    * |corpus-tokens|-row equi-join, no collect_list re-assembly
+    * shuffle, and no per-token membership scan (the r16 array-filter
+    * shape was O(n_tokens × |covered|) per doc — quadratic on long
+    * fully-covered docs). Measured at sf1 (Scratch tailprobe r16):
+    * the token-level rebuild was 18.8 s against 6.9 s for the
+    * two-branch stats core; this shape removes the difference. The
+    * covered set per doc is bounded by the doc's own token count
+    * (positions are ints), so the aggregate rows stay document-sized
+    * — same bound as the token arrays the base relation already
+    * carries, in memory AND in compute. Duplicated-window detection follows
     * [[substringDupStats]]'s skew discipline: the token relation is
     * materialized once, the occurrence count is a map-side-combined
     * aggregate, and the duplicated set comes back through an
@@ -697,8 +701,21 @@ object Dedup {
     base.join(coveredSet, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("n_tokens"),
-        filter(col("__toks"), (_, i) => !array_contains(
-          coalesce(col("__cov"), array().cast("array<int>")), i)).as("__kept"))
+        // linear rebuild: kept positions = the ordered index range
+        // MINUS the covered set (ArrayExcept hashes the right side —
+        // O(n_tokens + |covered|) per doc, order of the left side
+        // preserved), then one element_at per survivor. The previous
+        // per-token array_contains scan was O(n_tokens × |covered|):
+        // a fully-covered 50k-token doc paid ~2.5e9 comparisons
+        // (ADVICE r16) — quadratic exactly on the long, heavily-
+        // duplicated docs this operator exists to prune.
+        transform(
+          array_except(
+            when(size(col("__toks")) > 0,
+              sequence(lit(0), size(col("__toks")) - 1))
+              .otherwise(array().cast("array<int>")),
+            coalesce(col("__cov"), array().cast("array<int>"))),
+          p => element_at(col("__toks"), p + 1)).as("__kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("__kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("__kept")).as("text_pruned"))

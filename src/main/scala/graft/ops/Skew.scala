@@ -83,6 +83,39 @@ object Skew {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** The composed join→same-key-aggregate shape, salted END TO END —
+    * the case the skew_pairs probe measured as AQE's blind spot
+    * (artifacts/skew_pairs_r16.json: AQE silently declines to split a
+    * skewed join whose output partitioning a same-key aggregate
+    * reuses — splitting would break the reuse — so the fused hot
+    * reducer runs the join AND the aggregate, 12.7 s vs 1.2 s
+    * salted). Salting fixes it structurally: the join keys on
+    * (keys, salt), so its output partitioning already splits the hot
+    * key `buckets` ways, and the aggregate runs its PARTIAL phase per
+    * (keys, salt) on those same partitions — no second exchange of
+    * hot rows — before the final per-key merge of `buckets` partial
+    * rows. Exact: the salted join is exact ([[saltedJoin]]) and
+    * count/sum re-aggregate associatively (the sum in decimal, like
+    * [[saltedCountSum]], so the double result is order-independent);
+    * the oracle is the plain join + GROUP BY.
+    */
+  def saltedJoinAgg(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    valueCol: String, buckets: Int = 16,
+                    scale: Int = 2): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val salted = left.withColumn("__salt", spark_partition_id() % buckets)
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    val joined = salted.join(replicated, keys :+ "__salt")
+    val partial = joined
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(DecimalType(18, scale))).as("__s"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("sum_value"))
+  }
+
   /** Skew-AWARE variant of [[saltedJoin]]: only keys whose left-side
     * row count exceeds `hotThreshold` get salted; cold keys join with
     * salt 0 on both sides, and the right side is replicated ONLY for

@@ -826,6 +826,32 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    /** join_salted_agg — the composed join→same-key-aggregate shape
+      * salted end to end (graft.ops.Skew.saltedJoinAgg): the skew
+      * case AQE silently DECLINES (splitting the skewed join would
+      * break the output partitioning the same-key aggregate reuses,
+      * so the fused hot reducer runs join + agg — measured 12.7 s vs
+      * 1.2 s salted on the 20M-row zipfian probe,
+      * artifacts/skew_pairs_r16.json). Here the join keys on
+      * (event_type, salt) and the aggregate's partial phase runs per
+      * (event_type, salt) on the join's own partitioning — the hot
+      * key's pair volume AND its aggregation both split `buckets`
+      * ways with no extra exchange of hot rows. Exact (decimal
+      * partial sums re-aggregate associatively), so the oracle is the
+      * plain join + GROUP BY. */
+    Q("join_salted_agg",
+      s"""WITH dim AS (SELECT event_type, COUNT(*) AS type_n
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, COUNT(*) AS n, ${dsumSql("e.value", "sum_value")}
+         |FROM events e JOIN dim d USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val events = table(s, dir, "events")
+      val dim = events.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"))
+      graft.ops.Skew.saltedJoinAgg(events, dim, Seq("event_type"), "value")
+        .orderBy("event_type")
+    },
+
     /** join_salted_skewaware — the hot-only variant of join_salted
       * (graft.ops.Skew.saltedJoinSkewed): keys whose fact-side count
       * exceeds the threshold get salted and their dim rows replicated;

@@ -176,6 +176,19 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("partial_"), "expected partial aggregation after the join")
   }
 
+  test("join_salted_agg: partial aggregation keyed on (key, salt) rides the join's partitioning") {
+    val p = plan("join_salted_agg")
+    assert(p.contains("__salt"), "the join key must carry the salt")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "salting must stay an equi-join")
+    // the per-(key, salt) partial phase is the point: the hot key's
+    // aggregation splits on the join's own partitioning instead of
+    // re-fusing onto one reducer (the AQE-declined shape)
+    assert("HashAggregate\\(keys=\\[[^\\]]*__salt".r.findFirstIn(p).isDefined,
+      "expected a partial aggregate keyed on (key, __salt)")
+    assert(p.contains("partial_"), "expected map-side partials")
+  }
+
   test("dedup_incremental: removals are anti joins, candidates an equi-join") {
     val p = plan("dedup_incremental")
     val antis = "LeftAnti".r.findAllIn(p).size

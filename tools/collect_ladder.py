@@ -20,10 +20,16 @@ RUNG = sys.argv[1]
 RND = sys.argv[2]
 DIR = sys.argv[3] if len(sys.argv) > 3 else "/tmp/ladder"
 
-queries, timeouts, contaminated = {}, {}, []
+queries, timeouts, contaminated, errors = {}, {}, [], []
 for p in sorted(glob.glob(f"{DIR}/{RUNG}_*.json")):
     d = json.load(open(p))
     for k, v in d["queries"].items():
+        # Bench reports a query that throws as -1.0 plus an 'errors'
+        # array — mirror that split instead of summing the sentinel
+        # into total_sec and counting the key as timed
+        if v < 0:
+            errors.append(k)
+            continue
         queries[k] = v
         if d.get("contaminated"):
             contaminated.append(k)
@@ -42,9 +48,10 @@ out = {
     "total_sec": round(sum(queries.values()), 1),
     "queries": queries,
     "timeouts": timeouts,
+    "errors": errors,
     "contaminated_keys": contaminated,
 }
 path = f"artifacts/bench_docs_{RUNG}_perkey_r{RND}.json"
 json.dump(out, open(path, "w"), indent=1)
 print(f"{path}: {len(queries)} timed, {len(timeouts)} capped, "
-      f"{len(contaminated)} contaminated")
+      f"{len(errors)} errored, {len(contaminated)} contaminated")
