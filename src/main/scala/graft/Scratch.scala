@@ -40,6 +40,42 @@ object Scratch {
         f"perDoc=${cand.toDouble / math.max(nBatch, 1)}%.1f " +
         s"banded=${graft.ops.Dedup.useBandedEdge(nBatch, cand)}")
     }
+    // dedup_multi_signal decomposition probe: times the lexical edge,
+    // the semantic edge, their union's components, and the full row
+    // separately, printing edge counts — attribution for a ladder-rung
+    // blowup must name the stage, not the row
+    args.filter(_ == "msprobe").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scratch] msprobe $label ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        r
+      }
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+      val emb = graft.io.Sources.table(spark, dir, "embeddings")
+      val nLex = t("lexicalEdgeAuto(jaccardPairsAuto 0.6)") {
+        graft.ops.Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+          n = 3, threshold = 0.6, k = 32, bandSize = 4)
+          .select("doc_a", "doc_b").localCheckpoint(true).count()
+      }
+      println(s"[scratch] msprobe lexical_edges=$nLex")
+      val sem = t("lshPairsAuto(cos 0.4) build+count") {
+        graft.ops.Similarity.lshPairsAuto(emb, "vec_id", "embedding",
+            nBands = 2, threshold = 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+          .localCheckpoint(true)
+      }
+      println(s"[scratch] msprobe semantic_edges=${sem.count()}")
+      val lex = graft.ops.Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+          n = 3, threshold = 0.6, k = 32, bandSize = 4)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      val (compDf, rounds) = t("components(union)") {
+        graft.ops.Components.connectedComponentsWithRounds(
+          lex.unionByName(sem), "doc_a", "doc_b", maxIters = 60)
+      }
+      println(s"[scratch] msprobe components rows=${compDf.count()} rounds=$rounds")
+    }
     // BPE trainer cost-curve probe (SCALING.md): bpe:<iter|fast>:<k>
     // times one full training run at k rounds over the sf documents
     args.filter(_.startsWith("bpe:")).foreach { a =>
@@ -261,7 +297,7 @@ object Scratch {
     }
     val names = args.filterNot(a =>
       a.startsWith("explain:") || a.startsWith("bpe:") || a.startsWith("full:") ||
-      a == "bktprobe" || a == "tailprobe" || a == "incauto" ||
+      a == "bktprobe" || a == "tailprobe" || a == "incauto" || a == "msprobe" ||
       a == "annprobe" || a == "annprobe_raw" || a == "ppprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>

@@ -34,9 +34,17 @@ object Components {
 
   /** edges: (src, dst) undirected pairs. Returns (node, component)
     * where component = min node id reachable. Deterministic.
+    *
+    * maxIters is a RUNAWAY BACKSTOP, not a tuning knob: hitting it
+    * throws (an unconverged label relation is silently-wrong dedup
+    * groups — the one thing worse than failing). 64 is far above any
+    * measured need — the 999-diameter chain spec converges in ≤9
+    * rounds and the worst observed real graph (the sf3 docs rung's
+    * merged 37k-edge lexical∪semantic graph, whose near-critical
+    * random semantic part has long thin filaments) takes 38.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 20): DataFrame =
+                          maxIters: Int = 64): DataFrame =
     connectedComponentsWithRounds(edges, srcCol, dstCol, maxIters)._1
 
   /** As [[connectedComponents]], additionally returning the number of
@@ -44,7 +52,7 @@ object Components {
     */
   def connectedComponentsWithRounds(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20): (DataFrame, Int) = {
+      maxIters: Int = 64): (DataFrame, Int) = {
     // materialize the edge list ONCE before mirroring it: the union's
     // two branches are renamed copies of the same subplan, and Spark
     // does not reuse exchanges across renamed branches — an expensive
@@ -126,7 +134,7 @@ object Components {
       // composition) implies mid == old AND old is idempotent — i.e.
       // the true fixed point, where every label is its component's min.
       val obs = new org.apache.spark.sql.Observation()
-      val next = mid
+      val nextCp = mid
         .join(jm1, mid("mid") === jm1("__jn1"))
         .join(jm2, col("__jl1") === jm2("__jn2"))
         .select(mid("node").as("node"), col("old"), col("__jl2").as("label"))
@@ -134,6 +142,22 @@ object Components {
           .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
       val changed = obs.get("changed").asInstanceOf[Long]
+      // STRIP the checkpoint's inherited size ESTIMATE before the next
+      // round reads it. localCheckpoint truncates lineage but carries
+      // the child plan's estimated sizeInBytes forward — and this
+      // round's estimate is a product of SIX copies of last round's
+      // (labels appears twice in mid, mid three times in next), so the
+      // carried number grows as s^(6^round): by round ~9 Catalyst's
+      // size-only visitor is multiplying ten-million-digit BigIntegers
+      // on the driver, single-threaded, minutes per join-selection
+      // pass (measured: the r16/r17 docs-ladder dedup_multi_signal
+      // ≥480 s timeouts were THIS, not the pair relation — the merged
+      // 37k-edge graph runs more rounds than either edge alone).
+      // Re-wrapping the materialized RDD resets the leaf to a constant
+      // default estimate, so per-round stats stay constant-size; the
+      // rewrap is a row-conversion wrapper, not a data copy.
+      val spark = nextCp.sparkSession
+      val next = spark.createDataFrame(nextCp.rdd, nextCp.schema)
       labels.unpersist()
       labels = next.drop("old")
       converged = changed == 0
@@ -142,6 +166,12 @@ object Components {
     und.unpersist()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc] rounds=$i converged=$converged")
+    // an unconverged label relation is WRONG dedup groups (a component
+    // split in two keeps a duplicate) — refuse to return it
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "raise maxIters; a partial label relation is not an answer")
     (labels.withColumnRenamed("label", "component"), i)
   }
 }
