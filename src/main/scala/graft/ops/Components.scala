@@ -32,6 +32,22 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Re-wrap an (already materialized, e.g. localCheckpointed)
+    * DataFrame as a bare scan of its RDD, DISCARDING the logical
+    * plan's inherited statistics. localCheckpoint truncates lineage
+    * but carries the child plan's ESTIMATED sizeInBytes forward, so
+    * an iterative loop that feeds round N's checkpoint into round
+    * N+1's joins compounds the estimate multiplicatively per round —
+    * by round ~9 of the components loop Catalyst's size-only stats
+    * visitor was multiplying ten-million-digit BigIntegers on the
+    * driver (the r16/r17 docs-ladder dedup_multi_signal ≥480 s
+    * "timeouts"). The rewrap is a row-conversion wrapper over the
+    * materialized partitions, not a data copy; the leaf's stats fall
+    * back to a constant default, which is exactly what a loop wants.
+    */
+  def stripStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** edges: (src, dst) undirected pairs. Returns (node, component)
     * where component = min node id reachable. Deterministic.
     *
@@ -153,11 +169,10 @@ object Components {
       // pass (measured: the r16/r17 docs-ladder dedup_multi_signal
       // ≥480 s timeouts were THIS, not the pair relation — the merged
       // 37k-edge graph runs more rounds than either edge alone).
-      // Re-wrapping the materialized RDD resets the leaf to a constant
-      // default estimate, so per-round stats stay constant-size; the
-      // rewrap is a row-conversion wrapper, not a data copy.
-      val spark = nextCp.sparkSession
-      val next = spark.createDataFrame(nextCp.rdd, nextCp.schema)
+      // Re-wrapping the materialized RDD ([[stripStats]]) resets the
+      // leaf to a constant default estimate, so per-round stats stay
+      // constant-size.
+      val next = stripStats(nextCp)
       labels.unpersist()
       labels = next.drop("old")
       converged = changed == 0

@@ -445,7 +445,10 @@ object Corpus {
         // Components pointer-jumping loop); eager localCheckpoint
         // costs one extra materialization per 4 rounds, bounded and
         // executor-resident.
-        if (r % 4 == 0) cur = cur.localCheckpoint(true)
+        // stripStats: a checkpoint CARRIES the estimated stats of its
+        // child, and a loop that re-checkpoints its own output
+        // compounds them round over round (see Components.stripStats)
+        if (r % 4 == 0) cur = Components.stripStats(cur.localCheckpoint(true))
         r += 1
       }
     }
@@ -624,7 +627,8 @@ object Corpus {
         // round (the corpus is already truncated by the per-step
         // checkpoint); un-truncated, the next ELECTION re-executes
         // the whole join chain — see the scaladoc on checkpointEvery
-        if (r % checkpointEvery == 0) pairs = pairs.localCheckpoint(true)
+        if (r % checkpointEvery == 0)
+          pairs = Components.stripStats(pairs.localCheckpoint(true))
         r += 1
       }
     }

@@ -495,6 +495,31 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long)].head() == ((0L, 0L)))
   }
 
+  test("stripStats: a checkpoint inherits its child's size estimate, the rewrap makes it depth-invariant") {
+    // localCheckpoint truncates lineage but CARRIES the child plan's
+    // estimated sizeInBytes — so a loop re-checkpointing its own
+    // output compounds the estimate round over round (the docs-ladder
+    // dedup_multi_signal ≥480 s planning hangs: ten-million-digit
+    // BigInteger products inside the size-only stats visitor by round
+    // ~9). Pin both halves: the inherited estimate GROWS with the
+    // join depth of the producing plan, and stripStats resets it to a
+    // leaf default that does not.
+    def sizeOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val a = spark.range(4).toDF("x")
+    val shallow = a.crossJoin(a.select($"x".as("y"))).localCheckpoint(true)
+    val deep = a.crossJoin(a.select($"x".as("y")))
+      .crossJoin(a.select($"x".as("z")))
+      .crossJoin(a.select($"x".as("w"))).localCheckpoint(true)
+    assert(sizeOf(deep) > sizeOf(shallow),
+      "expected the checkpoint to inherit depth-dependent estimates " +
+        "(if this starts failing, Spark fixed it upstream and stripStats can go)")
+    val s1 = sizeOf(ops.Components.stripStats(shallow))
+    val s2 = sizeOf(ops.Components.stripStats(deep))
+    assert(s1 == s2,
+      s"stripped estimates must not depend on producer plan depth: $s1 vs $s2")
+  }
+
   test("connected components: separate clusters keep separate min labels") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
       .toDF("doc_a", "doc_b")

@@ -24,6 +24,13 @@ done
 for k in "$@"; do
   out=/tmp/ladder/${RUNG}_${k}.json
   rm -f "$out" "$out.timeout" "$out.contaminated"
+  # settle: the PREVIOUS key's 32-thread run leaves a trailing 1-min
+  # load average that would trip Bench's busy-start guard (cpus/8 = 4)
+  # and refuse the artifact — wait for the box to look idle again
+  for i in $(seq 1 30); do
+    awk '{exit !($1 < 3.5)}' /proc/loadavg && break
+    sleep 10
+  done
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=$DIR SPARK_GRAFT_BENCH_ONLY=$k SPARK_GRAFT_BENCH_OUT=$out \
     timeout "$CAP" java $OPENS -Xmx16g -Djava.io.tmpdir=/dev/shm \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
