@@ -359,7 +359,18 @@ object Bench {
     val loadEnd = os.getSystemLoadAverage
     val curTimes = results.toMap
     val ratio = baseline.flatMap(Guards.commonRatio(curTimes, _))
-    val inflated = Guards.inflated(ratio)
+    // SPARK_GRAFT_BENCH_REBASELINE=1 declares THIS run the first
+    // anchor of a new measurement epoch: the RELATIVE (vs-last-clean-
+    // artifact) guard is skipped — and recorded as skipped — while
+    // the absolute load guards stay live. For the case where the box
+    // itself shifted speed between epochs (r17: untouched rows
+    // measured a broad 1.11× vs the r15 anchors on an idle box, so
+    // the 1.25× fence can never pass again no matter how clean the
+    // run); using it REQUIRES a per-row adjudication in SCALING.md,
+    // which is why it is an explicit env and not automatic.
+    val rebaselineEpoch =
+      sys.env.get("SPARK_GRAFT_BENCH_REBASELINE").contains("1")
+    val inflated = !rebaselineEpoch && Guards.inflated(ratio)
     val contaminated =
       Guards.contaminated(loadStart, loadEnd, cpus.toInt) || inflated
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -380,6 +391,7 @@ object Bench {
         "\"" + k + "\":" + ts.mkString("[", ",", "]")
       }.mkString("{", ",", "}")},""" +
       s""""baseline_common_ratio":${ratio.map(_.toString).getOrElse("null")},""" +
+      s""""rebaseline_epoch":$rebaselineEpoch,""" +
       s""""exec_order":"registry","corpus":$corpusJson,""" +
       s""""gc_ms":${gcMs1 - gcMs0},"gc_count":${gcN1 - gcN0}}"""
     val fixedFloor = Guards.fixedFloorSeconds(curTimes)
