@@ -68,12 +68,22 @@ object Bench {
     /** Busy at start: external load before the bench even ran. */
     def busyStart(loadStart: Double, cpus: Int): Boolean =
       loadStart > cpus / 8.0
-    /** Contaminated run: busy start, or load climbing during the run —
-      * the end threshold is looser (cpus/4) because the bench's own
-      * work contributes to the trailing 1-minute load average.
+    /** Contaminated run: busy start, or load climbing during the run
+      * beyond what the bench's OWN work explains. The end-load axis
+      * subtracts `selfCores` — the process's measured CPU cores
+      * averaged over the run (process-cpu-time delta / wall) — before
+      * applying the cpus/4 fence: a single long 32-thread query
+      * legitimately drives the 1-minute average to ~20+ by its own
+      * end (the r17 per-key ladder refused dedup_incremental_exact at
+      * loadEnd 20.6 with an idle box), while EXTERNAL load shows up
+      * as loadEnd exceeding self + fence. The 1.25 factor absorbs
+      * load-average lag vs the instantaneous cpu-time ratio.
+      * selfCores = 0 reproduces the old absolute rule.
       */
-    def contaminated(loadStart: Double, loadEnd: Double, cpus: Int): Boolean =
-      busyStart(loadStart, cpus) || loadEnd > cpus / 4.0
+    def contaminated(loadStart: Double, loadEnd: Double, cpus: Int,
+                     selfCores: Double = 0.0): Boolean =
+      busyStart(loadStart, cpus) ||
+        loadEnd - selfCores * 1.25 > cpus / 4.0
     /** A >3× spread between a query's timed iterations is a scheduling
       * stall, not a property of the query — re-run it. Failures are
       * reported as errors, never retried (success is a FLAG here, not
@@ -243,6 +253,14 @@ object Bench {
       if (fullPlan) "bench_full_out.json" else "bench_out.json")
     val baseline = loadBaseline(outPath, sfDir, cpus, mode)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // self-load accounting for the end-load guard: cores = process cpu
+    // time delta / wall (see Guards.contaminated)
+    val sunOs = os match {
+      case s: com.sun.management.OperatingSystemMXBean => Some(s)
+      case _ => None
+    }
+    val selfCpuT0 = sunOs.map(_.getProcessCpuTime).getOrElse(0L)
+    val selfWallT0 = System.nanoTime()
     var loadStart = os.getSystemLoadAverage
     var sleptForLoad = false
     if (Guards.busyStart(loadStart, cpus.toInt)) {
@@ -371,8 +389,12 @@ object Bench {
     val rebaselineEpoch =
       sys.env.get("SPARK_GRAFT_BENCH_REBASELINE").contains("1")
     val inflated = !rebaselineEpoch && Guards.inflated(ratio)
+    val selfCores = sunOs.map(s =>
+      (s.getProcessCpuTime - selfCpuT0).toDouble /
+        math.max(System.nanoTime() - selfWallT0, 1L)).getOrElse(0.0)
     val contaminated =
-      Guards.contaminated(loadStart, loadEnd, cpus.toInt) || inflated
+      Guards.contaminated(loadStart, loadEnd, cpus.toInt, selfCores) ||
+        inflated
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, -1.0) => "\"" + k + "\"" }
@@ -392,6 +414,7 @@ object Bench {
       }.mkString("{", ",", "}")},""" +
       s""""baseline_common_ratio":${ratio.map(_.toString).getOrElse("null")},""" +
       s""""rebaseline_epoch":$rebaselineEpoch,""" +
+      f""""self_cores":$selfCores%.2f,""" +
       s""""exec_order":"registry","corpus":$corpusJson,""" +
       s""""gc_ms":${gcMs1 - gcMs0},"gc_count":${gcN1 - gcN0}}"""
     val fixedFloor = Guards.fixedFloorSeconds(curTimes)

@@ -76,6 +76,30 @@ object Scratch {
       }
       println(s"[scratch] msprobe components rows=${compDf.count()} rounds=$rounds")
     }
+    // decontamination scaling probe: times Dedup.decontaminate with a
+    // FIXED-SIZE bench (the production shape — an external eval set
+    // does not grow with the corpus) vs the registry's %97 bench
+    // (which does). The per-bench-item cost of the rarest-gram probe
+    // is linear in the corpus; the registry row's total tracks
+    // |bench| × |corpus| only because the gate bench grows with n.
+    args.filter(_ == "decontamprobe").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+      def timeIt(label: String, bench: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = graft.ops.Dedup.decontaminate(docs, bench, "doc_id", "text",
+          3, 0.8).count()
+        println(f"[scratch] decontamprobe $label kept=$n " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      // fixed bench: the sf1-rung bench (doc_id < 50000, %97) at every
+      // rung — 516 items regardless of corpus size
+      timeIt("fixed_bench",
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0 &&
+          col("doc_id") < 50000))
+      timeIt("growing_bench",
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }
     // BPE trainer cost-curve probe (SCALING.md): bpe:<iter|fast>:<k>
     // times one full training run at k rounds over the sf documents
     args.filter(_.startsWith("bpe:")).foreach { a =>
@@ -298,6 +322,7 @@ object Scratch {
     val names = args.filterNot(a =>
       a.startsWith("explain:") || a.startsWith("bpe:") || a.startsWith("full:") ||
       a == "bktprobe" || a == "tailprobe" || a == "incauto" || a == "msprobe" ||
+      a == "decontamprobe" ||
       a == "annprobe" || a == "annprobe_raw" || a == "ppprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }
     (1 to 3).foreach { it =>

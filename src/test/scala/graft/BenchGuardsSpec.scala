@@ -34,6 +34,18 @@ class BenchGuardsSpec extends AnyFunSuite {
     assert(!Guards.contaminated(1.0, 7.0, 32))
   }
 
+  test("a long single-key bench's own load does not flag; external load on top does") {
+    // r17 per-key ladder incident: dedup_incremental_exact ran ~5 min
+    // of 32-thread work and was refused at loadEnd 20.6 on an idle box
+    // — the load was ALL self. With measured self cores the guard must
+    // pass it, and must still flag the same end load when the process
+    // itself was mostly idle (the load is someone else's).
+    assert(!Guards.contaminated(3.5, 20.6, 32, selfCores = 26.0))
+    assert(Guards.contaminated(3.5, 20.6, 32, selfCores = 2.0))
+    // selfCores = 0 reproduces the old absolute rule (r4 incident)
+    assert(Guards.contaminated(3.0, 15.5, 32))
+  }
+
   test("retry triggers on >3x iteration spread, never on failures") {
     assert(Guards.needsRetry(allOk = true, Seq(0.2, 0.7)))
     assert(!Guards.needsRetry(allOk = true, Seq(0.5, 0.6)))
