@@ -83,7 +83,18 @@ object Bench {
     def contaminated(loadStart: Double, loadEnd: Double, cpus: Int,
                      selfCores: Double = 0.0): Boolean =
       busyStart(loadStart, cpus) ||
-        loadEnd - selfCores * 1.25 > cpus / 4.0
+        loadEnd - selfCores * 1.25 > cpus / 4.0 ||
+        // absolute upper fence (ADVICE r17): selfCores is a whole-run
+        // average, so a bench that saturates the box (selfCores ≈ cpus)
+        // would otherwise tolerate loadEnd up to ~1.5×cpus — external
+        // load arriving mid-run detectable by nothing, least protected
+        // exactly when SPARK_GRAFT_BENCH_REBASELINE disables the
+        // relative axis. The box cannot hold a 1-minute load above its
+        // core count from this process alone (local[cpus] bounds
+        // runnable Spark task threads at cpus; measured full-suite
+        // loadEnd tops out near cpus/2 even on per-key ladder runs),
+        // so loadEnd > cpus is contamination regardless of self-load.
+        loadEnd > cpus
     /** A >3× spread between a query's timed iterations is a scheduling
       * stall, not a property of the query — re-run it. Failures are
       * reported as errors, never retried (success is a FLAG here, not
@@ -150,6 +161,32 @@ object Bench {
       */
     def fixedFloorSeconds(times: Map[String, Double]): Double =
       times.collect { case (k, v) if isFixedFloor(k) && v >= 0 => v }.sum
+  }
+
+  /** Fixed, data-independent CPU-calibration microkernel (VERDICT r17
+    * #9): 2³⁰ xorshift64 steps on one thread — no allocation, no
+    * memory traffic, no Spark — timed per run so a machine-epoch
+    * drift (the r16/r17 story: untouched rows broadly 1.11–1.14× vs
+    * the r15 anchors, inferred from medians across three runs) is
+    * MEASURED in the artifact itself: two artifacts whose
+    * `calib_spin_sec` differ by ~12% prove the box shifted, not the
+    * code. Single-threaded on purpose — per-core clock is what a
+    * CPU-bound query sees; a parallel kernel would also measure the
+    * scheduler and whatever else the box is running. The checksum is
+    * returned (and emitted) so the loop is observable and cannot be
+    * elided. One untimed eighth-length warmup runs first (JIT).
+    */
+  private[graft] def calibSpin(iters: Long = 1L << 30): (Double, Long) = {
+    def spin(n: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    spin(iters / 8) // JIT warmup, untimed
+    val t0 = System.nanoTime()
+    val sum = spin(iters)
+    ((System.nanoTime() - t0) / 1e9, sum)
   }
 
   /** Extract the per-query seconds map out of a bench artifact line
@@ -268,6 +305,9 @@ object Bench {
       sleptForLoad = true
       loadStart = os.getSystemLoadAverage
     }
+    // CPU-calibration sample #1 (see calibSpin): before Spark exists,
+    // so the kernel measures the box, not the bench's own tail
+    val (calibStartSec, calibCk) = calibSpin()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -375,6 +415,9 @@ object Bench {
     }
     val (gcMs1, gcN1) = gcTotals()
     val loadEnd = os.getSystemLoadAverage
+    // CPU-calibration sample #2: after the timed phase — if the two
+    // samples disagree the box's effective clock moved DURING the run
+    val (calibEndSec, _) = calibSpin()
     val curTimes = results.toMap
     val ratio = baseline.flatMap(Guards.commonRatio(curTimes, _))
     // SPARK_GRAFT_BENCH_REBASELINE=1 declares THIS run the first
@@ -415,6 +458,12 @@ object Bench {
       s""""baseline_common_ratio":${ratio.map(_.toString).getOrElse("null")},""" +
       s""""rebaseline_epoch":$rebaselineEpoch,""" +
       f""""self_cores":$selfCores%.2f,""" +
+      f""""calib_spin_sec":$calibStartSec%.3f,""" +
+      f""""calib_spin_end_sec":$calibEndSec%.3f,""" +
+      s""""calib_spin_checksum":$calibCk,""" +
+      s""""attribution":${BenchAttribution.snapshot.map { case (k, v) =>
+        "\"" + k + "\":" + f"$v%.3f"
+      }.mkString("{", ",", "}")},""" +
       s""""exec_order":"registry","corpus":$corpusJson,""" +
       s""""gc_ms":${gcMs1 - gcMs0},"gc_count":${gcN1 - gcN0}}"""
     val fixedFloor = Guards.fixedFloorSeconds(curTimes)

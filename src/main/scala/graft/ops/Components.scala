@@ -41,9 +41,15 @@ object Components {
     * by round ~9 of the components loop Catalyst's size-only stats
     * visitor was multiplying ten-million-digit BigIntegers on the
     * driver (the r16/r17 docs-ladder dedup_multi_signal ≥480 s
-    * "timeouts"). The rewrap is a row-conversion wrapper over the
-    * materialized partitions, not a data copy; the leaf's stats fall
-    * back to a constant default, which is exactly what a loop wants.
+    * "timeouts"). The rewrap is not a data COPY, but it is not free
+    * either (ADVICE r17): `df.rdd` deserializes InternalRow →
+    * external Row and createDataFrame re-encodes it, one full
+    * conversion round-trip per call on top of the checkpoint
+    * materialization. On the narrow (long, long) label relations the
+    * loop carries this is noise next to the shuffle it sits behind
+    * (sf3 merged graph: 38 rounds in 14–22 s total); on a WIDE
+    * relation prefer stripping stats before the expensive columns
+    * are attached, or checkpoint less often.
     */
   def stripStats(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)

@@ -917,7 +917,15 @@ object Dedup {
                        budgetPerDoc: Long = DefaultCandBudgetPerDoc): DataFrame = {
     val nDocs = docs.count()
     val cand = predictedGramJoinCandidates(docs, idCol, textCol, n, maxDf)
-    if (useBandedEdge(nDocs, cand, budgetPerDoc))
+    val banded = useBandedEdge(nDocs, cand, budgetPerDoc)
+    // decision surfaced in the bench artifact (ADVICE r17): the edge
+    // construction is contract (banded trades banding recall), and the
+    // registry's static oracles state one branch
+    graft.BenchAttribution.record("dedup.jaccardPairsAuto.cand_per_doc",
+      cand.toDouble / math.max(nDocs, 1L))
+    graft.BenchAttribution.record("dedup.jaccardPairsAuto.edge_banded",
+      if (banded) 1.0 else 0.0)
+    if (banded)
       bandedJaccardPairs(docs, idCol, textCol, n, k, bandSize, threshold, maxDf)
     else
       ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDf)
@@ -971,7 +979,14 @@ object Dedup {
     val nBatch = batch.count()
     val cand = predictedGramJoinCandidatesBetween(batch, corpus, idCol,
       textCol, n, maxDf)
-    if (useBandedEdge(nBatch, cand, budgetPerDoc))
+    val banded = useBandedEdge(nBatch, cand, budgetPerDoc)
+    // decision surfaced in the bench artifact (ADVICE r17) — see
+    // jaccardPairsAuto; membership semantics follow the selected edge
+    graft.BenchAttribution.record("dedup.incrementalAuto.cand_per_doc",
+      cand.toDouble / math.max(nBatch, 1L))
+    graft.BenchAttribution.record("dedup.incrementalAuto.edge_banded",
+      if (banded) 1.0 else 0.0)
+    if (banded)
       incrementalBanded(batch, corpus, idCol, textCol, n, k, bandSize,
         threshold)
     else

@@ -957,12 +957,16 @@ object AnalyticsQueries {
           approx_count_distinct(col("user_id"), 0.01).as("__hll"),
           countDistinct(col("user_id")).as("exact_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("__amed"),
-          percentile(col("value"), lit(0.45)).as("__p45"),
-          percentile(col("value"), lit(0.55)).as("__p55"))
+          // one array-percentile aggregate for both rank fences: two
+          // scalar percentile() calls each buffer the full per-group
+          // value set independently (this row was the #2 full-mode
+          // cost at sf0.1 — 5.0 s — for exactly that double buffer)
+          percentile(col("value"), array(lit(0.45), lit(0.55))).as("__pp"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("__hll") - col("exact_users")).cast("double") <=
             lit(5 * 0.01) * col("exact_users").cast("double")).as("hll_ok"),
-          col("__amed").between(col("__p45"), col("__p55")).as("median_ok"))
+          col("__amed").between(element_at(col("__pp"), 1),
+            element_at(col("__pp"), 2)).as("median_ok"))
         .orderBy("event_type")
     },
 

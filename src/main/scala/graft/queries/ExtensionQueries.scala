@@ -1323,8 +1323,55 @@ object ExtensionQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
 
-    /** Exact trigram-Jaccard near-dup pairs (threshold 0.6). */
+    /** Trigram-Jaccard near-dup pairs (threshold 0.6) — the
+      * SCALE-SAFE default construction, per the repo rule that the
+      * obvious key carries the construction that survives 100 TB
+      * (same discipline as dedup_cluster / dedup_incremental /
+      * dedup_multi_signal): MinHash-banded candidates (equi-join on
+      * band keys — volume governed by the banding S-curve, never by
+      * how many docs share SOME gram) verified by EXACT df-capped
+      * Jaccard computed on candidates only (codegen'd array intersect
+      * of the two docs' gram-hash sets). The jaccard VALUES are exact;
+      * the only approximation is banding recall (a true pair that
+      * collides in no band is missed — tunable with k/bandSize). The
+      * recall-lossless exact gram self-join — inherently ~n²/V on
+      * vocabulary-saturated corpora (measured 25.8× wall at 10× data,
+      * SCALING.md §3) — lives on under the explicit
+      * [[dedup_ngram_jaccard_exact]] suffix. */
     Q("dedup_ngram_jaccard",
+      s"""WITH $cappedGramsCte,
+         |$minhashSigSql,
+         |$minhashBandsSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM cgrams GROUP BY 1),
+         |inter AS (SELECT c.da, c.db, COUNT(*) AS ni
+         |  FROM cand c JOIN cgrams a ON a.doc_id = c.da
+         |  JOIN cgrams b ON b.doc_id = c.db AND b.g = a.g
+         |  GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(ni AS DOUBLE) / CAST(sa.nn + sb.nn - ni AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |WHERE CAST(ni AS DOUBLE) / CAST(sa.nn + sb.nn - ni AS DOUBLE) >= 0.6::DOUBLE
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.bandedJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = K, bandSize = 4, threshold = 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    /** Exact trigram-Jaccard near-dup pairs (threshold 0.6) — the
+      * RECALL-LOSSLESS baseline, explicitly suffixed because its
+      * candidate stage is the gram self-join: ~n²/|gram-space| on
+      * vocabulary-saturated corpora (every doc pair shares SOME gram,
+      * so candidates approach all-pairs — the shape that timed out
+      * dedup_multi_signal at 3× docs in the r16 ladder; the df cap
+      * cannot help when no single gram is hot but ALL are warm).
+      * Reach for it only when the corpus vocabulary grows with the
+      * data (a few candidates/doc after the df cap) or when measuring
+      * the banded default's recall. */
+    Q("dedup_ngram_jaccard_exact",
       s"""WITH $cappedGramsCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM cgrams GROUP BY 1),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c

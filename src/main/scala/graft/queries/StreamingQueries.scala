@@ -257,43 +257,58 @@ object StreamingQueries {
       // invocation: the stream APPENDS to its index, so reusing the
       // shared corpus-only index (dedup_incremental_indexed's) or
       // re-running over an already-appended copy would change answers
-      val tpl = graft.ops.DedupIndex.ensureBuilt(s, dir + "#streamtpl",
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 3)
+      // scaffold vs work attribution (VERDICT r17 #7): the template
+      // build (cached per app+corpus), the per-invocation index COPY,
+      // and the input staging are bench harness — a production stream
+      // owns ONE standing index, appends to it daily, and its files
+      // arrive from upstream. Only the `.stream` section is the cost
+      // a deployment pays per day. Sections land in the bench
+      // artifact's env.attribution.
+      val tpl = graft.BenchAttribution.timed("stream_dedup_indexed.template_build") {
+        graft.ops.DedupIndex.ensureBuilt(s, dir + "#streamtpl",
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 3)
+      }
       val root = java.nio.file.Files.createTempDirectory("graft_stream_ddx")
       val idx = s"$root/idx"
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(tpl), new java.io.File(idx))
+      graft.BenchAttribution.timed("stream_dedup_indexed.copy_index") {
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(tpl), new java.io.File(idx))
+      }
       val in = s"$root/in"
       val out = s"$root/out"
       val fs = new Path(in).getFileSystem(s.sparkContext.hadoopConfiguration)
       try {
         // two single-file micro-batches with pinned (mtime, name)
         // order: A = doc_id % 10 = 0, then B = doc_id % 10 = 5
-        Seq(("00", lit(0)), ("01", lit(5))).foreach { case (nm, residue) =>
-          val stage = s"$root/stage$nm"
-          docs.filter(pmod(col("doc_id"), lit(10)) === residue)
-            .coalesce(1).write.parquet(stage)
-          val part = fs.listStatus(new Path(stage))
-            .map(_.getPath).find(_.getName.startsWith("part-")).get
-          fs.mkdirs(new Path(in))
-          require(fs.rename(part, new Path(in, s"$nm.parquet")))
-          fs.setTimes(new Path(in, s"$nm.parquet"),
-            1700000000000L + nm.toLong * 60000L, -1)
+        graft.BenchAttribution.timed("stream_dedup_indexed.stage_input") {
+          Seq(("00", lit(0)), ("01", lit(5))).foreach { case (nm, residue) =>
+            val stage = s"$root/stage$nm"
+            docs.filter(pmod(col("doc_id"), lit(10)) === residue)
+              .coalesce(1).write.parquet(stage)
+            val part = fs.listStatus(new Path(stage))
+              .map(_.getPath).find(_.getName.startsWith("part-")).get
+            fs.mkdirs(new Path(in))
+            require(fs.rename(part, new Path(in, s"$nm.parquet")))
+            fs.setTimes(new Path(in, s"$nm.parquet"),
+              1700000000000L + nm.toLong * 60000L, -1)
+          }
         }
         val stream = s.readStream
           .schema(StructType(Seq(StructField("doc_id", LongType),
             StructField("text", StringType), StructField("n_chars", LongType))))
           .option("maxFilesPerTrigger", 1).parquet(in)
-        val q = stream.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            val surv = graft.ops.DedupIndex.dedupBatch(s, b, idx,
-              "doc_id", "text", 3, 0.5).localCheckpoint(true)
-            surv.select("doc_id", "n_chars")
-              .write.mode("append").parquet(out)
-            graft.ops.DedupIndex.append(surv, "doc_id", "text", 3, idx)
-          }
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.BenchAttribution.timed("stream_dedup_indexed.stream") {
+          val q = stream.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val surv = graft.ops.DedupIndex.dedupBatch(s, b, idx,
+                "doc_id", "text", 3, 0.5).localCheckpoint(true)
+              surv.select("doc_id", "n_chars")
+                .write.mode("append").parquet(out)
+              graft.ops.DedupIndex.append(surv, "doc_id", "text", 3, idx)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.read.parquet(out).select("doc_id", "n_chars")
           .orderBy("doc_id").localCheckpoint(true)
       } finally

@@ -2089,6 +2089,76 @@ class OpsSpec extends SparkSpec {
     assert(phrase() == Seq(1L, 2L, 5L))
   }
 
+  // --- auto-edge decision pins (VERDICT r17 #4) -------------------
+  // The registry's static oracles for dedup_incremental/_indexed/
+  // _bloom, stream_dedup_indexed, dedup_ngram_jaccard and the cluster
+  // family's lexical edge all state the BANDED construction, while
+  // the implementations auto-select per run from corpus statistics.
+  // The contract differs per branch (exact Jaccard vs MinHash
+  // estimate), so a corpus regeneration or new sf rung that flips the
+  // decision to EXACT would make impl and oracle silently diverge,
+  // surfacing only as an unexplained correctness-gate hash mismatch
+  // far from the cause. These pins make the flip fail HERE, named:
+  // if one trips, either regenerate the corpus or re-state the
+  // affected oracles for the exact branch.
+
+  private def gradedSfs: Seq[String] =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1") ++
+      // local sf1 probe corpus, when generated (tools/gen_sf1.py)
+      Seq("/tmp/sf1").filter(d =>
+        new java.io.File(s"$d/documents.parquet").exists)
+
+  test("auto-edge decision lands BANDED at every graded sf " +
+      "(dedup_incremental* + cluster-family oracles state that branch)") {
+    gradedSfs.foreach { dir =>
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+        .select("doc_id", "text")
+      // the incremental rows' batch/corpus split (batch = doc_id%5==0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val nBatch = batch.count()
+      val candB = Dedup.predictedGramJoinCandidatesBetween(
+        batch, corpus, "doc_id", "text", 3)
+      assert(Dedup.useBandedEdge(nBatch, candB),
+        s"$dir: dedup_incremental auto edge flipped to EXACT " +
+          s"(${candB / math.max(nBatch, 1L)} cand/doc vs budget " +
+          s"${Dedup.DefaultCandBudgetPerDoc}) — re-state the oracles")
+      // the cluster family / dedup_ngram_jaccard self-join decision
+      val nDocs = docs.count()
+      val candS = Dedup.predictedGramJoinCandidates(
+        docs, "doc_id", "text", 3)
+      assert(Dedup.useBandedEdge(nDocs, candS),
+        s"$dir: cluster-family auto edge flipped to EXACT " +
+          s"(${candS / math.max(nDocs, 1L)} cand/doc vs budget " +
+          s"${Dedup.DefaultCandBudgetPerDoc}) — re-state the oracles")
+    }
+  }
+
+  test("index-priced auto decision lands BANDED at sf0.001 and sf0.01 " +
+      "(stream_dedup_indexed / dedup_incremental_indexed's branch)") {
+    // same statistic priced off the PERSISTED index (DedupIndex
+    // .dedupBatch's auto path) — the shape the indexed/bloom rows and
+    // the streaming key run through. sf0.1 omitted: the between()
+    // pin above covers its statistic and an index build per spec run
+    // at 60k docs is test-budget, not coverage.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+        .select("doc_id", "text", "n_chars")
+      // the stream row's template: index over the standing corpus
+      val idx = graft.ops.DedupIndex.ensureBuilt(spark, dir + "#streamtpl",
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 3)
+      // micro-batch A (doc_id%10==0) — the first batch the stream prices
+      val batchA = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val cand = graft.ops.DedupIndex.predictedIndexJoinCandidates(
+        spark, batchA, idx, "doc_id", "text", 3)
+      assert(Dedup.useBandedEdge(batchA.count(), cand),
+        s"$dir: index-priced edge flipped to EXACT " +
+          s"(${cand / math.max(batchA.count(), 1L)} cand/doc) — " +
+          "stream_dedup_indexed's oracle states the banded branch")
+    }
+  }
+
   test("inverted index files hold disjoint token ranges (probe prunes by min/max)") {
     val dir = builtTextIndex()
     // per-file token ranges must not overlap — the property that turns

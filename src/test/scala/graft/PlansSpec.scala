@@ -294,8 +294,28 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("dedup_ngram_jaccard: df cap rides gram-hash exchanges, text never shuffles") {
+  test("dedup_ngram_jaccard: banded candidates, no gram self-join, text never shuffles") {
     val p = plan("dedup_ngram_jaccard")
+    // the candidate stage must be the MinHash band equi-join — a join
+    // keyed on (band_idx, band_key), never the gram self-join whose
+    // volume is ~n²/V on saturated vocabularies
+    assert(p.contains("band_key"),
+      "the candidate join must key on the MinHash band key")
+    val gramSelfJoin =
+      """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[gram#\d+L?\], \[gram#\d+L?\], Inner""".r
+    assert(gramSelfJoin.findFirstIn(p).isEmpty,
+      "the default key must not build candidates from the gram self-join")
+    // no join anywhere keys on raw document text, and no cross join
+    assert("""Join \[[^\]]*text#""".r.findFirstIn(p).isEmpty,
+      "no join may key on document text")
+    assert(!p.contains("hashpartitioning(text") &&
+      !p.contains("rangepartitioning(text"),
+      "document text must never be a shuffle key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_ngram_jaccard_exact: df cap rides gram-hash exchanges, text never shuffles") {
+    val p = plan("dedup_ngram_jaccard_exact")
     // the CANDIDATE join specifically (the a×b self-join that builds
     // pairs) must key on the 60-bit gram hash: an INNER join whose
     // both sides key on gram — broadcast at gate scale, hash exchange

@@ -27,7 +27,8 @@ class RegistrySpec extends SparkSpec {
   test("every query executes on sf0.001 and the expected ones are non-empty") {
     // ops whose correct result may legitimately be empty at tiny scale
     val mayBeEmpty = Set("ann_lsh", "dedup_embed_cosine_exact_baseline", "dedup_simhash",
-      "dedup_minhash", "dedup_ngram_jaccard", "join_anti",
+      "dedup_minhash", "dedup_ngram_jaccard", "dedup_ngram_jaccard_exact",
+      "join_anti",
       "set_intersect", "set_except")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

@@ -37,6 +37,28 @@ for p in sorted(glob.glob(f"{DIR}/{RUNG}_*.json.timeout")):
     d = json.load(open(p))
     timeouts[d["key"]] = d["timeout_sec"]
 
+# refused runs (ADVICE r17): Bench exits 3 on a contaminated verdict and
+# writes only <out>.json.contaminated — fold those keys into
+# contaminated_keys (times kept OUT of 'queries'/total: the refusal
+# means the numbers are polluted; they are recorded separately so the
+# artifact still shows what the polluted run measured), and pick up
+# .refused crash markers (no artifact at all) as errors.
+contaminated_times = {}
+for p in sorted(glob.glob(f"{DIR}/{RUNG}_*.json.contaminated")):
+    d = json.load(open(p))
+    for k, v in d["queries"].items():
+        if k in queries:           # a later clean re-run superseded it
+            continue
+        contaminated.append(k)
+        if v >= 0:
+            contaminated_times[k] = v
+        else:
+            errors.append(k)
+for p in sorted(glob.glob(f"{DIR}/{RUNG}_*.json.refused")):
+    d = json.load(open(p))
+    if d["key"] not in queries:
+        errors.append(d["key"])
+
 out = {
     "probe": "docs-ladder per-key",
     "rung": RUNG,
@@ -48,8 +70,9 @@ out = {
     "total_sec": round(sum(queries.values()), 1),
     "queries": queries,
     "timeouts": timeouts,
-    "errors": errors,
-    "contaminated_keys": contaminated,
+    "errors": sorted(set(errors)),
+    "contaminated_keys": sorted(set(contaminated)),
+    "contaminated_times": contaminated_times,
 }
 path = f"artifacts/bench_docs_{RUNG}_perkey_r{RND}.json"
 json.dump(out, open(path, "w"), indent=1)

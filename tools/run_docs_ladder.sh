@@ -23,7 +23,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 for k in "$@"; do
   out=/tmp/ladder/${RUNG}_${k}.json
-  rm -f "$out" "$out.timeout" "$out.contaminated"
+  rm -f "$out" "$out.timeout" "$out.contaminated" "$out.refused"
   # settle: the PREVIOUS key's 32-thread run leaves a trailing 1-min
   # load average that would trip Bench's busy-start guard (cpus/8 = 4)
   # and refuse the artifact — wait for the box to look idle again
@@ -39,6 +39,17 @@ for k in "$@"; do
   if [ $rc -eq 124 ]; then
     printf '{"key": "%s", "timeout_sec": %s}\n' "$k" "$CAP" > "$out.timeout"
     echo "[ladder] $RUNG $k TIMEOUT ${CAP}s"
+  elif [ $rc -eq 3 ]; then
+    # Bench REFUSED the artifact (contaminated) and wrote the full
+    # diagnosis to $out.contaminated itself — surface it here and let
+    # collect_ladder.py fold it into contaminated_keys (ADVICE r17:
+    # before this, a refused key silently vanished from the rung)
+    echo "[ladder] $RUNG $k REFUSED (contaminated) — see $out.contaminated"
+  elif [ $rc -ne 0 ] && [ ! -f "$out" ]; then
+    # crash before Bench could write anything (OOM, JVM error): leave
+    # a marker so the key stays visible in the merged artifact
+    printf '{"key": "%s", "rc": %s}\n' "$k" "$rc" > "$out.refused"
+    echo "[ladder] $RUNG $k FAILED rc=$rc (no artifact) — marker written"
   else
     t=$(python3 -c "import json;d=json.load(open('$out'));print(round(d['value'],2))" 2>/dev/null)
     echo "[ladder] $RUNG $k rc=$rc ${t:-?} s"
