@@ -299,9 +299,11 @@ object DedupIndex {
       case "banded" => true
       case "gram"   => false
       case _ =>
-        val cand = predictedIndexJoinCandidates(spark, batch, indexPath,
-          idCol, textCol, n)
-        val nBatch = batch.count()
+        val (cand, nBatch) =
+          graft.BenchAttribution.timed("dedup_index.decision") {
+            (predictedIndexJoinCandidates(spark, batch, indexPath,
+              idCol, textCol, n), batch.count())
+          }
         val banded = Dedup.useBandedEdge(nBatch, cand)
         // the selected edge is part of the row's CONTRACT (banded =
         // MinHash-estimate membership, gram = exact Jaccard) and the

@@ -952,16 +952,26 @@ object AnalyticsQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS hll_ok, TRUE AS median_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      table(s, dir, "events").groupBy("event_type")
+      // TWO single-level aggregates joined on the 5-row group key, not
+      // one: mixing countDistinct with sketch aggregates makes Catalyst
+      // rewrite the whole row as a two-level plan grouped by
+      // (event_type, user_id) — carrying a percentile hash map, a
+      // QuantileSummaries and an HLL buffer PER USER (~7.5k sketch
+      // buffers built and merged where 5 suffice; measured 5.0 s
+      // full-mode at sf0.1, the #2 row — vs ~0.4 s split this way).
+      // The exact-distinct side plans as plain two-phase counting with
+      // no sketch payload, and the sketch side keeps one buffer per
+      // event_type. Both fuse the percentile fences into one
+      // array-percentile aggregate (one value buffer, not two).
+      val ev = table(s, dir, "events")
+      val sketches = ev.groupBy("event_type")
         .agg(
           approx_count_distinct(col("user_id"), 0.01).as("__hll"),
-          countDistinct(col("user_id")).as("exact_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("__amed"),
-          // one array-percentile aggregate for both rank fences: two
-          // scalar percentile() calls each buffer the full per-group
-          // value set independently (this row was the #2 full-mode
-          // cost at sf0.1 — 5.0 s — for exactly that double buffer)
           percentile(col("value"), array(lit(0.45), lit(0.55))).as("__pp"))
+      ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(broadcast(sketches), "event_type")
         .select(col("event_type"), col("exact_users"),
           (abs(col("__hll") - col("exact_users")).cast("double") <=
             lit(5 * 0.01) * col("exact_users").cast("double")).as("hll_ok"),

@@ -299,12 +299,18 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", 1).parquet(in)
         graft.BenchAttribution.timed("stream_dedup_indexed.stream") {
           val q = stream.writeStream
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              val surv = graft.ops.DedupIndex.dedupBatch(s, b, idx,
-                "doc_id", "text", 3, 0.5).localCheckpoint(true)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              val surv = graft.BenchAttribution.timed(
+                  s"stream_dedup_indexed.b${bid}_dedup") {
+                graft.ops.DedupIndex.dedupBatch(s, b, idx,
+                  "doc_id", "text", 3, 0.5).localCheckpoint(true)
+              }
               surv.select("doc_id", "n_chars")
                 .write.mode("append").parquet(out)
-              graft.ops.DedupIndex.append(surv, "doc_id", "text", 3, idx)
+              graft.BenchAttribution.timed(
+                  s"stream_dedup_indexed.b${bid}_append") {
+                graft.ops.DedupIndex.append(surv, "doc_id", "text", 3, idx)
+              }
             }
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
