@@ -34,7 +34,10 @@ import org.apache.spark.sql.SparkSession
   *     previous artifact (same sf, itself not contaminated) must stay
   *     within 1.25×, else the run is `"inflated"` (and contaminated).
   *     Comparing only common queries keeps newly-added queries from
-  *     faking a regression.
+  *     faking a regression. Since r19 the ratio the fence judges is
+  *     NORMALIZED by the spin-calibration ratio vs the baseline
+  *     artifact (clamped to [0.7, 1.5]), so box-epoch clock drift is
+  *     neither counted as a regression nor able to hide one.
   *   - a query whose two timed iterations spread by more than 3× is
   *     re-run for two extra iterations (min over all four reported) and
   *     named in `"retried"`, with every iteration's time in
@@ -89,12 +92,15 @@ object Bench {
         // would otherwise tolerate loadEnd up to ~1.5×cpus — external
         // load arriving mid-run detectable by nothing, least protected
         // exactly when SPARK_GRAFT_BENCH_REBASELINE disables the
-        // relative axis. The box cannot hold a 1-minute load above its
-        // core count from this process alone (local[cpus] bounds
-        // runnable Spark task threads at cpus; measured full-suite
-        // loadEnd tops out near cpus/2 even on per-key ladder runs),
-        // so loadEnd > cpus is contamination regardless of self-load.
-        loadEnd > cpus
+        // relative axis. local[cpus] bounds runnable Spark task
+        // threads at cpus and measured full-suite loadEnd tops out
+        // near cpus/2 even on per-key ladder runs — but Linux loadavg
+        // also counts D-state (uninterruptible I/O) threads, GC, and
+        // shuffle/parquet writer threads (ADVICE r18), so the fence
+        // carries 1.25× headroom: loadEnd above cpus×1.25 cannot be
+        // this process regardless of self-load; between cpus and
+        // cpus×1.25 an I/O-heavy rung on a slow disk legitimately can.
+        loadEnd > cpus * 1.25
     /** A >3× spread between a query's timed iterations is a scheduling
       * stall, not a property of the query — re-run it. Failures are
       * reported as errors, never retried (success is a FLAG here, not
@@ -206,6 +212,10 @@ object Bench {
   private def parseStringField(json: String, field: String): Option[String] =
     (s""""$field":\\s*"([^"]*)"""").r.findFirstMatchIn(json).map(_.group(1))
 
+  private[graft] def parseNumField(json: String, field: String): Option[Double] =
+    (s""""$field":\\s*(-?[0-9][0-9.eE+\\-]*)""").r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+
   private def parseBoolField(json: String, field: String): Option[Boolean] =
     (s""""$field":\\s*(true|false)""").r.findFirstMatchIn(json).map(_.group(1).toBoolean)
 
@@ -262,8 +272,8 @@ object Bench {
     * mask a dirty one — purely from parallelism; a different-mode one
     * purely from the execution shape).
     */
-  private def loadBaseline(outPath: String, sfDir: String,
-                           cpus: String, mode: String): Option[Map[String, Double]] = {
+  private def loadBaseline(outPath: String, sfDir: String, cpus: String,
+                           mode: String): Option[(Map[String, Double], Option[Double])] = {
     val candidates =
       sys.env.get("SPARK_GRAFT_BENCH_BASELINE").toSeq ++
         (outPath +: committedArtifacts())
@@ -275,6 +285,10 @@ object Bench {
           val json = java.nio.file.Files.readString(p)
           if (baselineMatches(json, sfDir, cpus, mode))
             Some(parseQueryTimes(json)).filter(_.nonEmpty)
+              // the baseline's own spin calibration rides along so the
+              // relative fence can be normalized for box-epoch drift
+              // (None for artifacts predating the calib field)
+              .map(times => (times, parseNumField(json, "calib_spin_sec")))
           else None
         }
       } catch { case _: Throwable => None }
@@ -288,7 +302,13 @@ object Bench {
     val mode = if (fullPlan) "full" else "count"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (fullPlan) "bench_full_out.json" else "bench_out.json")
-    val baseline = loadBaseline(outPath, sfDir, cpus, mode)
+    val baselineFull = loadBaseline(outPath, sfDir, cpus, mode)
+    val baseline = baselineFull.map(_._1)
+    val baseCalib = baselineFull.flatMap(_._2)
+    // attribution sections are process-global (ADVICE r18): reset at
+    // run start so the artifact's attribution block decomposes THIS
+    // run only, not values left by anything else the JVM ran
+    BenchAttribution.reset()
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // self-load accounting for the end-load guard: cores = process cpu
     // time delta / wall (see Guards.contaminated)
@@ -431,7 +451,22 @@ object Bench {
     // which is why it is an explicit env and not automatic.
     val rebaselineEpoch =
       sys.env.get("SPARK_GRAFT_BENCH_REBASELINE").contains("1")
-    val inflated = !rebaselineEpoch && Guards.inflated(ratio)
+    // calibration-normalized fence (VERDICT r18 #9): the 1.25× relative
+    // fence on raw seconds conflates code regressions with box-epoch
+    // drift (r16–r18 measured untouched rows broadly 1.11–1.16× on an
+    // idle box). Both runs carry a single-thread spin time, so divide
+    // the common-ratio by calib(now)/calib(baseline): a run that is
+    // 12% slower ONLY because the box's effective clock is 12% slower
+    // normalizes back to ~1.0, while a genuine code regression keeps
+    // its full ratio. The calib ratio is clamped to [0.7, 1.5] — a
+    // spin drift beyond ±30–50% is not clock drift but a broken
+    // calibration (thermal event mid-spin, SMT contention), and an
+    // unclamped value would let a real 2× regression pass as "drift".
+    // Refusal logic uses the NORMALIZED value; both are emitted.
+    val calibRatio = baseCalib.map(b =>
+      math.max(0.7, math.min(1.5, calibStartSec / b)))
+    val normRatio = ratio.map(_ / calibRatio.getOrElse(1.0))
+    val inflated = !rebaselineEpoch && Guards.inflated(normRatio)
     val selfCores = sunOs.map(s =>
       (s.getProcessCpuTime - selfCpuT0).toDouble /
         math.max(System.nanoTime() - selfWallT0, 1L)).getOrElse(0.0)
@@ -456,6 +491,8 @@ object Bench {
         "\"" + k + "\":" + ts.mkString("[", ",", "]")
       }.mkString("{", ",", "}")},""" +
       s""""baseline_common_ratio":${ratio.map(_.toString).getOrElse("null")},""" +
+      s""""baseline_common_ratio_norm":${normRatio.map(_.toString).getOrElse("null")},""" +
+      s""""calib_ratio_vs_baseline":${calibRatio.map(_.toString).getOrElse("null")},""" +
       s""""rebaseline_epoch":$rebaselineEpoch,""" +
       f""""self_cores":$selfCores%.2f,""" +
       f""""calib_spin_sec":$calibStartSec%.3f,""" +

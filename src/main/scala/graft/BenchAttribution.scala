@@ -23,8 +23,17 @@ package graft
   * not gates — nothing guards on them.
   */
 object BenchAttribution {
+  // process-global and JVM-lifetime by design (sections survive until
+  // [[reset]]): fine for the one-key-per-JVM ladder, but a multi-run
+  // JVM would otherwise emit stale cross-run values as this run's
+  // decomposition — Bench.main resets at run start (ADVICE r18)
   private val sections =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** Drop every recorded section — call at the start of a measurement
+    * run so its artifact's attribution reflects only that run.
+    */
+  def reset(): Unit = sections.clear()
 
   /** Record `sec` for `key` (e.g. "stream_dedup_indexed.copy_index"),
     * overwriting the previous invocation's value.

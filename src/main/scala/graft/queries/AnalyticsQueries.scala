@@ -969,10 +969,16 @@ object AnalyticsQueries {
           approx_count_distinct(col("user_id"), 0.01).as("__hll"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("__amed"),
           percentile(col("value"), array(lit(0.45), lit(0.55))).as("__pp"))
-      ev.groupBy("event_type")
+      // null-safe join key (ADVICE r18): both sides come from the same
+      // GROUP BY, which keeps a NULL group — a plain inner join would
+      // drop it, diverging from the single-groupBy semantics and the
+      // oracle's GROUP BY on any future corpus with NULL event_type
+      val exact = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_users"))
-        .join(broadcast(sketches), "event_type")
-        .select(col("event_type"), col("exact_users"),
+      exact
+        .join(broadcast(sketches),
+          exact("event_type") <=> sketches("event_type"))
+        .select(exact("event_type"), col("exact_users"),
           (abs(col("__hll") - col("exact_users")).cast("double") <=
             lit(5 * 0.01) * col("exact_users").cast("double")).as("hll_ok"),
           col("__amed").between(element_at(col("__pp"), 1),

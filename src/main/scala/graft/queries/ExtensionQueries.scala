@@ -1386,6 +1386,77 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    /** dedup_ngram_recall — banded-vs-exact pair recall as a
+      * REGISTERED, oracle-checked measurement (VERDICT r18 #8): the
+      * banding S-curve claim behind the [[dedup_ngram_jaccard]]
+      * default carries a number the same way ann_recall does for the
+      * ANN paths, instead of an argument. Both pair relations already
+      * exist as registry keys; this row computes them in ONE pass
+      * (union → per-pair groupBy, each side's pipeline evaluated
+      * once) and reduces to four hash-stable values: exact pair
+      * count, banded pair count, their intersection, and recall =
+      * hit/exact (one exact IEEE division of small integers; 1.0 by
+      * convention on an exact-pair-free corpus). Banded verification
+      * re-computes exact Jaccard over the SAME df-capped gram sets,
+      * so banded ⊆ exact (precision 1 by construction) — the join is
+      * still computed, because that containment is exactly the kind
+      * of claim a bug would silently break. Contains the exact gram
+      * self-join, so it inherits the [[dedup_ngram_jaccard_exact]]
+      * quadratic contract: a measurement row for graded scales, not
+      * a 100 TB default (the ladder runs the two keys it measures,
+      * not this row). */
+    Q("dedup_ngram_recall",
+      s"""WITH $cappedGramsCte,
+         |$minhashSigSql,
+         |$minhashBandsSql,
+         |sizes AS (SELECT doc_id, COUNT(*) AS nn FROM cgrams GROUP BY 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |binter AS (SELECT c.da, c.db, COUNT(*) AS ni
+         |  FROM cand c JOIN cgrams a ON a.doc_id = c.da
+         |  JOIN cgrams b ON b.doc_id = c.db AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |bpairs AS (SELECT da, db FROM binter
+         |  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE CAST(ni AS DOUBLE) / CAST(sa.nn + sb.nn - ni AS DOUBLE) >= 0.6::DOUBLE),
+         |einter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+         |  FROM cgrams a JOIN cgrams b USING (g)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |epairs AS (SELECT da, db FROM einter
+         |  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE CAST(ni AS DOUBLE) / CAST(sa.nn + sb.nn - ni AS DOUBLE) >= 0.6::DOUBLE),
+         |tagged AS (SELECT da, db, 1 AS src FROM epairs
+         |  UNION ALL SELECT da, db, 2 AS src FROM bpairs),
+         |pp AS (SELECT da, db, SUM(src) AS sv FROM tagged GROUP BY 1, 2),
+         |m AS (SELECT
+         |    COUNT(CASE WHEN sv IN (1, 3) THEN 1 END) AS n_exact_pairs,
+         |    COUNT(CASE WHEN sv IN (2, 3) THEN 1 END) AS n_banded_pairs,
+         |    COUNT(CASE WHEN sv = 3 THEN 1 END) AS n_hit_pairs FROM pp)
+         |SELECT n_exact_pairs, n_banded_pairs, n_hit_pairs,
+         |  CASE WHEN n_exact_pairs = 0 THEN 1.0::DOUBLE
+         |    ELSE CAST(n_hit_pairs AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE)
+         |  END AS recall
+         |FROM m""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val exactP = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("src"))
+      val bandP = Dedup.bandedJaccardPairs(docs, "doc_id", "text",
+          n = 3, k = K, bandSize = 4, threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"), lit(2L).as("src"))
+      exactP.unionByName(bandP)
+        .groupBy("doc_a", "doc_b").agg(sum(col("src")).as("sv"))
+        .agg(
+          count(when(col("sv") === 1 || col("sv") === 3, 1)).as("n_exact_pairs"),
+          count(when(col("sv") === 2 || col("sv") === 3, 1)).as("n_banded_pairs"),
+          count(when(col("sv") === 3, 1)).as("n_hit_pairs"))
+        .select(col("n_exact_pairs"), col("n_banded_pairs"), col("n_hit_pairs"),
+          when(col("n_exact_pairs") === 0, lit(1.0))
+            .otherwise(col("n_hit_pairs").cast("double") /
+              col("n_exact_pairs").cast("double")).as("recall"))
+    },
+
     /** MinHash+LSH near-dup pairs: 32 hashes, 8 bands × 4 rows,
       * banded candidate join, estimate ≥ 0.5. */
     Q("dedup_minhash",

@@ -18,6 +18,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Memory-capped + spill-enabled oracle (VERDICT r18 #7): the sf1 grade
+# runs heavy oracles (all-pairs dedup CTEs) in TWO concurrent DuckDB
+# processes; uncapped, each assumes it owns ~80% of RAM and the pair
+# OOMs — r18's dedup_multi_signal_recall_tune died exactly that way and
+# needed a manual re-run. A per-process cap sized for two cohabiting
+# checkers plus a temp directory turns would-be OOMs into spills, so a
+# clean large-sf grade needs no hand-holding. Both are env-overridable
+# for a single-process run on a bigger box.
+MEM = os.environ.get("GRAFT_DUCKDB_MEM", "40GB")
+SPILL = os.environ.get("GRAFT_DUCKDB_SPILL", "/tmp/duckdb_spill")
+os.makedirs(SPILL, exist_ok=True)
+con.sql(f"SET memory_limit='{MEM}'")
+con.sql(f"SET temp_directory='{SPILL}'")
 for t in TABLES:
     p = f"{SF_DIR}/{t}.parquet"
     if os.path.exists(p):

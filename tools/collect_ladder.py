@@ -47,13 +47,19 @@ contaminated_times = {}
 for p in sorted(glob.glob(f"{DIR}/{RUNG}_*.json.contaminated")):
     d = json.load(open(p))
     for k, v in d["queries"].items():
-        if k in queries:           # a later clean re-run superseded it
+        # a later re-run supersedes the refused one whatever its
+        # outcome — clean-timed, errored, or wall-capped (ADVICE r18:
+        # checking only `queries` let a stale contaminated time fold
+        # back in when the clean re-run errored or timed out)
+        if k in queries or k in errors or k in timeouts:
             continue
         contaminated.append(k)
         if v >= 0:
             contaminated_times[k] = v
-        else:
-            errors.append(k)
+        # an errored key inside a refused run stays OUT of `errors`:
+        # the failure happened under contamination, so contaminated_keys
+        # is its provenance — double-listing would misattribute the
+        # rung's state as both "errored" and "polluted"
 for p in sorted(glob.glob(f"{DIR}/{RUNG}_*.json.refused")):
     d = json.load(open(p))
     if d["key"] not in queries:
