@@ -300,10 +300,23 @@ object Dedup {
       .localCheckpoint()
     // verify over candidate corpus docs only: their grams vs the FULL
     // bench gram relation — the threshold filter re-derives exactly
-    // the old all-pairs result (non-candidates provably can't qualify)
-    val candGrams = cg.join(
-      boundedBroadcast(candPairs.select("corpus_id").distinct()),
-      Seq("corpus_id"), "left_semi")
+    // the old all-pairs result (non-candidates provably can't qualify).
+    // The candidate gram relation is re-derived from the candidate DOCS
+    // (semi-join corpus rows on the candidate ids, then tokenize),
+    // not by semi-joining the corpus-wide gram relation: `cg` is a
+    // fresh tokenize+explode of the WHOLE corpus per evaluation, so
+    // filtering it post-explode made the verify pass a third full
+    // corpus-gram scan (guide §1.2: remove unnecessary passes). A
+    // doc's gram set is a function of the doc alone, so gramming after
+    // the semi join is row-identical — and the verify scan now costs
+    // |candidates|, bounded by true hits + probe collisions, at every
+    // scale (2 corpus-gram scans + 1 candidate-sized, was 3 corpus).
+    val candIds = candPairs.select(col("corpus_id")).distinct()
+    val candGrams = gramTable(
+        corpus.join(boundedBroadcast(candIds.withColumnRenamed("corpus_id", idCol)),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, n)
+      .select(col("doc_id").as("corpus_id"), Parity.md5_60(col("gram")).as("gram"))
     candGrams.join(broadcast(bg), "gram")
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("n_inter"), max(col("nb")).as("nb"))
@@ -830,7 +843,14 @@ object Dedup {
     }
     // ids-only band relation: unlike minhashLshPairs the signature does
     // NOT ride along — verification is exact-on-sets, so the band join
-    // shuffles (long, int, string) rows and nothing wider
+    // shuffles (long, int, string) rows and nothing wider. NOT
+    // checkpointed: the candidate join's two sides are renamed copies
+    // of this subplan, but they terminate in canonically-identical
+    // exchanges, which AQE's runtime stage reuse dedupes — an explicit
+    // localCheckpoint was A/B-measured SLOWER (r19: dedup_ngram_jaccard
+    // 2.82→3.09 s min-of-3, Scratch harness) because it pays the
+    // materialization and then denies AQE the reuse bookkeeping it
+    // already does for free.
     val bands = sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
         posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
@@ -1036,6 +1056,11 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         expr(s"shiftright(simhash, ${15 * c})") % 32768L): _*))
         .as(Seq("chunk_idx", "chunk_val")))
+      // materialized once before the renamed self-join (no exchange
+      // reuse across renamed branches): the simhash pipeline —
+      // tokenize + 60 per-bit vote sums — otherwise runs twice per
+      // evaluation. Four fixed-width rows per doc, linear at scale.
+      .localCheckpoint(true)
     val a = chunks.toDF("doc_a", "sim_a", "chunk_idx", "chunk_val")
     val b = chunks.toDF("doc_b", "sim_b", "chunk_idx", "chunk_val")
     a.join(b, Seq("chunk_idx", "chunk_val"))

@@ -430,6 +430,12 @@ object Similarity {
         }
       }
     }.toDF("vec_id", "band_idx", "band_key")
+      // materialized once: the candidate join's sides are renamed
+      // copies of this subplan and Spark reuses no exchange across
+      // renamed self-join branches — unchckpointed, the corpus scan +
+      // plane-projection kernel ran twice per evaluation. Fixed-width
+      // (long, int, long) rows, nBands per vector — linear at scale.
+      .localCheckpoint(true)
     bands.toDF("vec_a", "band_idx", "band_key")
       .join(bands.toDF("vec_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
       .filter(col("vec_a") < col("vec_b"))
@@ -907,8 +913,16 @@ object Similarity {
                 nPlanes: Int, nBands: Int, threshold: Double,
                 dims: Int = 64, model: DataFrame = null,
                 pqM: Int = 8): DataFrame = {
+    // the exact baseline is the JOIN SIDE of every method row plus the
+    // n_exact denominator — 7 consumers. Its output is tiny by contract
+    // (≤ k × |probes| id pairs), but its PLAN is the full brute-force
+    // probe scan + rank window, and Spark re-evaluates it per consumer
+    // (no exchange reuse across the union's renamed branches): measured
+    // 7 scan+window executions per run at r19 head. Materialize it once
+    // — same localCheckpoint discipline as the dedup pair relations.
     val exact = cosineTopK(emb, idCol, vecCol, probePred, k)
       .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val ivf = ivfTopK(emb, idCol, vecCol, nCentroids, probePred, k,
         model = model)
       .select(col("q_id"), col("neighbor_id"))

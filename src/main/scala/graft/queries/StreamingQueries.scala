@@ -63,9 +63,19 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       val name = s"graft_stream_out_${runId.incrementAndGet()}"
+      // stateful agg: one state store per shuffle partition, each
+      // loaded + committed per micro-batch — size the streaming shuffle
+      // to the state volume (a few hundred (day, type) groups), not the
+      // CPU count, same discipline and setting as stream_join_attrib /
+      // stream_sessionize (r19: trigger_exec 1.15 s → ~0.5 s; the
+      // checkpoint is fresh per invocation, so batch conf is restored)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val t0 = System.nanoTime()
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      val q =
+        try agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
       val tStart = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       q.awaitTermination()
@@ -209,9 +219,18 @@ object StreamingQueries {
       val dd = graft.streaming.StreamingOps.dedupHourlyStream(
         stream, keys = Seq("user_id"), tsCol = "ts")
       val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-      val q = dd.select("user_id", "ts_hour")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      // dropDuplicates keeps one state store per shuffle partition —
+      // size the streaming shuffle to the state volume ((user, hour)
+      // keys), not the CPU count; same setting as stream_join_attrib.
+      // Emitted KEY set is partitioning-independent (only the winner
+      // ROW would race, and only keys are emitted)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try dd.select("user_id", "ts_hour")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
       q.awaitTermination()
       s.table(name).orderBy("user_id", "ts_hour")
     },
