@@ -935,8 +935,14 @@ object Dedup {
                        k: Int = 32, bandSize: Int = 4,
                        maxDf: Int = DefaultMaxDf,
                        budgetPerDoc: Long = DefaultCandBudgetPerDoc): DataFrame = {
-    val nDocs = docs.count()
-    val cand = predictedGramJoinCandidates(docs, idCol, textCol, n, maxDf)
+    // the doc count rides the prediction job as an observed metric —
+    // one driver action for the whole decision instead of a separate
+    // count() scan of the corpus (the CollectMetrics node sits on the
+    // raw docs, below the gram explode, so each row is counted once)
+    val obs = new org.apache.spark.sql.Observation()
+    val cand = predictedGramJoinCandidates(
+      docs.observe(obs, count(lit(1)).as("n")), idCol, textCol, n, maxDf)
+    val nDocs = obs.get("n").asInstanceOf[Long]
     val banded = useBandedEdge(nDocs, cand, budgetPerDoc)
     // decision surfaced in the bench artifact (ADVICE r17): the edge
     // construction is contract (banded trades banding recall), and the
@@ -996,9 +1002,12 @@ object Dedup {
                       k: Int = 32, bandSize: Int = 4,
                       maxDf: Int = DefaultMaxDf,
                       budgetPerDoc: Long = DefaultCandBudgetPerDoc): DataFrame = {
-    val nBatch = batch.count()
-    val cand = predictedGramJoinCandidatesBetween(batch, corpus, idCol,
+    // batch count folded into the prediction job (see jaccardPairsAuto)
+    val obs = new org.apache.spark.sql.Observation()
+    val cand = predictedGramJoinCandidatesBetween(
+      batch.observe(obs, count(lit(1)).as("n")), corpus, idCol,
       textCol, n, maxDf)
+    val nBatch = obs.get("n").asInstanceOf[Long]
     val banded = useBandedEdge(nBatch, cand, budgetPerDoc)
     // decision surfaced in the bench artifact (ADVICE r17) — see
     // jaccardPairsAuto; membership semantics follow the selected edge

@@ -156,21 +156,41 @@ object DedupIndex {
     // running it lazily under each of the two writes would both double
     // the daily cost and re-read $path/fps mid-append
     val s = survivors.select(col(idCol), col(textCol)).localCheckpoint(true)
-    s.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
-      .write.mode("append").parquet(s"$path/fps")
+    val spark = survivors.sparkSession
+    // the three appended tables derive independently from the
+    // checkpointed survivors and write to disjoint directories — run
+    // them as concurrent jobs (guide §2.6: actions are only sequential
+    // because the driver calls them sequentially) so the next job's
+    // tasks back-fill the tail of the previous one; per-append wall
+    // drops from the SUM of three small jobs to roughly the max.
+    // Job descriptions/locality are thread-local, so each branch runs
+    // on its own thread; only the bloom rebuild orders AFTER fps.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fFps = Future {
+      s.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+        .write.mode("append").parquet(s"$path/fps")
+    }
     // the cap is enforced as of the last build: appended docs drop the
     // KNOWN hot grams (so their n_grams agree with the corpus's capped
     // sets), while grams whose df crosses maxDf only via appends stay
     // until the next build — the same degrade-then-re-layout contract
     // as the range layout above
-    val spark = survivors.sparkSession
-    rawGrams(s, idCol, textCol, n)
-      .join(spark.read.parquet(s"$path/hot"), Seq("gram"), "left_anti")
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .sortWithinPartitions("gram")
-      .write.mode("append").parquet(s"$path/grams")
-    writeSigs(s, idCol, textCol, n, s"$path/sigs", overwrite = false)
+    val fGrams = Future {
+      rawGrams(s, idCol, textCol, n)
+        .join(spark.read.parquet(s"$path/hot"), Seq("gram"), "left_anti")
+        .withColumn("n_grams",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .sortWithinPartitions("gram")
+        .write.mode("append").parquet(s"$path/grams")
+    }
+    val fSigs = Future {
+      writeSigs(s, idCol, textCol, n, s"$path/sigs", overwrite = false)
+    }
+    Await.result(fFps, Duration.Inf)
+    Await.result(fGrams, Duration.Inf)
+    Await.result(fSigs, Duration.Inf)
     // fps/ grew — refresh the derived membership filter from it (the
     // sidecar's nbits re-sizes as the fingerprint set grows)
     rebuildBloom(spark, path)
@@ -301,8 +321,13 @@ object DedupIndex {
       case _ =>
         val (cand, nBatch) =
           graft.BenchAttribution.timed("dedup_index.decision") {
-            (predictedIndexJoinCandidates(spark, batch, indexPath,
-              idCol, textCol, n), batch.count())
+            // batch count folded into the prediction job as an observed
+            // metric (one driver action, not a separate batch scan)
+            val obs = new org.apache.spark.sql.Observation()
+            val c = predictedIndexJoinCandidates(spark,
+              batch.observe(obs, count(lit(1)).as("n")), indexPath,
+              idCol, textCol, n)
+            (c, obs.get("n").asInstanceOf[Long])
           }
         val banded = Dedup.useBandedEdge(nBatch, cand)
         // the selected edge is part of the row's CONTRACT (banded =
