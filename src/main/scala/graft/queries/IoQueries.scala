@@ -639,11 +639,21 @@ object IoQueries {
       val liT = uniq("li_bkt")
       val ordT = uniq("ord_bkt")
       try {
+        // repartition by the bucket key into exactly the bucket count
+        // BEFORE the bucketed write: repartition's HashPartitioning and
+        // bucketing's bucket id are the same pmod(Murmur3) expression,
+        // so every write task holds exactly one bucket and each table
+        // lands as 8 files — without it, every one of the session's 32
+        // input partitions wrote a sliver of each bucket (up to 256
+        // tiny files per table), paying open/commit overhead at write
+        // and per-file overhead at every later read (guide §6)
         table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .repartition(8, col("l_orderkey"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$wh/$liT").saveAsTable(liT)
         table(s, dir, "orders")
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+          .repartition(8, col("l_orderkey"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$wh/$ordT").saveAsTable(ordT)
         s.table(liT).hint("merge")
