@@ -50,13 +50,17 @@ import org.apache.spark.sql.SparkSession
   *     time in the last clean same-sf artifact; >2.5× outliers (with
   *     ≥ 0.5 s excess) re-run at the END of the bench, after the
   *     window has passed, minima reported, names in `"rebaselined"`.
-  *   - since r17 a contaminated verdict REFUSES the artifact: the JSON
-  *     line still prints (diagnosis for whoever captured stdout), but
-  *     the out file goes to `<out>.contaminated` instead of `<out>`
-  *     and the process exits 3 — a polluted run can neither seed the
-  *     next run's per-query baseline nor be committed as a round
-  *     anchor by a script that forgot to check the field (the r16
-  *     headline shipped contaminated exactly that way).
+  *   - a contaminated verdict SELF-LABELS the artifact
+  *     (`"contaminated":true`) and duplicates it to a
+  *     `<out>.contaminated` sidecar with a stderr warning, but the
+  *     process exits 0 and the out file is still written (r20,
+  *     VERDICT r19 #3 — the r17-r19 behavior of refusing the out file
+  *     and exiting 3 made a merely-loaded box read as bench-dark to
+  *     any caller that trusts the exit code). A polluted run still
+  *     cannot seed the next run's per-query baseline:
+  *     [[baselineMatches]] requires `"contaminated":false`. Committing
+  *     a contaminated artifact as a round anchor remains a human
+  *     error the sidecar + stderr note exist to prevent.
   */
 object Bench {
   private val Iters = 2
@@ -511,23 +515,25 @@ object Bench {
         s""""queries":$qs,"errors":$errors,"sf":"$sfDir",$env}"""
     println(json)
     if (contaminated) {
-      // A contaminated headline must FAIL LOUDLY, not quietly become
-      // the round's anchor (the r16 lesson: the driver committed a
-      // contaminated 105 s headline because the run's only complaint
-      // was a JSON field). The stdout line above still carries the
-      // full diagnosis for whoever captured it, but the artifact file
-      // — the thing the next run baselines against and rounds commit
-      // as bench_r{N}_local.json — is refused: it lands in a
-      // .contaminated sidecar instead, and the process exits nonzero
-      // so a scripted caller cannot miss it.
+      // A contaminated headline must fail LOUDLY but not fail the
+      // CALLER (VERDICT r19 #3): the r19 driver run exited 3 here and
+      // a driver that trusts the exit code records bench-dark even
+      // though the stdout line parsed fine. The artifact self-labels
+      // ("contaminated":true) and [[baselineMatches]] already refuses
+      // contaminated artifacts as baselines, so writing the out file
+      // cannot poison the per-query baseline chain; the .contaminated
+      // sidecar and the stderr diagnosis stay for scripted callers
+      // (and humans) that check them. Nonzero exit is reserved for
+      // real errors (a query set that fails to run still surfaces in
+      // "errors"; JVM/launch failures exit nonzero on their own).
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath + ".contaminated"), json + "\n")
-      System.err.println(s"[bench] REFUSING to write $outPath: run is " +
-        s"contaminated (load $loadStart -> $loadEnd, inflated=$inflated) " +
-        s"after the single sleep-and-recheck; diagnosis saved to " +
-        s"$outPath.contaminated — re-run on an idle box")
-      spark.stop()
-      sys.exit(3)
+      System.err.println(s"[bench] WARNING: run is contaminated " +
+        s"(load $loadStart -> $loadEnd, inflated=$inflated) after the " +
+        s"single sleep-and-recheck; artifact self-labels contaminated " +
+        s"and cannot seed baselines — diagnosis also saved to " +
+        s"$outPath.contaminated; re-run on an idle box before committing " +
+        s"it as a round anchor")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()

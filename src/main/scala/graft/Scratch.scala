@@ -24,6 +24,54 @@ object Scratch {
       println(s"=== $n ===")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
+    // operator-subplan explain for plan-evidence dumps (plans/r{N}):
+    // the registry rows for these operators return checkpointed or
+    // loop-truncated results, so explain:<registry name> shows a
+    // Scan ExistingRDD stub — these cases explain the operator's OWN
+    // composed plan instead (the plan the timed row actually executes
+    // per evaluation / per micro-batch).
+    args.filter(_.startsWith("opplan:")).foreach { a =>
+      import org.apache.spark.sql.functions._
+      val n = a.stripPrefix("opplan:")
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+      println(s"=== opplan:$n ===")
+      n match {
+        // dedup_cluster_banded's edge relation (the row's dominant cost;
+        // Components consumes it through its own checkpointed loop)
+        case "banded_jaccard" =>
+          graft.ops.Dedup.bandedJaccardPairs(docs, "doc_id", "text",
+            n = 3, k = 32, bandSize = 4, threshold = 0.6).explain("formatted")
+        // the per-micro-batch probe of stream_dedup_indexed /
+        // dedup_incremental_indexed (same dedupBatch plan; the stream
+        // row wraps it in foreachBatch)
+        case "dedup_batch" =>
+          val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          val idx = graft.ops.DedupIndex.ensureBuilt(spark, dir,
+            docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 3)
+          graft.ops.DedupIndex.dedupBatch(spark, batch, idx,
+            "doc_id", "text", 3, 0.5).explain("formatted")
+        // view_daily_summary_incremental's fold stage: the plan that
+        // merges the persisted state with the new day's partials (the
+        // final summary scan is state-sized either way)
+        case "ivm_fold" =>
+          import graft.analytics.Incremental
+          import graft.etl.Enrich
+          val li = graft.io.Sources.table(spark, dir, "lineitem")
+          val cutoff = li.agg(max(Enrich.deriveDate(col("l_shipdate"))))
+            .head().getDate(0)
+          val isNew = Enrich.deriveDate(col("l_shipdate")) <=> lit(cutoff)
+          val st = java.nio.file.Files
+            .createTempDirectory("graft_ivm_plan").toString
+          Incremental.lineitemSummaryState(li.filter(!isNew))
+            .write.mode("overwrite").parquet(s"$st/v1")
+          Incremental.mergeStates(
+              spark.read.parquet(s"$st/v1"),
+              Incremental.lineitemSummaryState(li.filter(isNew)))
+            .explain("formatted")
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(st))
+        case other => println(s"[scratch] unknown opplan: $other")
+      }
+    }
     // incremental-dedup auto-edge decision probe: prints the predicted
     // batch-vs-corpus candidate volume and where useBandedEdge lands at
     // this sf dir (adjudicates the static-oracle choice for
@@ -321,6 +369,7 @@ object Scratch {
     }
     val names = args.filterNot(a =>
       a.startsWith("explain:") || a.startsWith("bpe:") || a.startsWith("full:") ||
+      a.startsWith("opplan:") ||
       a == "bktprobe" || a == "tailprobe" || a == "incauto" || a == "msprobe" ||
       a == "decontamprobe" ||
       a == "annprobe" || a == "annprobe_raw" || a == "ppprobe")

@@ -77,6 +77,20 @@ object Dedup {
       .select(col("doc_id"), explode(ngramsOfTokens(col("__toks"), n)).as("gram"))
       .distinct()
 
+  /** [[gramTable]] with the gram already hashed to its 60-bit key:
+    * (doc_id, gram: bigint) — the relation every downstream gram
+    * consumer (df cap, pair joins, MinHash) actually keys on. ONE
+    * definition so a caller that materializes it once can feed both
+    * the cap/pair pipeline and the signature pipeline from the same
+    * checkpoint (guide §1.2: the tokenize+explode+distinct kernel is
+    * the expensive pass; every re-derivation of it is a full extra
+    * scan of the input text).
+    */
+  def hashedGramTable(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    gramTable(docs, idCol, textCol, n)
+      .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
+
   /** Document-frequency cap for gram-join candidate generation
     * (CCNet-style stop-gram removal). A gram present in f documents
     * contributes f² rows to the candidate equi-join BEFORE any
@@ -134,10 +148,19 @@ object Dedup {
     * checkpointed gram rows.
     */
   def cappedGramRows(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int, maxDf: Int): DataFrame = {
-    val grams = gramTable(docs, idCol, textCol, n)
-      .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
-      .localCheckpoint()
+                     n: Int, maxDf: Int): DataFrame =
+    cappedFromHashedGrams(
+      hashedGramTable(docs, idCol, textCol, n).localCheckpoint(), maxDf)
+
+  /** The df-cap stage over an ALREADY-MATERIALIZED hashed gram
+    * relation ([[hashedGramTable]], typically localCheckpoint-ed by
+    * the caller): map-side-combined df pass, broadcast anti join —
+    * factored out so callers that need BOTH the capped rows and the
+    * signature pipeline ([[bandedJaccardPairs]]) derive them from ONE
+    * materialization of the tokenize/explode kernel.
+    */
+  private[ops] def cappedFromHashedGrams(grams: DataFrame,
+                                         maxDf: Int): DataFrame = {
     val hot = grams.groupBy("gram")
       .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
       .select("gram")
@@ -372,27 +395,40 @@ object Dedup {
   def jaccardPairsBetween(left: DataFrame, right: DataFrame,
                           idCol: String, textCol: String,
                           n: Int, threshold: Double,
-                          maxDf: Int = DefaultMaxDf): DataFrame = {
-    // the df cap is defined by the RIGHT (standing-corpus) side —
-    // boilerplate is a property of the corpus, and the batch side is
-    // small by contract. Hot grams are dropped from BOTH sides before
-    // sizes, so Jaccard is over the same capped sets on each side.
-    // Same skew discipline as [[cappedGrams]]: each side's gram rows
-    // are materialized once (localCheckpoint), the df pass is a
-    // map-side-combined aggregate, the hot set is removed with a
-    // BROADCAST anti join, and per-doc sizes are an aggregate joined
-    // back on the (unique, bounded-fanout) doc key — no count-over-
-    // hash window anywhere, so a df ≈ 10⁸ boilerplate gram can never
-    // pin one task.
-    val rg0 = gramTable(right, idCol, textCol, n)
-      .select(col("doc_id").as("right_id"), Parity.md5_60(col("gram")).as("gram"))
-      .localCheckpoint()
+                          maxDf: Int = DefaultMaxDf): DataFrame =
+    jaccardPairsBetweenGrams(
+      hashedGramTable(left, idCol, textCol, n).localCheckpoint(),
+      hashedGramTable(right, idCol, textCol, n).localCheckpoint(),
+      threshold, maxDf)
+
+  /** [[jaccardPairsBetween]] over ALREADY-MATERIALIZED hashed gram
+    * relations ((doc_id, gram) from [[hashedGramTable]], each
+    * localCheckpoint-ed by the caller — every side feeds ≥ 2 branches
+    * below, so an un-materialized input would re-run its tokenize
+    * pipeline per branch). Factored out (r20) so [[incrementalAuto]]
+    * can feed the SAME materialization to the decision statistic and
+    * the selected edge.
+    *
+    * The df cap is defined by the RIGHT (standing-corpus) side —
+    * boilerplate is a property of the corpus, and the batch side is
+    * small by contract. Hot grams are dropped from BOTH sides before
+    * sizes, so Jaccard is over the same capped sets on each side.
+    * Same skew discipline as [[cappedGrams]]: the df pass is a
+    * map-side-combined aggregate, the hot set is removed with a
+    * BROADCAST anti join, and per-doc sizes are an aggregate joined
+    * back on the (unique, bounded-fanout) doc key — no count-over-
+    * hash window anywhere, so a df ≈ 10⁸ boilerplate gram can never
+    * pin one task.
+    */
+  private[ops] def jaccardPairsBetweenGrams(leftGrams: DataFrame,
+                                            rightGrams: DataFrame,
+                                            threshold: Double,
+                                            maxDf: Int): DataFrame = {
+    val rg0 = rightGrams.select(col("doc_id").as("right_id"), col("gram"))
+    val lg0 = leftGrams.select(col("doc_id").as("left_id"), col("gram"))
     val hot = rg0.groupBy("gram")
       .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
       .select("gram")
-    val lg0 = gramTable(left, idCol, textCol, n)
-      .select(col("doc_id").as("left_id"), Parity.md5_60(col("gram")).as("gram"))
-      .localCheckpoint()
     // one checkpoint + count serves both sides' anti joins
     val hotSide = boundedBroadcast(hot)
     val lgKept = lg0.join(hotSide, Seq("gram"), "left_anti")
@@ -429,8 +465,13 @@ object Dedup {
                   n: Int, threshold: Double,
                   maxDf: Int = DefaultMaxDf): DataFrame = {
     val b1 = exact(batch, idCol, textCol)
+    // no .distinct() on the anti join's build side (r20): a LeftAnti
+    // membership probe is duplicate-insensitive, and the distinct was
+    // a corpus-sized aggregate + exchange paid per evaluation for
+    // nothing (guide §2.4 — a distinct on data whose duplicates
+    // cannot affect the operator)
     val corpusFps = corpus
-      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+      .select(TextOps.fingerprint(col(textCol)).as("__fp"))
     val b2 = b1.withColumn("__fp", TextOps.fingerprint(col(textCol)))
       .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
     // near-dup hits are computed from the RAW batch, not b2: the
@@ -534,8 +575,9 @@ object Dedup {
                         n: Int = 3, k: Int = 32, bandSize: Int = 4,
                         threshold: Double = 0.5): DataFrame = {
     val b1 = exact(batch, idCol, textCol)
+    // duplicate-insensitive anti join — no distinct (see incremental)
     val corpusFps = corpus
-      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+      .select(TextOps.fingerprint(col(textCol)).as("__fp"))
     val b2 = b1.withColumn("__fp", TextOps.fingerprint(col(textCol)))
       .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
     // hits from the RAW batch (identical result; keeps the exact-dedup
@@ -751,13 +793,25 @@ object Dedup {
 
   /** Per-doc MinHash signature columns s0..s(k−1). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
-    val grams = gramTable(docs, idCol, textCol, n)
-      .withColumn("h", Parity.md5_60(col("gram")) % P)
+                        n: Int, k: Int): DataFrame =
+    minhashSignaturesOfHashedGrams(
+      hashedGramTable(docs, idCol, textCol, n), k)
+
+  /** [[minhashSignatures]] over an already-hashed gram relation
+    * ((doc_id, gram: bigint) from [[hashedGramTable]]): h_i is a pure
+    * function of the 60-bit gram hash, so a caller that has
+    * materialized the gram relation once (for the df cap, a pair
+    * join, or an auto-edge prediction) derives signatures from the
+    * same checkpoint instead of re-running tokenize+explode+distinct
+    * over the text. Values are identical to [[minhashSignatures]] by
+    * construction (same md5_60, same coefficients).
+    */
+  def minhashSignaturesOfHashedGrams(grams: DataFrame, k: Int): DataFrame = {
+    val withH = grams.withColumn("h", col("gram") % P)
     val aggs = hashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s$i")
     }
-    grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-dup pairs: signatures banded (bandSize rows per
@@ -834,7 +888,18 @@ object Dedup {
                          n: Int = 3, k: Int = 32, bandSize: Int = 4,
                          threshold: Double = 0.6,
                          maxDf: Int = DefaultMaxDf): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    // ONE materialization of the tokenize/explode kernel feeds both
+    // pipelines (r20, guide §1.2): the signature pipeline (candidates)
+    // and the capped gram sets (verification) each need the hashed
+    // gram relation, and cappedGramRows was already checkpointing it —
+    // deriving the signatures from the same checkpoint deletes a
+    // second full corpus tokenize + gram-distinct exchange per
+    // evaluation. (The BAND relation itself stays un-checkpointed: the
+    // candidate self-join's renamed sides end in canonically-identical
+    // exchanges that AQE stage reuse dedupes — A/B-measured SLOWER
+    // with an explicit checkpoint in r19, see the note below.)
+    val grams = hashedGramTable(docs, idCol, textCol, n).localCheckpoint()
+    val sigs = minhashSignaturesOfHashedGrams(grams, k)
     val nBands = k / bandSize
     val bandCols = (0 until nBands).map { bIdx =>
       val parts = (bIdx * bandSize until (bIdx + 1) * bandSize)
@@ -863,8 +928,9 @@ object Dedup {
     // per-doc capped gram-hash sets: 8-byte elements, one array row per
     // doc; a doc whose grams are ALL capped away has no set row and its
     // candidate pairs drop with the inner join (the oracle's inner
-    // joins agree)
-    val sets = cappedGramRows(docs, idCol, textCol, n, maxDf)
+    // joins agree). Derived from the SAME gram checkpoint as the
+    // signatures above.
+    val sets = cappedFromHashedGrams(grams, maxDf)
       .groupBy("doc_id")
       .agg(collect_set(col("gram")).as("gs"), count(lit(1)).as("ng"))
     cand
@@ -885,6 +951,16 @@ object Dedup {
     * decides whether the exact pair relation is affordable. One linear
     * aggregate over the gram table (8-byte hash keys, map-side
     * combined); never builds the join it predicts.
+    *
+    * CONTRACT (ADVICE r19): this function runs EXACTLY ONE action
+    * (the terminal `.head()`) and evaluates its input plan exactly
+    * once within it. Callers ([[jaccardPairsAuto]]) attach an
+    * `Observation` to `docs` and block on `obs.get` — a refactor that
+    * makes this lazy hangs the caller's driver; one that evaluates
+    * the input twice (e.g. a self-join of the gram relation) silently
+    * double-counts the observed metric and flips auto-edge decisions
+    * at scale. Pinned in OpsSpec ("observation count is single-
+    * evaluation under a multi-consumer plan").
     */
   def predictedGramJoinCandidates(docs: DataFrame, idCol: String,
                                   textCol: String, n: Int,
@@ -1002,11 +1078,33 @@ object Dedup {
                       k: Int = 32, bandSize: Int = 4,
                       maxDf: Int = DefaultMaxDf,
                       budgetPerDoc: Long = DefaultCandBudgetPerDoc): DataFrame = {
-    // batch count folded into the prediction job (see jaccardPairsAuto)
+    // ONE materialization of each side's tokenize/explode kernel (r20,
+    // guide §1.2): the prediction's df aggregates AND the selected
+    // edge's pipeline (MinHash signatures on the banded branch, the
+    // capped gram relation on the exact branch) all consume the hashed
+    // gram relation — previously the corpus was tokenized once for the
+    // prediction and AGAIN inside the edge, a full extra corpus scan
+    // per evaluation. Size note: the checkpoint holds (long, long)
+    // rows, the same relation jaccardPairsBetween has always
+    // materialized for the exact edge; an executor loss re-runs the
+    // query (see the boundedBroadcast fault-tolerance note).
+    // The batch count rides the checkpoint job as an observed metric
+    // (one driver action, not a separate batch scan); the eager
+    // localCheckpoint below IS the action that resolves it.
     val obs = new org.apache.spark.sql.Observation()
-    val cand = predictedGramJoinCandidatesBetween(
-      batch.observe(obs, count(lit(1)).as("n")), corpus, idCol,
-      textCol, n, maxDf)
+    val bGrams = hashedGramTable(
+      batch.observe(obs, count(lit(1)).as("n")), idCol, textCol, n)
+      .localCheckpoint()
+    val cGrams = hashedGramTable(corpus, idCol, textCol, n).localCheckpoint()
+    // the decision statistic — identical to
+    // [[predictedGramJoinCandidatesBetween]] by construction, computed
+    // from the shared materialization
+    val ldf = bGrams.groupBy("gram").agg(count(lit(1)).as("dfl"))
+    val rdf = cGrams.groupBy("gram").agg(count(lit(1)).as("dfr"))
+      .filter(col("dfr") <= maxDf)
+    val s = ldf.join(rdf, "gram")
+      .agg(sum(col("dfl") * col("dfr")).as("s2")).head()
+    val cand = if (s.isNullAt(0)) 0L else s.getLong(0)
     val nBatch = obs.get("n").asInstanceOf[Long]
     val banded = useBandedEdge(nBatch, cand, budgetPerDoc)
     // decision surfaced in the bench artifact (ADVICE r17) — see
@@ -1015,11 +1113,31 @@ object Dedup {
       cand.toDouble / math.max(nBatch, 1L))
     graft.BenchAttribution.record("dedup.incrementalAuto.edge_banded",
       if (banded) 1.0 else 0.0)
-    if (banded)
-      incrementalBanded(batch, corpus, idCol, textCol, n, k, bandSize,
-        threshold)
-    else
-      incremental(batch, corpus, idCol, textCol, n, threshold, maxDf)
+    val hits =
+      if (banded) {
+        // the banded edge over the shared gram checkpoints — same
+        // construction as [[minhashPairsBetween]] (signature values
+        // identical by [[minhashSignaturesOfHashedGrams]])
+        require(k % bandSize == 0, s"bandSize $bandSize must divide k $k")
+        def bandsOf(g: DataFrame, side: String): DataFrame = {
+          val sigs = minhashSignaturesOfHashedGrams(g, k)
+          val sigArr = array((0 until k).map(i => col(s"s$i")): _*)
+          bandsOfSigs(sigs.select(col("doc_id"), sigArr.as("sig")),
+            side, k, bandSize)
+        }
+        bandedPairsFromBands(bandsOf(bGrams, "left_id"),
+            bandsOf(cGrams, "right_id"), k, threshold)
+          .select(col("left_id").as(idCol)).distinct()
+      } else
+        jaccardPairsBetweenGrams(bGrams, cGrams, threshold, maxDf)
+          .select(col("left_id").as(idCol)).distinct()
+    val b1 = exact(batch, idCol, textCol)
+    // duplicate-insensitive anti join — no distinct (see incremental)
+    val corpusFps = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("__fp"))
+    val b2 = b1.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
+    b2.join(hits, Seq(idCol), "left_anti")
   }
 
   /** Near-dup dedup END TO END: given near-dup pair edges (from any of

@@ -4,7 +4,6 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Parity
 
 /** Persisted dedup state for INCREMENTAL ingest — the production shape
   * of daily dedup against a standing corpus.
@@ -188,9 +187,24 @@ object DedupIndex {
     val fSigs = Future {
       writeSigs(s, idCol, textCol, n, s"$path/sigs", overwrite = false)
     }
-    Await.result(fFps, Duration.Inf)
-    Await.result(fGrams, Duration.Inf)
-    Await.result(fSigs, Duration.Inf)
+    // await ALL THREE before surfacing any failure (ADVICE r19): an
+    // early throw on the first await would propagate while the other
+    // jobs are still writing into the index. Failures aggregate (first
+    // thrown, rest suppressed). NOTE the crash contract this implies:
+    // a failed/killed append can leave ANY SUBSET of {fps, grams,
+    // sigs} appended — not only ordered prefixes as before the
+    // concurrent overlap — so a caller retry must treat the index as
+    // needing rebuild/relayout, exactly as for a mid-append crash
+    // (CrashMonkeySpec pins restore semantics).
+    import scala.util.{Failure, Try}
+    val results = Seq("fps" -> fFps, "grams" -> fGrams, "sigs" -> fSigs)
+      .map { case (nm, f) => nm -> Try(Await.result(f, Duration.Inf)) }
+    val failures = results.collect { case (nm, Failure(e)) => (nm, e) }
+    failures.headOption.foreach { case (_, first) =>
+      failures.tail.foreach { case (_, e) =>
+        if (e ne first) first.addSuppressed(e) }
+      throw first
+    }
     // fps/ grew — refresh the derived membership filter from it (the
     // sidecar's nbits re-sizes as the fingerprint set grows)
     rebuildBloom(spark, path)
@@ -230,8 +244,7 @@ object DedupIndex {
     */
   private def rawGrams(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
-    Dedup.gramTable(docs, idCol, textCol, n)
-      .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
+    Dedup.hashedGramTable(docs, idCol, textCol, n)
 
   /** [[Dedup.incremental]] against the PERSISTED index instead of the
     * corpus: byte-identical output FOR THE INDEXED STATE — the only
@@ -256,8 +269,13 @@ object DedupIndex {
     Layout.restoreIfCrashed(spark, s"$indexPath/fps")
     Layout.restoreIfCrashed(spark, s"$indexPath/bloom")
     Layout.restoreIfCrashed(spark, s"$indexPath/sigs")
+    // no .distinct() on the fps relation (r20): it only ever feeds
+    // LeftAnti probes (directly, or through the bloom-pruned path),
+    // which are duplicate-insensitive — the distinct was a
+    // corpus-sized aggregate + exchange per batch for nothing
+    // (guide §2.4)
     val corpusFps = spark.read.parquet(s"$indexPath/fps")
-      .select(col("fp").as("__fp")).distinct()
+      .select(col("fp").as("__fp"))
     val corpusGrams = spark.read.parquet(s"$indexPath/grams")
       .select(col("doc_id").as("right_id"), col("gram"),
         col("n_grams").as("nr"))
@@ -315,18 +333,31 @@ object DedupIndex {
     // persisted sigs/ relation — candidates collide on signature
     // equality, so a gram-saturated standing corpus (the r16 docs
     // ladder's 4.4×-for-3× regime) stays linear per day.
+    // ONE materialization of the batch's hashed gram relation per
+    // batch (r20, guide §1.2): the auto decision's per-gram counts
+    // AND the selected candidate stage (MinHash signatures on the
+    // banded path, capped batch grams on the gram path) all consume
+    // it — previously the batch was tokenized once inside the
+    // decision and AGAIN inside the probe plan, a full extra batch
+    // scan per micro-batch. Batch-sized (long, long) rows, executor-
+    // resident; the eager localCheckpoint is the one action that
+    // resolves the folded batch-count Observation (must-run-an-action
+    // contract, ADVICE r19 — pinned in OpsSpec).
+    val obs = new org.apache.spark.sql.Observation()
+    lazy val bGrams = Dedup.hashedGramTable(
+        batch.observe(obs, count(lit(1)).as("n")), idCol, textCol, n)
+      .localCheckpoint(true)
     val useBanded = candidates match {
       case "banded" => true
       case "gram"   => false
       case _ =>
         val (cand, nBatch) =
           graft.BenchAttribution.timed("dedup_index.decision") {
-            // batch count folded into the prediction job as an observed
-            // metric (one driver action, not a separate batch scan)
-            val obs = new org.apache.spark.sql.Observation()
-            val c = predictedIndexJoinCandidates(spark,
-              batch.observe(obs, count(lit(1)).as("n")), indexPath,
-              idCol, textCol, n)
+            // the section now includes the shared gram materialization
+            // (it was previously re-derived inside boundedBroadcast);
+            // the probe-side reuse is what pays it back
+            val c = predictedIndexJoinCandidatesOfGrams(spark, bGrams,
+              indexPath)
             (c, obs.get("n").asInstanceOf[Long])
           }
         val banded = Dedup.useBandedEdge(nBatch, cand)
@@ -351,8 +382,10 @@ object DedupIndex {
         val corpusBands = Dedup.bandsOfSigs(
           spark.read.parquet(s"$indexPath/sigs"), "right_id",
           SigK, SigBandSize)
+        // signatures from the SHARED gram checkpoint (values identical
+        // to minhashSignatures on the raw batch by construction)
         val batchSigs = Dedup
-          .minhashSignatures(batch, idCol, textCol, n, SigK)
+          .minhashSignaturesOfHashedGrams(bGrams, SigK)
           .select(col("doc_id"),
             array((0 until SigK).map(i => col(s"s$i")): _*).as("sig"))
         val batchBands = Dedup.bandsOfSigs(batchSigs, "left_id",
@@ -366,8 +399,8 @@ object DedupIndex {
         // exact-dedup window out of the gram pipeline avoids
         // re-executing it there. Hot corpus grams (df > maxDf at build)
         // are dropped BEFORE the size window so the batch's n_grams
-        // match the index's capped sets
-        val bg = rawGrams(batch, idCol, textCol, n)
+        // match the index's capped sets. Reads the shared checkpoint.
+        val bg = bGrams
           .join(spark.read.parquet(s"$indexPath/hot"), Seq("gram"), "left_anti")
           .withColumn("n_grams",
             count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -396,9 +429,26 @@ object DedupIndex {
     */
   def predictedIndexJoinCandidates(spark: SparkSession, batch: DataFrame,
                                    indexPath: String, idCol: String,
-                                   textCol: String, n: Int): Long = {
-    val bdf = rawGrams(batch, idCol, textCol, n)
-      .groupBy("gram").agg(count(lit(1)).as("dfl"))
+                                   textCol: String, n: Int): Long =
+    predictedIndexJoinCandidatesOfGrams(spark,
+      rawGrams(batch, idCol, textCol, n), indexPath)
+
+  /** [[predictedIndexJoinCandidates]] over an already-built (usually
+    * checkpointed) batch gram relation — [[dedupBatch]] feeds the
+    * SAME materialization to this prediction and to the selected
+    * candidate stage, so the batch is tokenized once per micro-batch.
+    *
+    * CONTRACT (ADVICE r19): runs EXACTLY ONE action (the terminal
+    * `.head()`) — when the caller's gram relation carries an
+    * `Observation` (or is the eagerly-checkpointed relation that
+    * resolved one), laziness here would hang `obs.get`, and a plan
+    * that consumed the observed subtree twice would double-count the
+    * metric. Pinned in OpsSpec.
+    */
+  private[ops] def predictedIndexJoinCandidatesOfGrams(
+      spark: SparkSession, batchGrams: DataFrame,
+      indexPath: String): Long = {
+    val bdf = batchGrams.groupBy("gram").agg(count(lit(1)).as("dfl"))
     val predicted = spark.read.parquet(s"$indexPath/grams")
       .join(Dedup.boundedBroadcast(bdf), "gram")
       .agg(sum(col("dfl")).as("s2")).head()

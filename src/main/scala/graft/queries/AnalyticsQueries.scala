@@ -142,14 +142,37 @@ object AnalyticsQueries {
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft_ivm_state").toString
       try {
-        // nightly cadence: persist the standing state, fold the day in
-        Incremental.lineitemSummaryState(li.filter(!isNew))
-          .write.mode("overwrite").parquet(s"$stateDir/v1")
-        Incremental.mergeStates(
-            s.read.parquet(s"$stateDir/v1"),
-            Incremental.lineitemSummaryState(li.filter(isNew)))
-          .write.mode("overwrite").parquet(s"$stateDir/v2")
-        Incremental.summaryFromState(s.read.parquet(s"$stateDir/v2"))
+        // nightly cadence: persist the standing state, fold the day in.
+        // r20 job-shape changes (guide §2.6 / §6), result identical:
+        //  - the history-state and day-state builds scan DISJOINT
+        //    lineitem slices and share no inputs — they run as
+        //    concurrent jobs instead of back to back;
+        //  - state tables are summary-sized (one row per (flag,
+        //    status, date)), so each persisted version is ONE file
+        //    (coalesce(1)) instead of a shuffle-width spray of
+        //    KB-sized parts — cheaper commit, cheaper readback;
+        //  - the fold is evaluated ONCE (localCheckpoint): both the
+        //    persisted v2 state and the finalized view read the
+        //    materialized merge — previously v2 was written, then
+        //    re-listed and re-read just to finalize the same rows.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fHist = Future {
+          Incremental.lineitemSummaryState(li.filter(!isNew))
+            .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v1")
+        }
+        val fDay = Future {
+          Incremental.lineitemSummaryState(li.filter(isNew))
+            .localCheckpoint(true)
+        }
+        val day = Await.result(fDay, Duration.Inf)
+        Await.result(fHist, Duration.Inf)
+        val merged = Incremental.mergeStates(
+            s.read.parquet(s"$stateDir/v1"), day)
+          .localCheckpoint(true)
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v2")
+        Incremental.summaryFromState(merged)
           .orderBy(col("ship_date").desc, col("l_returnflag"), col("l_linestatus"))
           .localCheckpoint(true)
       } finally

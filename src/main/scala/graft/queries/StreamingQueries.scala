@@ -514,7 +514,11 @@ object StreamingQueries {
               case None => bs
             }
             val out = s"$root/state_$id"
-            merged.write.mode("overwrite").parquet(out)
+            // summary-sized state: one file per version (guide §6) —
+            // the NEXT batch's merge re-reads this table, so a
+            // shuffle-width spray of KB parts costs listing + open
+            // overhead every fold
+            merged.coalesce(1).write.mode("overwrite").parquet(out)
             latestState.set(out)
           }
           .trigger(Trigger.AvailableNow()).start()

@@ -1524,6 +1524,57 @@ class OpsSpec extends SparkSpec {
       left, right, "doc_id", "text", 3, maxDf = 2) == 1L)
   }
 
+  test("auto-edge observations count each input row exactly once (VERDICT r19 #8)") {
+    import graft.ops.{Dedup, DedupIndex}
+    import org.apache.spark.sql.Observation
+    // The auto-edge decisions fold the doc/batch count into the
+    // prediction job as an observed metric. That is valid ONLY while
+    // (a) the prediction runs an action over the observed plan (else
+    // obs.get hangs the driver) and (b) the observed subtree is
+    // evaluated exactly once within it — a refactor that self-joins
+    // or re-consumes the candidate side would double-count silently,
+    // flip useBandedEdge at a different corpus size, and change
+    // emitted pairs at scale while staying green at the gate. Pinned
+    // here against a direct count on a saturated fixture whose gram
+    // relation is many rows wide per doc (the tempting self-join
+    // shape).
+    val docs = (0L until 30L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token${i % 3} eta"))
+      .toDF("doc_id", "text")
+    val obs1 = new Observation()
+    Dedup.predictedGramJoinCandidates(
+      docs.observe(obs1, count(lit(1)).as("n")), "doc_id", "text", 3)
+    assert(obs1.get("n") == 30L,
+      "self-join prediction must count each doc exactly once")
+    // the index-priced twin (resolves through the shared batch-gram
+    // checkpoint inside dedupBatch; same seam here)
+    val batch = (0L until 10L).map(i =>
+      (i, s"alpha beta gamma delta token$i")).toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_obs_idx").toString
+    DedupIndex.build(docs, "doc_id", "text", 3, idxDir, nFiles = 2)
+    val obs2 = new Observation()
+    DedupIndex.predictedIndexJoinCandidates(spark,
+      batch.observe(obs2, count(lit(1)).as("n")), idxDir,
+      "doc_id", "text", 3)
+    assert(obs2.get("n") == 10L,
+      "index prediction must count each batch row exactly once")
+    // and the two-sided auto decision: the statistic incrementalAuto
+    // computes from its shared gram materialization must equal the
+    // standalone prediction (identity of the decision input, not just
+    // the route)
+    val corpus = (100L until 160L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token${i % 3} eta"))
+      .toDF("doc_id", "text")
+    val expected = Dedup.predictedGramJoinCandidatesBetween(
+      batch, corpus, "doc_id", "text", 3)
+    Dedup.incrementalAuto(batch, corpus, "doc_id", "text").count()
+    val perDoc = graft.BenchAttribution.snapshot.toMap
+      .apply("dedup.incrementalAuto.cand_per_doc")
+    assert(math.round(perDoc * 10L) == expected,
+      s"folded statistic ${perDoc * 10L} must equal standalone $expected")
+  }
+
   test("index append keeps the next day's dedup equal to a full recompute") {
     import graft.ops.{Dedup, DedupIndex}
     val corpus = Seq(
