@@ -72,6 +72,145 @@ object Scratch {
         case other => println(s"[scratch] unknown opplan: $other")
       }
     }
+    // per-JOB decomposition of one DedupIndex.dedupBatch invocation
+    // (the stream_dedup_indexed micro-batch probe): registers a
+    // listener, runs the probe once warm, and prints every Spark job's
+    // wall + stage count — names where a 2 s micro-batch actually goes
+    // (decision jobs vs checkpoint vs the main anti-join action).
+    args.filter(_ == "ddxjobs").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import scala.collection.mutable
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val idx = graft.ops.DedupIndex.ensureBuilt(spark, dir + "#ddxjobs",
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", 3)
+      def once(): Unit = graft.ops.DedupIndex
+        .dedupBatch(spark, batch, idx, "doc_id", "text", 3, 0.5)
+        .localCheckpoint(true).count()
+      once(); once() // warm
+      val jobs = mutable.LinkedHashMap.empty[Int, (Long, Int, String)]
+      val ends = mutable.Map.empty[Int, Long]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.synchronized { jobs(s.jobId) = (s.time, s.stageIds.size,
+            Option(s.properties.getProperty("spark.job.description"))
+              .orElse(Option(s.properties.getProperty("callSite.short")))
+              .getOrElse("?")) }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          ends.synchronized { ends(e.jobId) = e.time }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      once()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[scratch] ddxjobs wall=$wall%.3f s, jobs=${jobs.size}")
+      var prevEnd = 0L
+      jobs.foreach { case (id, (start, nStages, desc)) =>
+        val dur = ends.get(id).map(e => (e - start) / 1e3).getOrElse(-1.0)
+        val gap = if (prevEnd == 0L) 0.0 else (start - prevEnd) / 1e3
+        prevEnd = ends.getOrElse(id, prevEnd)
+        println(f"[scratch] ddxjobs job=$id stages=$nStages dur=$dur%.3f gap=$gap%.3f  $desc%.90s")
+      }
+    }
+    // dedup_decontaminate stage decomposition (VERDICT r19 #7): times
+    // the containmentPairs stages separately at the current sf dir —
+    // bench-gram build, corpus df pass, probe selection, candidate
+    // join, verify — with candidate/hit counts, so a ladder-rung
+    // regression names a stage.
+    args.filter(_ == "dcprobe").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.Dedup
+      import graft.functions.Parity
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scratch] dcprobe $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val docs = graft.io.Sources.table(spark, dir, "documents")
+      val corpus = docs
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val n = 3; val threshold = 0.8
+      (1 to 2).foreach { it =>
+        println(s"[scratch] dcprobe --- iter $it ---")
+        val bg = t("bench_grams")(
+          Dedup.benchGrams(bench, "doc_id", "text", n).localCheckpoint(true))
+        println(s"[scratch] dcprobe n_bench_gram_rows=${bg.count()}")
+        def cg = Dedup.gramTable(corpus, "doc_id", "text", n)
+          .select(col("doc_id").as("corpus_id"),
+            Parity.md5_60(col("gram")).as("gram"))
+        val dfByGram = t("df_pass")(
+          cg.join(broadcast(bg.select("gram").distinct()), Seq("gram"), "left_semi")
+            .groupBy("gram").agg(count(lit(1)).as("__df")).localCheckpoint(true))
+        val probes = t("probe_select")(
+          bg.join(dfByGram, Seq("gram"), "left")
+            .na.fill(0L, Seq("__df"))
+            .withColumn("__rk", row_number().over(
+              Window.partitionBy(col("bench_id"))
+                .orderBy(col("__df"), col("gram"))))
+            .filter(col("__rk") <=
+              floor(col("nb").cast("double") * lit(1.0 - threshold)) + lit(2))
+            .select("bench_id", "gram").localCheckpoint(true))
+        println(s"[scratch] dcprobe n_probe_rows=${probes.count()}")
+        val candPairs = t("cand_join")(
+          cg.join(broadcast(probes), "gram")
+            .select("corpus_id", "bench_id").distinct().localCheckpoint(true))
+        println(s"[scratch] dcprobe n_cand_pairs=${candPairs.count()}, " +
+          s"n_cand_docs=${candPairs.select("corpus_id").distinct().count()}")
+        val full = t("full_containmentPairs")(
+          Dedup.containmentPairs(corpus, bench, "doc_id", "text", n, threshold)
+            .localCheckpoint(true))
+        println(s"[scratch] dcprobe n_hits=${full.count()}")
+      }
+    }
+    // dedup_cluster_banded decomposition (VERDICT r19 #9): times the
+    // banded edge's stages separately — signature+band candidates,
+    // capped-set build, exact verify — and the components loop, so the
+    // row's cost is attributable to a named stage.
+    args.filter(_ == "cbprobe").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import graft.ops.Dedup
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scratch] cbprobe $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      (1 to 3).foreach { it =>
+        println(s"[scratch] cbprobe --- iter $it ---")
+        val docs = graft.io.Sources.table(spark, dir, "documents")
+        val grams = t("grams_ckpt")(
+          Dedup.hashedGramTable(docs, "doc_id", "text", 3).localCheckpoint())
+        val sigs = Dedup.minhashSignaturesOfHashedGrams(grams, 32)
+        val bands = t("bands_build")(
+          Dedup.bandsOfSigs(sigs.select(col("doc_id"),
+            array((0 until 32).map(i => col(s"s$i")): _*).as("sig")),
+            "doc_id", 32, 4).drop("__sig_doc_id"))
+        val cand = t("cand_distinct")(
+          bands.toDF("doc_a", "band_idx", "band_key")
+            .join(bands.toDF("doc_b", "band_idx", "band_key"),
+              Seq("band_idx", "band_key"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b").distinct().localCheckpoint(true))
+        println(s"[scratch] cbprobe n_cand=${cand.count()}")
+        val sets = t("sets_build")(
+          Dedup.cappedGramRows(docs, "doc_id", "text", 3, Dedup.DefaultMaxDf)
+            .groupBy("doc_id")
+            .agg(collect_set(col("gram")).as("gs"), count(lit(1)).as("ng"))
+            .localCheckpoint(true))
+        val edge = t("edge_full")(
+          Dedup.bandedJaccardPairs(docs, "doc_id", "text",
+              n = 3, k = 32, bandSize = 4, threshold = 0.6)
+            .select("doc_a", "doc_b").localCheckpoint(true))
+        println(s"[scratch] cbprobe n_edges=${edge.count()}")
+        t("components")(
+          graft.ops.Components.connectedComponents(edge, "doc_a", "doc_b")
+            .count())
+      }
+    }
     // incremental-dedup auto-edge decision probe: prints the predicted
     // batch-vs-corpus candidate volume and where useBandedEdge lands at
     // this sf dir (adjudicates the static-oracle choice for
@@ -151,12 +290,15 @@ object Scratch {
     // BPE trainer cost-curve probe (SCALING.md): bpe:<iter|fast>:<k>
     // times one full training run at k rounds over the sf documents
     args.filter(_.startsWith("bpe:")).foreach { a =>
-      val Array(_, trainer, k) = a.split(":")
+      val parts = a.split(":")
+      val (trainer, k) = (parts(1), parts(2))
+      val ce = if (parts.length > 3) parts(3).toInt else 1
       val docs = graft.io.Sources.table(spark, dir, "documents")
       val t0 = System.nanoTime()
       val m =
         if (trainer == "fast")
-          graft.ops.Corpus.bpeTrainIncremental(docs, "doc_id", "text", k.toInt)
+          graft.ops.Corpus.bpeTrainIncremental(docs, "doc_id", "text", k.toInt,
+            checkpointEvery = ce)
         else graft.ops.Corpus.bpeTrain(docs, "doc_id", "text", k.toInt)
       val n = m.count()
       println(f"[scratch] bpe:$trainer k=$k merges=$n " +
@@ -371,6 +513,7 @@ object Scratch {
       a.startsWith("explain:") || a.startsWith("bpe:") || a.startsWith("full:") ||
       a.startsWith("opplan:") ||
       a == "bktprobe" || a == "tailprobe" || a == "incauto" || a == "msprobe" ||
+      a == "ddxjobs" || a == "cbprobe" || a == "dcprobe" ||
       a == "decontamprobe" ||
       a == "annprobe" || a == "annprobe_raw" || a == "ppprobe")
     names.foreach { n => SparkEntry.queries(n)(spark, dir).count() }

@@ -88,8 +88,16 @@ object Dedup {
     */
   def hashedGramTable(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
-    gramTable(docs, idCol, textCol, n)
+    // distinct AFTER hashing (r20): the dedup exchange carries 16-byte
+    // (doc_id, hash) rows instead of (doc_id, gram string) — ~2-3×
+    // narrower for word trigrams (guide §2.3). Set-identical to
+    // distinct-then-hash under the same 2^-60 collision assumption
+    // every hash-keyed join here already makes.
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+      .select(col("doc_id"), explode(ngramsOfTokens(col("__toks"), n)).as("gram"))
       .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram"))
+      .distinct()
 
   /** Document-frequency cap for gram-join candidate generation
     * (CCNet-style stop-gram removal). A gram present in f documents
@@ -198,9 +206,18 @@ object Dedup {
     * index (see DedupIndex / AnnIndex) instead.
     */
   def boundedBroadcast(hot: DataFrame,
-                       maxRows: Long = HotBroadcastMaxRows): DataFrame = {
+                       maxRows: Long = HotBroadcastMaxRows,
+                       attributionKey: String = null): DataFrame = {
     val h = hot.localCheckpoint()
-    if (h.count() <= maxRows) broadcast(h) else h
+    val fits = h.count() <= maxRows
+    // optional decision surface (ADVICE r19 #3): callers whose
+    // broadcast-vs-shuffle flip matters at ladder scale (the
+    // containment verify semi-join) name a BenchAttribution key so a
+    // degradation to the shuffled path is visible in artifacts instead
+    // of silent
+    if (attributionKey != null)
+      graft.BenchAttribution.record(attributionKey, if (fits) 1.0 else 0.0)
+    if (fits) broadcast(h) else h
   }
 
   /** Exact n-gram Jaccard near-dup pairs: candidates from an equi-join
@@ -297,9 +314,24 @@ object Dedup {
   def containmentPairs(corpus: DataFrame, bench: DataFrame,
                        idCol: String, textCol: String,
                        n: Int, threshold: Double): DataFrame = {
-    val cg = gramTable(corpus, idCol, textCol, n)
-      .select(col("doc_id").as("corpus_id"),
-        Parity.md5_60(col("gram")).as("gram"))
+    // ONE tokenize of the corpus (r20, guide §1.2). The three
+    // corpus-gram consumers below — the df pass, the probe join, and
+    // the verify — each re-derived the tokenize+explode pipeline per
+    // evaluation (r19 had moved the verify to re-gramming candidate
+    // DOCS, which helps only while candidates ≪ corpus; the sf3 docs
+    // rung measured candidates at 99.6% of the corpus on the
+    // fixed-vocab shape, so the "candidate-sized" verify was a third
+    // full tokenize after all — dcprobe: df 30 s + probe join 29 s +
+    // verify ~27 s of a 93 s rung). Materializing the 16-byte
+    // (corpus_id, gram hash) relation once makes every downstream
+    // stage a cached scan in BOTH regimes; the verify semi-joins the
+    // checkpoint on the (bounded-broadcast) candidate ids, so its
+    // JOIN cost is still candidate-proportional. Storage is
+    // MEMORY_AND_DISK executor blocks — the same linear bound
+    // cappedGramRows already accepts for the self-join family.
+    val cg = hashedGramTable(corpus, idCol, textCol, n)
+      .select(col("doc_id").as("corpus_id"), col("gram"))
+      .localCheckpoint()
     // (bench_id, gram, nb) — standing, checkpointed inside benchGrams
     val bg = benchGrams(bench, idCol, textCol, n)
     // corpus df restricted to bench grams: map-side-combined count
@@ -324,22 +356,15 @@ object Dedup {
     // verify over candidate corpus docs only: their grams vs the FULL
     // bench gram relation — the threshold filter re-derives exactly
     // the old all-pairs result (non-candidates provably can't qualify).
-    // The candidate gram relation is re-derived from the candidate DOCS
-    // (semi-join corpus rows on the candidate ids, then tokenize),
-    // not by semi-joining the corpus-wide gram relation: `cg` is a
-    // fresh tokenize+explode of the WHOLE corpus per evaluation, so
-    // filtering it post-explode made the verify pass a third full
-    // corpus-gram scan (guide §1.2: remove unnecessary passes). A
-    // doc's gram set is a function of the doc alone, so gramming after
-    // the semi join is row-identical — and the verify scan now costs
-    // |candidates|, bounded by true hits + probe collisions, at every
-    // scale (2 corpus-gram scans + 1 candidate-sized, was 3 corpus).
+    // The candidate gram relation is a semi join of the CHECKPOINTED
+    // gram relation on the (bounded-broadcast) candidate ids: no
+    // re-tokenize (the r19 re-gram-the-docs form paid a full corpus
+    // tokenize whenever candidates ≈ corpus), and the join output is
+    // still candidate-proportional.
     val candIds = candPairs.select(col("corpus_id")).distinct()
-    val candGrams = gramTable(
-        corpus.join(boundedBroadcast(candIds.withColumnRenamed("corpus_id", idCol)),
-          Seq(idCol), "left_semi"),
-        idCol, textCol, n)
-      .select(col("doc_id").as("corpus_id"), Parity.md5_60(col("gram")).as("gram"))
+    val candGrams = cg.join(boundedBroadcast(candIds,
+        attributionKey = "dedup.containment.verify_broadcast"),
+      Seq("corpus_id"), "left_semi")
     candGrams.join(broadcast(bg), "gram")
       .groupBy("corpus_id", "bench_id")
       .agg(count(lit(1)).as("n_inter"), max(col("nb")).as("nb"))
@@ -791,11 +816,26 @@ object Dedup {
     (0 until k).map(_ => (next() + 1, next()))
   }
 
-  /** Per-doc MinHash signature columns s0..s(k−1). */
+  /** Per-doc MinHash signature columns s0..s(k−1).
+    *
+    * No gram-distinct exchange (r20): min() is duplicate-insensitive,
+    * so signatures over the raw gram OCCURRENCES equal signatures
+    * over the distinct gram set — and without the distinct, the gram
+    * relation never shuffles at all: the per-doc partial min rides
+    * the one groupBy(doc_id) exchange as one row per doc per mapper
+    * (guide §2.4 — a distinct whose duplicates cannot affect the
+    * operator). Callers that already hold a materialized DISTINCT
+    * relation use [[minhashSignaturesOfHashedGrams]]; values are
+    * identical either way.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =
     minhashSignaturesOfHashedGrams(
-      hashedGramTable(docs, idCol, textCol, n), k)
+      docs.select(col(idCol).as("doc_id"),
+          TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+        .select(col("doc_id"),
+          explode(ngramsOfTokens(col("__toks"), n)).as("gram"))
+        .select(col("doc_id"), Parity.md5_60(col("gram")).as("gram")), k)
 
   /** [[minhashSignatures]] over an already-hashed gram relation
     * ((doc_id, gram: bigint) from [[hashedGramTable]]): h_i is a pure

@@ -430,8 +430,11 @@ object DedupIndex {
   def predictedIndexJoinCandidates(spark: SparkSession, batch: DataFrame,
                                    indexPath: String, idCol: String,
                                    textCol: String, n: Int): Long =
+    // checkpoint so the gram pipeline (and any Observation the caller
+    // attached to `batch`) evaluates exactly once — the OfGrams body
+    // consumes its input in two actions (bound count + prediction)
     predictedIndexJoinCandidatesOfGrams(spark,
-      rawGrams(batch, idCol, textCol, n), indexPath)
+      rawGrams(batch, idCol, textCol, n).localCheckpoint(true), indexPath)
 
   /** [[predictedIndexJoinCandidates]] over an already-built (usually
     * checkpointed) batch gram relation — [[dedupBatch]] feeds the
@@ -449,8 +452,19 @@ object DedupIndex {
       spark: SparkSession, batchGrams: DataFrame,
       indexPath: String): Long = {
     val bdf = batchGrams.groupBy("gram").agg(count(lit(1)).as("dfl"))
+    // bounded broadcast WITHOUT boundedBroadcast's own checkpoint +
+    // count jobs (r20): |bdf| ≤ |batchGrams| by construction (one row
+    // per distinct gram), and the caller hands us the (usually
+    // checkpointed) gram relation, so one cheap count of it bounds the
+    // broadcast — the aggregate then evaluates once inside the
+    // broadcast build instead of paying a separate materialization job
+    // per micro-batch. Over the bound, the join degrades to the
+    // AQE-planned shuffle exactly like boundedBroadcast.
+    val bdfSide =
+      if (batchGrams.count() <= Dedup.HotBroadcastMaxRows) broadcast(bdf)
+      else bdf
     val predicted = spark.read.parquet(s"$indexPath/grams")
-      .join(Dedup.boundedBroadcast(bdf), "gram")
+      .join(bdfSide, "gram")
       .agg(sum(col("dfl")).as("s2")).head()
     if (predicted.isNullAt(0)) 0L else predicted.getLong(0)
   }

@@ -132,13 +132,28 @@ object AnalyticsQueries {
       import graft.analytics.Incremental
       val li = table(s, dir, "lineitem")
       // the "new day" = the latest ship date (bounded 1-row collect)
-      val cutoff = li.agg(max(Enrich.deriveDate(col("l_shipdate"))))
-        .head().getDate(0)
-      // null-safe split (<=>): with ===, a NULL ship date satisfies
-      // neither isNew nor !isNew and vanishes from BOTH state
-      // partitions, while the full-recompute oracle keeps its NULL
-      // group — <=> makes history + day an exact partition of input
-      val isNew = Enrich.deriveDate(col("l_shipdate")) <=> lit(cutoff)
+      val cutoff = graft.BenchAttribution.timed("view_ivm.cutoff") {
+        li.agg(max(Enrich.deriveDate(col("l_shipdate"))))
+          .head().getDate(0)
+      }
+      // The day/history split as RAW-TIMESTAMP RANGE predicates (r20):
+      // to_date(ts) = cutoff under the UTC session is exactly
+      // ts ∈ [cutoff 00:00, cutoff+1d) — and unlike a derived-column
+      // equality, the range comparison PUSHES DOWN to the parquet scan
+      // (PushedFilters on l_shipdate), so on a date-sorted/partitioned
+      // production table the day side reads O(day) row groups instead
+      // of rescanning history (guide §6; at the unsorted gate corpus
+      // min/max spans everything and the gain is the removed per-row
+      // cast only). Null handling matches the old null-safe <=> split:
+      // a NULL ship date goes to the HISTORY side explicitly (a bare
+      // !(range) would drop it from both — the oracle keeps its NULL
+      // group).
+      val dayStart = lit(cutoff).cast("timestamp")
+      val dayEnd = lit(java.sql.Date.valueOf(cutoff.toLocalDate.plusDays(1)))
+        .cast("timestamp")
+      val isNew = col("l_shipdate") >= dayStart && col("l_shipdate") < dayEnd
+      val isHistory = col("l_shipdate").isNull ||
+        col("l_shipdate") < dayStart || col("l_shipdate") >= dayEnd
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft_ivm_state").toString
       try {
@@ -158,23 +173,29 @@ object AnalyticsQueries {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val fHist = Future {
-          Incremental.lineitemSummaryState(li.filter(!isNew))
-            .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v1")
+        val (day, _) = graft.BenchAttribution.timed("view_ivm.state_builds") {
+          val fHist = Future {
+            Incremental.lineitemSummaryState(li.filter(isHistory))
+              .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v1")
+          }
+          val fDay = Future {
+            Incremental.lineitemSummaryState(li.filter(isNew))
+              .localCheckpoint(true)
+          }
+          (Await.result(fDay, Duration.Inf), Await.result(fHist, Duration.Inf))
         }
-        val fDay = Future {
-          Incremental.lineitemSummaryState(li.filter(isNew))
+        val merged = graft.BenchAttribution.timed("view_ivm.fold") {
+          val m = Incremental.mergeStates(
+              s.read.parquet(s"$stateDir/v1"), day)
+            .localCheckpoint(true)
+          m.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v2")
+          m
+        }
+        graft.BenchAttribution.timed("view_ivm.finalize") {
+          Incremental.summaryFromState(merged)
+            .orderBy(col("ship_date").desc, col("l_returnflag"), col("l_linestatus"))
             .localCheckpoint(true)
         }
-        val day = Await.result(fDay, Duration.Inf)
-        Await.result(fHist, Duration.Inf)
-        val merged = Incremental.mergeStates(
-            s.read.parquet(s"$stateDir/v1"), day)
-          .localCheckpoint(true)
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v2")
-        Incremental.summaryFromState(merged)
-          .orderBy(col("ship_date").desc, col("l_returnflag"), col("l_linestatus"))
-          .localCheckpoint(true)
       } finally
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
     },
